@@ -1,0 +1,133 @@
+"""Aggregation / grouping / lineage (SURVEY.md §2.6).
+
+The reference's aggregators do physical batching + grouping + lineage
+stamping, not arithmetic. The observable aggregate is the per-sink
+delivered log count (test/engine/verify/count.go:30) — here
+`groupBy(route).count()` with Spark's partial+final hash aggregation
+(map-side combine makes the shuffle carry one row per route per task,
+which is what keeps this O(sinks) at 100 TB, not O(rows)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def sink_counts(df: DataFrame, route_col: str = "route") -> DataFrame:
+    """Per-sink delivered counts (verify.LogCount, test/engine/verify/count.go:30)."""
+    return df.groupBy(route_col).agg(F.count(F.lit(1)).alias("log_count"))
+
+
+def content_value_group(
+    df: DataFrame,
+    group_keys: list[str],
+    *,
+    connector: str = "_",
+) -> DataFrame:
+    """aggregator_content_value_group
+    (plugins/aggregator/contentvaluegroup/aggregator_content_value_group.go:66-172):
+    group by the VALUES of `group_keys`; the composite key joined with `_`
+    (:160-172) is emitted alongside per-group counts. Group KVs became
+    LogGroup tags in the reference — here they're simply the grouping
+    columns on the output row.
+    """
+    if not group_keys:
+        return df.agg(F.count(F.lit(1)).alias("log_count")).withColumn(
+            "group_key", F.lit("")
+        )
+    composite = F.concat_ws(connector, *[F.coalesce(F.col(k), F.lit("")) for k in group_keys])
+    return (
+        df.groupBy(*group_keys)
+        .agg(F.count(F.lit(1)).alias("log_count"))
+        .withColumn("group_key", composite)
+    )
+
+
+def shard_hash(
+    df: DataFrame,
+    source_keys: list[str],
+    shard_count: int,
+    *,
+    bucket_col: str = "shard_bucket",
+    repartition: bool = False,
+) -> DataFrame:
+    """aggregator_shardhash
+    (plugins/aggregator/shardhash/aggregator_shardhash.go:67-164): bucket
+    rows into `shard_count` (a power of two ≤ 512, validation :87-89)
+    buckets by a hash of the concatenated source-key values (:158).
+
+    The hash is xxhash64 JVM-side — the same family the reference uses —
+    and `pmod` keeps it non-negative. With `repartition=True` the bucket
+    becomes the physical partitioning pre-write, which is the reference's
+    own skew/shard strategy for parallel sink shards.
+    """
+    if shard_count <= 0 or (shard_count & (shard_count - 1)) != 0 or shard_count > 512:
+        raise ValueError("shard_count must be a power of two in (0, 512]")
+    key = F.concat_ws("_", *[F.coalesce(F.col(k), F.lit("")) for k in source_keys])
+    out = df.withColumn(bucket_col, F.pmod(F.xxhash64(key), F.lit(shard_count)).cast("int"))
+    if repartition:
+        out = out.repartition(shard_count, F.col(bucket_col))
+    return out
+
+
+def stable_order(
+    df: DataFrame,
+    partition_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """aggregator_context semantics
+    (plugins/aggregator/context/aggregator_context.go:44-100): each source
+    keeps its own ordered sequence. Our contract: per-conversation order by
+    `turn_idx` is stable and dense — `seq` is the per-conv row number, the
+    analog of the reference's per-source pack sequence (and of the e2e
+    LogOrder check, test/engine/verify/log_order.go:31-80).
+    """
+    w = Window.partitionBy(partition_col).orderBy(order_col)
+    return df.withColumn(seq_col, F.row_number().over(w))
+
+
+def add_lineage(
+    df: DataFrame,
+    config_name: str,
+    *,
+    lineage_col: str = "lineage",
+    deterministic: bool = True,
+) -> DataFrame:
+    """__pack_id__ lineage stamping
+    (plugins/aggregator/baseagg/aggregator_base.go:140-147,
+    util.NewPackIDPrefix): prefix = MD5(configName), suffix = sequence.
+
+    deterministic=True derives the suffix from the row's own identity
+    (conv_id, turn_idx) so re-runs produce identical lineage — required
+    for idempotent resume (SURVEY.md §7.1.7). deterministic=False mirrors
+    the reference's per-producer counter via
+    (spark_partition_id, monotonically row_number) — cheaper but
+    run-dependent, like the reference's restart-dependent pack ids.
+    """
+    prefix = F.upper(F.substring(F.md5(F.lit(config_name)), 1, 16))
+    if deterministic:
+        suffix = F.concat_ws("-", F.col("conv_id"), F.col("turn_idx").cast("string"))
+        return df.withColumn(lineage_col, F.concat(prefix, F.lit("-"), suffix))
+    part = F.spark_partition_id()
+    w = Window.partitionBy(part).orderBy(F.monotonically_increasing_id())
+    return df.withColumn(
+        lineage_col,
+        F.concat(prefix, F.lit("-"), part.cast("string"), F.lit("-"),
+                 F.row_number().over(w).cast("string")),
+    )
+
+
+def stage_metrics(df_in: DataFrame, df_out: DataFrame, stage: str) -> DataFrame:
+    """Per-stage in/out row counts — mirrors the pipeline's
+    mProcessorsInEventsTotal / OutEventsTotal metric pairs
+    (core/pipeline/Pipeline.h:110-117). Returns a 1-row metrics DataFrame
+    suitable for appending to the checkpoint/metrics table."""
+    spark = df_in.sparkSession
+    rows_in = df_in.count()
+    rows_out = df_out.count()
+    return spark.createDataFrame(
+        [(stage, rows_in, rows_out)], "stage string, rows_in long, rows_out long"
+    )

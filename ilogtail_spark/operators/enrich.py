@@ -1,0 +1,152 @@
+"""Enrichment operators — the broadcast-join / constant-column family
+(SURVEY.md §2.5).
+
+Scale note: the reference caps dict size at 1000 entries
+(processor_dict_map.go MaxDictSize) — small enough that the *fastest*
+distributed plan is not a join at all but a literal map expression
+(pure projection, zero shuffle, whole-stage codegen). We compile small
+dicts to `map literal + element_at`; `method="join"` keeps the broadcast
+hash join for dimension tables too large to inline into the plan
+(broadcast = no shuffle of the fact side either).
+"""
+
+from __future__ import annotations
+
+from itertools import chain
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def dict_map(
+    df: DataFrame,
+    mapping: dict[str, str],
+    source_key: str,
+    dest_key: str,
+    *,
+    mode: str = "overwrite",
+    handle_missing: bool = False,
+    missing: str = "Unknown",
+    method: str = "literal",
+    max_dict_size: int = 1000,
+) -> DataFrame:
+    """processor_dict_map (plugins/processor/dictmap/processor_dict_map.go:30-198).
+
+    * `mode="fill"` writes dest only if absent/null; `"overwrite"` always
+      (processor_dict_map.go:161-171).
+    * unmatched source: `handle_missing` ⇒ `missing` default, else dest
+      untouched/null (:192-196).
+    * `method="literal"`: compile the dict into a map literal —
+      Catalyst folds the lookup into the projection (no shuffle, no join).
+    * `method="join"`: broadcast left join (the plan you want when the dim
+      is a real table).
+    """
+    if len(mapping) > max_dict_size:
+        raise ValueError(f"dict size {len(mapping)} > MaxDictSize {max_dict_size}")
+
+    if method == "join":
+        spark = df.sparkSession
+        dim = spark.createDataFrame(
+            [(k, v) for k, v in mapping.items()], f"{source_key} string, __dict_val__ string"
+        )
+        joined = df.join(F.broadcast(dim), on=source_key, how="left")
+        looked_up: Column = F.col("__dict_val__")
+        out = _apply_dict_value(joined, looked_up, dest_key, mode, handle_missing, missing)
+        return out.drop("__dict_val__")
+
+    m = F.create_map(*[F.lit(x) for x in chain.from_iterable(mapping.items())])
+    looked_up = m.getItem(F.col(source_key))
+    return _apply_dict_value(df, looked_up, dest_key, mode, handle_missing, missing)
+
+
+def _apply_dict_value(
+    df: DataFrame,
+    looked_up: Column,
+    dest_key: str,
+    mode: str,
+    handle_missing: bool,
+    missing: str,
+) -> DataFrame:
+    if handle_missing:
+        value = F.coalesce(looked_up, F.lit(missing))
+    else:
+        value = looked_up
+    if mode == "fill" and dest_key in df.columns:
+        value = F.coalesce(F.col(dest_key), value)
+    return df.withColumn(dest_key, value)
+
+
+def lookup_join(
+    df: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    *,
+    how: str = "left",
+) -> DataFrame:
+    """Generic dimension enrich: broadcast hash join (the processor_dict_map
+    pattern for real dimension tables, and processor_geoip's lookup shape,
+    plugins/processor/geoip/processor_geoip.go:72). The broadcast hint
+    keeps the 100 TB fact side shuffle-free."""
+    return df.join(F.broadcast(dim), on=on, how=how)
+
+
+def add_fields(
+    df: DataFrame, fields: dict[str, str], *, ignore_if_exist: bool = False
+) -> DataFrame:
+    """processor_add_fields (plugins/processor/addfields/processor_add_fields.go:49)."""
+    cols = {}
+    for k, v in fields.items():
+        if ignore_if_exist and k in df.columns:
+            continue
+        cols[k] = F.lit(v)
+    return df.withColumns(cols)
+
+
+def appender(df: DataFrame, key: str, value: str, ctx: dict[str, str] | None = None) -> DataFrame:
+    """processor_appender (plugins/processor/appender/processor_appender.go:69):
+    append a templated suffix to an existing field. Templates
+    `{{__something__}}` are resolved driver-side from `ctx` (the Spark
+    equivalent of host/ip/env lookups — constants per job)."""
+    rendered = value
+    for tk, tv in (ctx or {}).items():
+        rendered = rendered.replace("{{" + tk + "}}", tv)
+    return df.withColumn(key, F.concat(F.coalesce(F.col(key), F.lit("")), F.lit(rendered)))
+
+
+def rename_fields(df: DataFrame, renames: dict[str, str]) -> DataFrame:
+    """processor_rename / SPL project-rename (core/unittest/spl/SplUnittest.cpp:491)."""
+    return df.withColumnsRenamed(renames)
+
+
+def tag_native(df: DataFrame, tags: dict[str, str]) -> DataFrame:
+    """ProcessorTagNative (core/plugin/processor/inner/ProcessorTagNative.cpp:43):
+    inject group tags as constant `tag_*` columns (the reference's
+    `__tag__:*` keys become plain columns in the relational model)."""
+    return df.withColumns({f"tag_{k}": F.lit(v) for k, v in tags.items()})
+
+
+def geoip_range_join(
+    df: DataFrame,
+    ranges: DataFrame,
+    ip_col: str,
+) -> DataFrame:
+    """processor_geoip (plugins/processor/geoip/processor_geoip.go:72) as a
+    broadcast range join: `ranges(ip_start long, ip_end long, ...attrs)`.
+    The ip string is converted to a sortable long JVM-side; the broadcast
+    keeps the non-equi predicate off the shuffle path (BroadcastNestedLoop
+    over a tiny dim is fine; at scale, bucket the dim by /8 prefix and
+    add an equi-key)."""
+    octets = F.split(F.col(ip_col), r"\.")
+    ip_num = (
+        octets.getItem(0).cast("long") * 16777216
+        + octets.getItem(1).cast("long") * 65536
+        + octets.getItem(2).cast("long") * 256
+        + octets.getItem(3).cast("long")
+    )
+    df = df.withColumn("__ipn__", ip_num)
+    out = df.join(
+        F.broadcast(ranges),
+        (F.col("__ipn__") >= F.col("ip_start")) & (F.col("__ipn__") < F.col("ip_end")),
+        "left",
+    )
+    return out.drop("__ipn__", "ip_start", "ip_end")

@@ -1,0 +1,346 @@
+"""Field-extraction (parse) operators.
+
+Reimplements the reference's parse-processor family as declarative column
+transforms (SURVEY.md §2.2). The contract shared by all of them:
+
+  * they read one string `source_key` column and add typed field columns;
+  * parse failure yields NULL fields (never an error row);
+  * keep-source semantics follow plugins/processor/regex/regex.go:101-103 —
+    source kept if `keep_source`, or on failed parse if
+    `keep_source_if_parse_error`; otherwise the source column is nulled
+    after a successful parse (dropping the raw bytes early is the
+    columnar analog, and it lets Parquet/Tungsten drop the heaviest
+    column before any shuffle).
+
+Everything is built-in Column expressions (whole-stage codegen) except
+the optional Arrow path for the regex parser, which does a single-pass
+vectorized ``Series.str.extract`` — useful when the per-key
+``regexp_extract`` re-execution cost exceeds the Arrow transfer cost
+(measured in bench.py, §7.3.6 of SURVEY.md).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _apply_keep_source(
+    df: DataFrame,
+    source_key: str,
+    matched: Column,
+    keep_source: bool,
+    keep_source_if_parse_error: bool,
+) -> DataFrame:
+    """plugins/processor/regex/regex.go:101-103 source-retention rules."""
+    if keep_source:
+        return df
+    if keep_source_if_parse_error:
+        return df.withColumn(
+            source_key, F.when(matched, F.lit(None).cast("string")).otherwise(F.col(source_key))
+        )
+    return df.withColumn(source_key, F.lit(None).cast("string"))
+
+
+def regex_parse(
+    df: DataFrame,
+    pattern: str,
+    keys: list[str],
+    source_key: str = "text",
+    *,
+    types: dict[str, str] | None = None,
+    keep_source: bool = False,
+    keep_source_if_parse_error: bool = True,
+    full_match: bool = False,
+    dotall: bool = True,
+    mode: str = "jvm",
+) -> DataFrame:
+    """processor_regex (plugins/processor/regex/regex.go:32-129) /
+    ProcessorParseRegexNative (core/plugin/processor/ProcessorParseRegexNative.cpp:103).
+
+    `keys[i]` receives capture group i+1. The reference prepends ``(?s)``
+    so ``.`` crosses newlines (regex.go:56-57); `full_match` anchors the
+    whole value (regex.go:107). Fewer matched groups than keys = parse
+    fail (regex.go:115-120) — here expressed as: no match ⇒ all keys NULL.
+
+    mode='jvm'   : per-key ``regexp_extract`` — stays in whole-stage
+                   codegen, zero Python.
+    mode='arrow' : one vectorized pandas ``str.extract`` pass returning a
+                   struct — single regex execution per row.
+    """
+    pat = pattern
+    if dotall and not pat.startswith("(?s)"):
+        pat = "(?s)" + pat
+    if full_match:
+        pat = _anchor(pat)
+    types = types or {}
+
+    if mode == "arrow":
+        df = _regex_parse_arrow(df, pat, keys, source_key)
+        matched = F.col("__m__")
+        for k in keys:
+            c = F.col(k)
+            if k in types:
+                c = c.cast(types[k])
+            df = df.withColumn(k, c)
+        df = _apply_keep_source(df, source_key, matched, keep_source, keep_source_if_parse_error)
+        return df.drop("__m__")
+
+    matched = F.col(source_key).rlike(pat)
+    cols = {}
+    for i, k in enumerate(keys, start=1):
+        c = F.when(matched, F.regexp_extract(F.col(source_key), pat, i))
+        if k in types:
+            c = c.cast(types[k])
+        cols[k] = c
+    df = df.withColumns(cols)
+    return _apply_keep_source(df, source_key, matched, keep_source, keep_source_if_parse_error)
+
+
+def _anchor(pat: str) -> str:
+    """Anchor a pattern for whole-value matching, preserving a leading (?s)."""
+    flags = ""
+    if pat.startswith("(?s)"):
+        flags, pat = "(?s)", pat[4:]
+    return f"{flags}^(?:{pat})$"
+
+
+def _regex_parse_arrow(df: DataFrame, pat: str, keys: list[str], source_key: str) -> DataFrame:
+    """Single-pass vectorized extraction via Arrow batches.
+
+    The Spark analog of the reference's one-compile-many-exec regex loop
+    (ProcessorParseRegexNative.cpp:127) — pattern compiled once per
+    executor, rows move as Arrow record batches (no per-row Python).
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    n = len(keys)
+    fields = [T.StructField(k, T.StringType()) for k in keys]
+    fields.append(T.StructField("__m__", T.BooleanType()))
+    out_type = T.StructType(fields)
+    # Python `re` numbering matches Java for plain groups; convert the
+    # inline (?s) flag which pandas handles via flags in the pattern.
+    py_pat = re.compile(pat)
+    if py_pat.groups < n:
+        raise ValueError(f"pattern has {py_pat.groups} groups, need {n}")
+
+    @pandas_udf(out_type)
+    def _extract(s):  # type: ignore[no-untyped-def]
+        ext = s.str.extract(py_pat, expand=True)
+        out = ext.iloc[:, :n].copy()
+        out.columns = keys
+        out["__m__"] = ext.iloc[:, 0].notna() | s.str.match(py_pat).fillna(False)
+        # str.extract gives NaN for unmatched; normalize to None
+        return out.where(out.notna(), None)
+
+    struct_col = _extract(F.col(source_key))
+    df = df.withColumn("__ext__", struct_col)
+    for k in keys:
+        df = df.withColumn(k, F.col(f"__ext__.{k}"))
+    return df.withColumn("__m__", F.col("__ext__.__m__")).drop("__ext__")
+
+
+def json_parse(
+    df: DataFrame,
+    source_key: str = "text",
+    *,
+    schema: str | T.StructType | None = None,
+    prefix: str = "",
+    use_source_key_as_prefix: bool = False,
+    expand_connector: str = "_",
+    expand_depth: int = 0,
+    keep_source: bool = True,
+    keep_source_if_parse_error: bool = True,
+) -> DataFrame:
+    """processor_json (plugins/processor/json/processor_json.go:29-201) /
+    ProcessorParseJsonNative (core/plugin/processor/ProcessorParseJsonNative.cpp:58).
+
+    With a known `schema` (the hot path): ``from_json`` + struct flatten
+    with the reference's connector/prefix naming. Nested structs are
+    flattened to `parent{connector}child` columns up to `expand_depth`
+    levels (0 = unlimited), mirroring processor_json.go:141-201; a level
+    beyond the depth is re-serialized with ``to_json`` (stringified, as
+    the reference stringifies non-expanded subtrees).
+    """
+    if schema is None:
+        # dynamic flat-object fallback: map<string,string>; non-flat rows null
+        parsed = F.from_json(F.col(source_key), "map<string,string>")
+        df = df.withColumn("__j__", parsed)
+        matched = F.col("__j__").isNotNull()
+        df = _apply_keep_source(df, source_key, matched, keep_source, keep_source_if_parse_error)
+        return df.withColumnRenamed("__j__", _json_prefix(prefix, use_source_key_as_prefix, source_key) + "map")
+
+    parsed = F.from_json(F.col(source_key), schema)
+    df = df.withColumn("__j__", parsed)
+    matched = F.col("__j__").isNotNull()
+    pfx = _json_prefix(prefix, use_source_key_as_prefix, source_key)
+    struct_type = df.schema["__j__"].dataType
+    assert isinstance(struct_type, T.StructType)
+    cols = _flatten_struct("__j__", struct_type, pfx, expand_connector, expand_depth, level=1)
+    df = df.withColumns(cols)
+    df = _apply_keep_source(df, source_key, matched, keep_source, keep_source_if_parse_error)
+    return df.drop("__j__")
+
+
+def _json_prefix(prefix: str, use_source: bool, source_key: str) -> str:
+    return (source_key if use_source else "") + prefix
+
+
+def _flatten_struct(
+    path: str,
+    st: T.StructType,
+    prefix: str,
+    connector: str,
+    depth: int,
+    level: int,
+) -> dict[str, Column]:
+    out: dict[str, Column] = {}
+    for f in st.fields:
+        child_path = f"{path}.{f.name}"
+        name = prefix + f.name
+        if isinstance(f.dataType, T.StructType) and (depth == 0 or level < depth):
+            out.update(
+                _flatten_struct(
+                    child_path, f.dataType, name + connector, connector, depth, level + 1
+                )
+            )
+        elif isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType)):
+            out[name] = F.to_json(F.col(child_path))
+        else:
+            out[name] = F.col(child_path)
+    return out
+
+
+def csv_parse(
+    df: DataFrame,
+    split_keys: list[str],
+    source_key: str = "text",
+    *,
+    sep: str = ",",
+    quote: str = '"',
+    trim_leading_space: bool = False,
+    expand_others: bool = False,
+    expand_key_prefix: str = "expand_",
+    max_expand: int = 8,
+    keep_source: bool = True,
+    keep_source_if_parse_error: bool = True,
+) -> DataFrame:
+    """processor_csv (plugins/processor/csv/processor_csv.go:30-141) /
+    ProcessorParseDelimiterNative (core/plugin/processor/ProcessorParseDelimiterNative.cpp:186).
+
+    ``from_csv`` is quote-aware like the reference's FSM parser. Extra
+    fields beyond `split_keys` are either preserved under expand keys
+    (`ExpandOthers`, prefix+index naming, processor_csv.go:95-108) or
+    dropped. Short rows leave missing keys NULL (`AllowingShortenedFields`).
+    """
+    n = len(split_keys)
+    total = n + (max_expand if expand_others else 0)
+    names = list(split_keys) + [f"{expand_key_prefix}{i+1}" for i in range(total - n)]
+    schema = ", ".join(f"`{c}` string" for c in names)
+    opts = {"sep": sep, "quote": quote}
+    if trim_leading_space:
+        opts["ignoreLeadingWhiteSpace"] = "true"
+    parsed = F.from_csv(F.col(source_key), schema, opts)
+    df = df.withColumn("__c__", parsed)
+    matched = F.col(f"__c__.{split_keys[0]}").isNotNull()
+    df = df.withColumns({c: F.col(f"__c__.`{c}`") for c in names})
+    df = _apply_keep_source(df, source_key, matched, keep_source, keep_source_if_parse_error)
+    return df.drop("__c__")
+
+
+def kv_parse(
+    df: DataFrame,
+    source_key: str = "text",
+    *,
+    delimiter: str = "&",
+    separator: str = "=",
+    keys: list[str] | None = None,
+    dest: str = "kv",
+) -> DataFrame:
+    """processor_split_key_value
+    (plugins/processor/split/keyvalue/key_value_splitter.go:26-98) and the
+    SPL `parse-kv` op (core/unittest/spl/SplUnittest.cpp:415).
+
+    ``str_to_map`` does the pair/sep split JVM-side. If `keys` is given,
+    each is also projected to its own column (the common downstream shape);
+    the full map stays available under `dest`.
+    """
+    df = df.withColumn(dest, F.str_to_map(F.col(source_key), F.lit(delimiter), F.lit(separator)))
+    if keys:
+        df = df.withColumns({k: F.col(dest).getItem(k) for k in keys})
+    return df
+
+
+def split_char(
+    df: DataFrame,
+    split_keys: list[str],
+    source_key: str = "text",
+    *,
+    sep: str = ",",
+    preserve_others: bool = False,
+    preserve_key: str = "_split_preserve_",
+) -> DataFrame:
+    """processor_split_char / processor_split_string
+    (plugins/processor/split/char/split_char.go:34-158,
+    split/string/split_string.go:33-103): positional split into named keys.
+    Not quote-aware (use csv_parse for that). Overflow tail optionally
+    preserved joined back under `preserve_key`.
+    """
+    arr = F.split(F.col(source_key), re.escape(sep))
+    df = df.withColumn("__arr__", arr)
+    cols: dict[str, Column] = {
+        k: F.col("__arr__").getItem(i) for i, k in enumerate(split_keys)
+    }
+    if preserve_others:
+        n = len(split_keys)
+        cols[preserve_key] = F.when(
+            F.size("__arr__") > n,
+            F.array_join(F.slice(F.col("__arr__"), n + 1, 2147483),
+                         sep),
+        )
+    return df.withColumns(cols).drop("__arr__")
+
+
+def split_log_string(
+    df: DataFrame,
+    source_key: str = "text",
+    *,
+    sep: str = "\n",
+    line_col: str = "line",
+    index_col: str = "line_no",
+) -> DataFrame:
+    """processor_split_log_string
+    (plugins/processor/split/logstring/split_log_string.go:29-37) /
+    ProcessorSplitLogStringNative
+    (core/plugin/processor/inner/ProcessorSplitLogStringNative.cpp:87):
+    row-generating split of one event into N lines. ``posexplode`` keeps
+    the intra-event line index so downstream ordering stays deterministic
+    (the reference preserves arrival order implicitly).
+    """
+    pos, col = F.posexplode(F.split(F.col(source_key), re.escape(sep)))
+    return df.select("*", pos.alias(index_col), col.alias(line_col))
+
+
+def anchor_extract(
+    df: DataFrame,
+    anchors: list[tuple[str, str, str]],
+    source_key: str = "text",
+) -> DataFrame:
+    """processor_anchor (plugins/processor/anchor/anchor.go:62-172):
+    substring between Start/Stop anchor strings per field. Expressed as a
+    lazy regex `start(.*?)stop` — (?s) so anchors may span lines.
+    `anchors` = [(start, stop, field_name), ...]; empty start = line
+    begin, empty stop = line end (anchor.go ParseAnchors semantics).
+    """
+    cols = {}
+    for start, stop, field in anchors:
+        pat = "(?s)" + (re.escape(start) if start else "^") + "(.*?)" + (
+            re.escape(stop) if stop else "$"
+        )
+        matched = F.col(source_key).rlike(pat)
+        cols[field] = F.when(matched, F.regexp_extract(F.col(source_key), pat, 1))
+    return df.withColumns(cols)

@@ -1,0 +1,161 @@
+"""Value-transform operators (SURVEY.md §2.2 tail — encode/hash/mask/reshape).
+
+All pure Column expressions: whole-stage codegen, zero Python.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def base64_encode(df: DataFrame, source_key: str, new_key: str) -> DataFrame:
+    """processor_base64_encoding
+    (plugins/processor/base64/encoding/processor_base64_encoding.go:43)."""
+    return df.withColumn(new_key, F.base64(F.col(source_key).cast("binary")))
+
+
+def base64_decode(df: DataFrame, source_key: str, new_key: str) -> DataFrame:
+    """processor_base64_decoding
+    (plugins/processor/base64/decoding/processor_base64_decoding.go:44)."""
+    return df.withColumn(new_key, F.unbase64(F.col(source_key)).cast("string"))
+
+
+def md5_field(df: DataFrame, source_key: str, md5_key: str) -> DataFrame:
+    """processor_md5 (plugins/processor/md5/processor_md5.go:44)."""
+    return df.withColumn(md5_key, F.md5(F.col(source_key)))
+
+
+def desensitize(
+    df: DataFrame,
+    source_key: str,
+    *,
+    method: str = "const",
+    replace_string: str = "********",
+    regex_begin: str = "",
+    regex_content: str = ".*",
+) -> DataFrame:
+    """processor_desensitize
+    (plugins/processor/desensitize/processor_desensitize.go:45-126) /
+    ProcessorDesensitizeNative
+    (core/plugin/processor/ProcessorDesensitizeNative.cpp:147).
+
+    method="const": every occurrence of `regex_content` that follows a
+    `regex_begin` match is replaced with `replace_string` (all
+    occurrences, like the reference's replace-all loop). With empty
+    `regex_begin`, the whole-value match is replaced.
+    method="md5": the matched secret is replaced by its md5 — per-match
+    hashing has no built-in JVM form, so it is documented as the one
+    Arrow-path transform (see desensitize_md5_arrow).
+    """
+    if method != "const":
+        raise ValueError("use desensitize_md5_arrow for method='md5'")
+    pat = f"({regex_begin})(?:{regex_content})" if regex_begin else f"(?:{regex_content})"
+    repl = ("$1" if regex_begin else "") + replace_string
+    return df.withColumn(source_key, F.regexp_replace(F.col(source_key), pat, repl))
+
+
+def desensitize_md5_arrow(
+    df: DataFrame, source_key: str, regex_begin: str, regex_content: str
+) -> DataFrame:
+    """md5-mode desensitize: per-match hashing needs a callable replacement,
+    so this is a vectorized pandas UDF (Arrow batches — off the default
+    hot path, matching SURVEY.md §7.2's UDF policy)."""
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    pat = re.compile(f"({regex_begin})({regex_content})")
+
+    @pandas_udf("string")
+    def _mask(s):  # type: ignore[no-untyped-def]
+        def one(v: str | None) -> str | None:
+            if v is None:
+                return None
+            return pat.sub(
+                lambda m: m.group(1) + hashlib.md5(m.group(2).encode()).hexdigest(), v
+            )
+
+        return s.map(one)
+
+    return df.withColumn(source_key, _mask(F.col(source_key)))
+
+
+def string_replace(
+    df: DataFrame,
+    source_key: str,
+    *,
+    method: str = "regex",
+    match: str = "",
+    replace: str = "",
+    dest_key: str | None = None,
+) -> DataFrame:
+    """processor_string_replace
+    (plugins/processor/stringreplace/processor_string_replace.go:30-86):
+    regex / plain / unquote replacement, optionally into `DestKey`."""
+    dest = dest_key or source_key
+    if method == "regex":
+        out = F.regexp_replace(F.col(source_key), match, replace)
+    elif method == "const":
+        out = F.replace(F.col(source_key), F.lit(match), F.lit(replace))
+    elif method == "unquote":
+        # strip one layer of surrounding quotes and unescape \" \\ \n \t
+        stripped = F.regexp_replace(F.col(source_key), r'^"(.*)"$', "$1")
+        out = F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.regexp_replace(stripped, r'\\"', '"'), r"\\n", "\n"),
+                r"\\t",
+                "\t",
+            ),
+            r"\\\\",
+            "\\\\",
+        )
+    else:
+        raise ValueError(f"unknown method {method}")
+    return df.withColumn(dest, out)
+
+
+def pack_json(
+    df: DataFrame, source_keys: list[str], dest_key: str, *, keep: bool = True
+) -> DataFrame:
+    """processor_packjson (plugins/processor/packjson/processor_packjson.go:57):
+    pack listed columns into one JSON object column."""
+    out = df.withColumn(dest_key, F.to_json(F.struct(*[F.col(k) for k in source_keys])))
+    if not keep:
+        out = out.drop(*source_keys)
+    return out
+
+
+def log_to_metric(
+    df: DataFrame,
+    metric_name: str,
+    value_key: str,
+    label_keys: list[str],
+    *,
+    time_col: str = "ts",
+) -> DataFrame:
+    """processor_log_to_sls_metric
+    (plugins/processor/logtoslsmetric/processor_log_to_sls_metric.go:171):
+    reshape log rows into metric shape — `__labels__` is the sorted
+    label_key#$#value list joined by '|', `__value__` numeric,
+    `__time_nano__` from the event time. Rows with non-numeric values or
+    invalid label charset are dropped (the reference's validation)."""
+    pairs = sorted(label_keys)
+    labels = F.concat_ws(
+        "|", *[F.concat_ws("#$#", F.lit(k), F.coalesce(F.col(k), F.lit(""))) for k in pairs]
+    )
+    value = F.try_cast(F.col(value_key), "double")
+    valid = value.isNotNull()
+    for k in pairs:
+        valid = valid & (~F.coalesce(F.col(k), F.lit("")).rlike(r"[|#$]"))
+    return (
+        df.filter(valid)
+        .select(
+            F.lit(metric_name).alias("__name__"),
+            labels.alias("__labels__"),
+            value.alias("__value__"),
+            (F.unix_micros(F.col(time_col)) * 1000).alias("__time_nano__"),
+        )
+    )
