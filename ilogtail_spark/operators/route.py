@@ -49,9 +49,8 @@ def route_exclusive(
     """
     expr: Column | None = None
     for r in rules:
-        cond = F.col(r.source_key).isNotNull() & F.col(r.source_key).rlike(
-            f"^(?:{r.regex})$"
-        )
+        src = F.col(r.source_key).cast("string")
+        cond = src.isNotNull() & src.rlike(f"^(?:{r.regex})$")
         expr = F.when(cond, F.lit(r.sink)) if expr is None else expr.when(cond, F.lit(r.sink))
     if expr is None:
         expr = F.lit(default_sink)
