@@ -321,8 +321,12 @@ def split_log_string(
     the intra-event line index so downstream ordering stays deterministic
     (the reference preserves arrival order implicitly).
     """
-    pos, col = F.posexplode(F.split(F.col(source_key), re.escape(sep)))
-    return df.select("*", pos.alias(index_col), col.alias(line_col))
+    return df.select(
+        "*",
+        F.posexplode(F.split(F.col(source_key), re.escape(sep))).alias(
+            index_col, line_col
+        ),
+    )
 
 
 def anchor_extract(

@@ -13,8 +13,15 @@ from pyspark.sql import functions as F
 
 def base64_encode(df: DataFrame, source_key: str, new_key: str) -> DataFrame:
     """processor_base64_encoding
-    (plugins/processor/base64/encoding/processor_base64_encoding.go:43)."""
-    return df.withColumn(new_key, F.base64(F.col(source_key).cast("binary")))
+    (plugins/processor/base64/encoding/processor_base64_encoding.go:43).
+    Spark's base64 emits MIME line breaks every 76 chars; the reference
+    (Go encoding/base64.StdEncoding) does not — strip them."""
+    return df.withColumn(
+        new_key,
+        F.replace(
+            F.base64(F.col(source_key).cast("binary")), F.lit("\r\n"), F.lit("")
+        ),
+    )
 
 
 def base64_decode(df: DataFrame, source_key: str, new_key: str) -> DataFrame:
@@ -146,7 +153,7 @@ def log_to_metric(
     labels = F.concat_ws(
         "|", *[F.concat_ws("#$#", F.lit(k), F.coalesce(F.col(k), F.lit(""))) for k in pairs]
     )
-    value = F.try_cast(F.col(value_key), "double")
+    value = F.col(value_key).try_cast("double")
     valid = value.isNotNull()
     for k in pairs:
         valid = valid & (~F.coalesce(F.col(k), F.lit("")).rlike(r"[|#$]"))
@@ -156,6 +163,8 @@ def log_to_metric(
             F.lit(metric_name).alias("__name__"),
             labels.alias("__labels__"),
             value.alias("__value__"),
-            (F.unix_micros(F.col(time_col)) * 1000).alias("__time_nano__"),
+            (F.unix_micros(F.col(time_col).cast("timestamp")) * 1000).alias(
+                "__time_nano__"
+            ),
         )
     )

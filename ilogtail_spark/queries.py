@@ -1,0 +1,948 @@
+"""Query registry: one (Spark query, DuckDB oracle SQL) pair per operator.
+
+This is the correctness surface for the whole engine: the driver runs
+each Spark query and its oracle side-by-side at sf0.01 and compares
+row counts + schema + order-insensitive value hashes. Column names are
+aliased identically on both sides (the comparator sorts columns by name).
+
+The transcripts input is derived deterministically from `events` by ONE
+shared SQL body (sources/transcripts.py), so both engines see identical
+rows. Queries whose internals are not SQL-expressible (xxhash sharding,
+LSH internals, Arrow UDF stages) carry no oracle — the driver records the
+weaker rows-only check; they are listed in NO_ORACLE with the reason.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ilogtail_spark.functions.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from ilogtail_spark.functions.multimodal import extract_features, synthetic_media
+from ilogtail_spark.functions.similarity import brute_force_topk, lsh_bucket_topk
+from ilogtail_spark.functions.textstats import (
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from ilogtail_spark.grok import grok_parse
+from ilogtail_spark.operators.aggregate import (
+    add_lineage,
+    content_value_group,
+    shard_hash,
+    sink_counts,
+    stable_order,
+)
+from ilogtail_spark.operators.enrich import dict_map
+from ilogtail_spark.operators.filters import filter_expr, filter_regex, rate_limit
+from ilogtail_spark.operators.multiline import merge_multiline
+from ilogtail_spark.operators.parse import (
+    anchor_extract,
+    csv_parse,
+    json_parse,
+    kv_parse,
+    regex_parse,
+    split_log_string,
+)
+from ilogtail_spark.operators.route import CopyCondition, RouteRule, route_copy, route_exclusive
+from ilogtail_spark.operators.timeparse import strptime_op
+from ilogtail_spark.operators.transform import (
+    base64_encode,
+    desensitize,
+    log_to_metric,
+    md5_field,
+    pack_json,
+    string_replace,
+)
+from ilogtail_spark.plans.pipeline import NGINX_KEYS, NGINX_PATTERN, ROLE_DIM, TOOL_DIM
+from ilogtail_spark.sources.transcripts import transcripts_df, transcripts_oracle_cte
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_CTE = transcripts_oracle_cte()
+
+# shared SQL fragments for oracles
+_NGINX_RE = (
+    r'(\S+) \S+ \S+ \[([^\]]+)\] "(\w+) (\S+) HTTP/([\d.]+)" (\d+) (\d+) "([^"]*)" "([^"]*)"'
+)
+_APP_RE = (
+    r"^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{3}) (\d+) \[Thread-(\d+)\] "
+    r"(INFO|ERROR) request handled code=(\d+)$"
+)
+
+
+def _t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transcripts_df(spark, sf_dir)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# =====================================================================
+# §2.2 parse family
+# =====================================================================
+
+def q_regex_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_regex: 9-key nginx parse, parsed rows only."""
+    t = _t(spark, sf_dir)
+    p = regex_parse(
+        t, NGINX_PATTERN, NGINX_KEYS, "text",
+        types={"response_code": "int", "bytes": "long"},
+    )
+    return p.filter(F.col("ip").isNotNull()).select(
+        "conv_id", "turn_idx", "ip", "method", "request",
+        "http_version", "response_code", "bytes", "user_agent",
+    )
+
+
+O_REGEX_PARSE = f"""{_CTE}
+SELECT conv_id, turn_idx,
+  regexp_extract(text, '{_NGINX_RE}', 1) AS ip,
+  regexp_extract(text, '{_NGINX_RE}', 3) AS method,
+  regexp_extract(text, '{_NGINX_RE}', 4) AS request,
+  regexp_extract(text, '{_NGINX_RE}', 5) AS http_version,
+  cast(regexp_extract(text, '{_NGINX_RE}', 6) AS int) AS response_code,
+  cast(regexp_extract(text, '{_NGINX_RE}', 7) AS bigint) AS bytes,
+  regexp_extract(text, '{_NGINX_RE}', 9) AS user_agent
+FROM transcripts WHERE regexp_matches(text, '{_NGINX_RE}')
+"""
+
+
+def q_grok_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_grok: compiled grok over the app-log format."""
+    t = _t(spark, sf_dir)
+    g = grok_parse(
+        t,
+        r"^%{TIMESTAMP_ISO8601:log_time} %{INT:pid:long} \[Thread-%{INT:thread:int}\] "
+        r"%{LOGLEVEL:level} request handled code=%{INT:code:int}$",
+        "text",
+    )
+    return g.filter(F.col("level").isNotNull()).select(
+        "conv_id", "turn_idx", "log_time", "pid", "thread", "level", "code"
+    )
+
+
+O_GROK_PARSE = f"""{_CTE}
+SELECT conv_id, turn_idx,
+  regexp_extract(text, '{_APP_RE}', 1) AS log_time,
+  cast(regexp_extract(text, '{_APP_RE}', 2) AS bigint) AS pid,
+  cast(regexp_extract(text, '{_APP_RE}', 3) AS int) AS thread,
+  regexp_extract(text, '{_APP_RE}', 4) AS level,
+  cast(regexp_extract(text, '{_APP_RE}', 5) AS int) AS code
+FROM transcripts WHERE regexp_matches(text, '{_APP_RE}')
+"""
+
+
+def q_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_json: schema'd expand with connector naming."""
+    t = _t(spark, sf_dir).filter(F.col("text").startswith("{"))
+    j = json_parse(
+        t, "text",
+        schema="action string, body struct<a:string,b:string>, latency_ms int",
+    )
+    return j.select("conv_id", "turn_idx", "action", "body_a", "body_b", "latency_ms")
+
+
+O_JSON_PARSE = f"""{_CTE}
+SELECT conv_id, turn_idx,
+  json_extract_string(text, '$.action') AS action,
+  json_extract_string(text, '$.body.a') AS body_a,
+  json_extract_string(text, '$.body.b') AS body_b,
+  cast(json_extract_string(text, '$.latency_ms') AS int) AS latency_ms
+FROM transcripts WHERE text LIKE '{{%'
+"""
+
+
+def q_csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_csv: positional split + ExpandOthers overflow keys."""
+    t = _t(spark, sf_dir).filter(F.col("text").rlike(r"^u\d+,"))
+    c = csv_parse(t, ["name", "num", "state"], "text",
+                  expand_others=True, max_expand=2)
+    return c.select("conv_id", "turn_idx", "name", "num", "state",
+                    "expand_1", "expand_2")
+
+
+O_CSV_PARSE = f"""{_CTE}
+SELECT conv_id, turn_idx,
+  string_split(text, ',')[1] AS name,
+  string_split(text, ',')[2] AS num,
+  string_split(text, ',')[3] AS state,
+  string_split(text, ',')[4] AS expand_1,
+  string_split(text, ',')[5] AS expand_2
+FROM transcripts WHERE regexp_matches(text, '^u[0-9]+,')
+"""
+
+
+def q_kv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_split_key_value / SPL parse-kv via str_to_map."""
+    t = _t(spark, sf_dir).filter(F.col("text").startswith("class="))
+    k = kv_parse(t, "text", delimiter="&", separator="=",
+                 keys=["class", "userid", "method", "message"])
+    return k.select("conv_id", "turn_idx", "class", "userid", "method", "message")
+
+
+O_KV_PARSE = f"""{_CTE}
+SELECT conv_id, turn_idx,
+  regexp_extract(text, 'class=([^&]*)', 1) AS class,
+  regexp_extract(text, 'userid=([^&]*)', 1) AS userid,
+  regexp_extract(text, 'method=([^&]*)', 1) AS method,
+  regexp_extract(text, 'message=([^&]*)', 1) AS message
+FROM transcripts WHERE text LIKE 'class=%'
+"""
+
+
+def q_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_anchor: substring between start/stop anchors."""
+    t = _t(spark, sf_dir).filter(F.col("text").startswith("class="))
+    a = anchor_extract(t, [("userid=", "&method", "uid"),
+                           ("method=", "&message", "meth")], "text")
+    return a.select("conv_id", "turn_idx", "uid", "meth")
+
+
+O_ANCHOR = f"""{_CTE}
+SELECT conv_id, turn_idx,
+  regexp_extract(text, 'userid=(.*?)&method', 1) AS uid,
+  regexp_extract(text, 'method=(.*?)&message', 1) AS meth
+FROM transcripts WHERE text LIKE 'class=%'
+"""
+
+
+def q_split_log_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_split_log_string: row-generating split (posexplode)."""
+    t = _t(spark, sf_dir).filter(F.col("text").rlike(r"^u\d+,"))
+    s = split_log_string(t, "text", sep=",")
+    return s.select("conv_id", "turn_idx", "line_no", "line")
+
+
+O_SPLIT_LOG_STRING = f"""{_CTE}
+SELECT conv_id, turn_idx,
+  generate_subscripts(string_split(text, ','), 1) - 1 AS line_no,
+  unnest(string_split(text, ',')) AS line
+FROM transcripts WHERE regexp_matches(text, '^u[0-9]+,')
+"""
+
+
+def q_multiline_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_split_log_regex: begin-regex sessionization + ordered merge."""
+    t = _t(spark, sf_dir)
+    m = merge_multiline(
+        t, line_col="text", partition_col="conv_id", order_col="turn_idx",
+        begin_regex=r"^\d{4}-", merged_col="merged",
+    )
+    return m.select(
+        "conv_id", F.col("record_id").cast("long").alias("record_id"),
+        "first_line_no", "merged",
+    )
+
+
+O_MULTILINE_MERGE = f"""{_CTE},
+marked AS (
+  SELECT conv_id, turn_idx, text,
+    sum(CASE WHEN regexp_matches(text, '^\\d{{4}}-') THEN 1 ELSE 0 END)
+      OVER (PARTITION BY conv_id ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS record_id
+  FROM transcripts)
+SELECT conv_id, cast(record_id AS bigint) AS record_id,
+  min(turn_idx) AS first_line_no,
+  string_agg(text, chr(10) ORDER BY turn_idx) AS merged
+FROM marked GROUP BY conv_id, record_id
+"""
+
+
+# =====================================================================
+# §2.3 time parse
+# =====================================================================
+
+def q_strptime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_strptime: parse the app-log time into event time."""
+    t = _t(spark, sf_dir)
+    p = regex_parse(t, _APP_RE, ["ts_str", "pid", "thread", "level", "code"],
+                    "text", keep_source=True, dotall=False)
+    p = p.filter(F.col("ts_str").isNotNull())
+    p = strptime_op(p, "ts_str", "%Y-%m-%d %H:%M:%S.%L", dest="event_ts",
+                    precise_timestamp_key="event_us")
+    return p.select("conv_id", "turn_idx", "event_ts", "event_us")
+
+
+O_STRPTIME = f"""{_CTE}
+SELECT conv_id, turn_idx,
+  strptime(regexp_extract(text, '{_APP_RE}', 1), '%Y-%m-%d %H:%M:%S.%g') AS event_ts,
+  epoch_us(strptime(regexp_extract(text, '{_APP_RE}', 1), '%Y-%m-%d %H:%M:%S.%g')) AS event_us
+FROM transcripts WHERE regexp_matches(text, '{_APP_RE}')
+"""
+
+
+# =====================================================================
+# §2.4 filters
+# =====================================================================
+
+def q_filter_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_filter_regex: include/exclude full-match key regexes."""
+    t = _t(spark, sf_dir)
+    f = filter_regex(t, include={"role": "user|assistant"},
+                     exclude={"text": "CORRUPT.*"})
+    return f.select("conv_id", "turn_idx", "role")
+
+
+O_FILTER_REGEX = f"""{_CTE}
+SELECT conv_id, turn_idx, role FROM transcripts
+WHERE regexp_matches(role, '^(?:user|assistant)$')
+  AND NOT regexp_matches(text, '^(?:CORRUPT.*)$')
+"""
+
+
+def q_filter_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ProcessorFilterNative expression tree (And/Or/Not)."""
+    t = _t(spark, sf_dir)
+    f = filter_expr(t, {"and": [
+        {"or": [{"key": "role", "regex": "tool"}, {"key": "role", "regex": "system"}]},
+        {"not": {"key": "text", "regex": "CORRUPT.*"}},
+    ]})
+    return f.groupBy("role").agg(F.count(F.lit(1)).alias("n"))
+
+
+O_FILTER_EXPR = f"""{_CTE}
+SELECT role, count(*) AS n FROM transcripts
+WHERE (regexp_matches(role, '^(?:tool)$') OR regexp_matches(role, '^(?:system)$'))
+  AND NOT regexp_matches(text, '^(?:CORRUPT.*)$')
+GROUP BY role
+"""
+
+
+def q_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_rate_limit: ≤2 rows per (role, second), deterministic rank."""
+    t = _t(spark, sf_dir)
+    r = rate_limit(t, ["role"], 2, ts_col="ts", window="second",
+                   tiebreak=["conv_id", "turn_idx"])
+    return r.select("conv_id", "turn_idx", "role")
+
+
+O_RATE_LIMIT = f"""{_CTE},
+ranked AS (
+  SELECT conv_id, turn_idx, role,
+    row_number() OVER (PARTITION BY role, date_trunc('second', ts)
+                       ORDER BY ts, conv_id, turn_idx) AS rn
+  FROM transcripts)
+SELECT conv_id, turn_idx, role FROM ranked WHERE rn <= 2
+"""
+
+
+# =====================================================================
+# §2.5 enrich
+# =====================================================================
+
+def q_dict_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_dict_map (literal-map compile): role → role_group."""
+    t = _t(spark, sf_dir)
+    d = dict_map(t, ROLE_DIM, "role", "role_group",
+                 handle_missing=True, missing="Unknown")
+    return d.groupBy("role_group").agg(F.count(F.lit(1)).alias("n"))
+
+
+O_DICT_MAP = f"""{_CTE}
+SELECT CASE role WHEN 'user' THEN 'human' WHEN 'assistant' THEN 'model'
+  WHEN 'system' THEN 'control' WHEN 'tool' THEN 'machine'
+  ELSE 'Unknown' END AS role_group, count(*) AS n
+FROM transcripts GROUP BY 1
+"""
+
+
+def q_dict_map_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_dict_map (broadcast-join path): tool → tool_family."""
+    t = _t(spark, sf_dir)
+    d = dict_map(t, TOOL_DIM, "tool", "tool_family",
+                 handle_missing=True, missing="other", method="join")
+    return d.groupBy("tool_family").agg(F.count(F.lit(1)).alias("n"))
+
+
+O_DICT_MAP_JOIN = f"""{_CTE}
+SELECT CASE tool WHEN 'search' THEN 'retrieval' WHEN 'browser' THEN 'retrieval'
+  WHEN 'python' THEN 'code' WHEN 'sql' THEN 'code' WHEN 'shell' THEN 'code'
+  WHEN 'none' THEN 'other' ELSE 'other' END AS tool_family, count(*) AS n
+FROM transcripts GROUP BY 1
+"""
+
+
+# =====================================================================
+# §2.8 / §2.6 route + aggregate
+# =====================================================================
+
+_ROUTE_RULES = [
+    RouteRule("role", "tool", "sink_tool"),
+    RouteRule("response_code", r"5\d\d", "sink_errors"),
+    RouteRule("role", "assistant|system", "sink_model"),
+]
+
+_O_ROUTE_EXPR = f"""CASE
+  WHEN regexp_matches(role, '^(?:tool)$') THEN 'sink_tool'
+  WHEN regexp_matches(text, '{_NGINX_RE}')
+       AND regexp_matches(regexp_extract(text, '{_NGINX_RE}', 6), '^(?:5\\d\\d)$')
+    THEN 'sink_errors'
+  WHEN regexp_matches(role, '^(?:assistant|system)$') THEN 'sink_model'
+  ELSE 'sink_default' END"""
+
+
+def q_route_exclusive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregator_logstore_router: first-match anchored-regex routing →
+    per-sink counts (verify.LogCount)."""
+    t = _t(spark, sf_dir)
+    p = regex_parse(t, NGINX_PATTERN, NGINX_KEYS, "text", keep_source=True,
+                    types={"response_code": "int", "bytes": "long"})
+    r = route_exclusive(p, _ROUTE_RULES)
+    return sink_counts(r)
+
+
+O_ROUTE_EXCLUSIVE = f"""{_CTE}
+SELECT {_O_ROUTE_EXPR} AS route, count(*) AS log_count
+FROM transcripts GROUP BY 1
+"""
+
+
+def q_route_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C++ Router copy-mode: multi-match fan-out duplicates rows."""
+    t = _t(spark, sf_dir)
+    r = route_copy(t, [
+        CopyCondition(sink="sink_search", key="tool", value="search"),
+        CopyCondition(sink="sink_sys", key="role", value="system"),
+        CopyCondition(sink="sink_all"),
+    ])
+    return sink_counts(r)
+
+
+O_ROUTE_COPY = f"""{_CTE},
+fanout AS (
+  SELECT 'sink_search' AS route FROM transcripts WHERE tool = 'search'
+  UNION ALL SELECT 'sink_sys' FROM transcripts WHERE role = 'system'
+  UNION ALL SELECT 'sink_all' FROM transcripts)
+SELECT route, count(*) AS log_count FROM fanout GROUP BY route
+"""
+
+
+def q_content_value_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregator_content_value_group: group by values, composite key tag."""
+    t = _t(spark, sf_dir)
+    g = content_value_group(t, ["role", "tool"])
+    return g.select("role", "tool", "log_count", "group_key")
+
+
+O_CONTENT_VALUE_GROUP = f"""{_CTE}
+SELECT role, tool, count(*) AS log_count,
+  concat_ws('_', coalesce(role, ''), coalesce(tool, '')) AS group_key
+FROM transcripts GROUP BY role, tool
+"""
+
+
+def q_stable_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregator_context: per-conversation dense sequence (LogOrder)."""
+    t = _t(spark, sf_dir)
+    return stable_order(t).select("conv_id", "turn_idx", "seq")
+
+
+O_STABLE_ORDER = f"""{_CTE}
+SELECT conv_id, turn_idx,
+  row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS seq
+FROM transcripts
+"""
+
+
+def q_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """__pack_id__ lineage: deterministic prefix+identity stamp; asserts
+    per-route distinct lineage == row count."""
+    t = _t(spark, sf_dir)
+    r = route_exclusive(t, [RouteRule("role", "tool", "sink_tool")])
+    lg = add_lineage(r, "flagship")
+    return lg.groupBy("route").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("lineage").alias("n_lineage"),
+    )
+
+
+O_LINEAGE = f"""{_CTE}
+SELECT CASE WHEN regexp_matches(role, '^(?:tool)$') THEN 'sink_tool'
+            ELSE 'sink_default' END AS route,
+  count(*) AS n,
+  count(DISTINCT concat(upper(substring(md5('flagship'), 1, 16)), '-',
+                        conv_id, '-', cast(turn_idx AS string))) AS n_lineage
+FROM transcripts GROUP BY 1
+"""
+
+
+def q_shard_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregator_shardhash (xxhash64 buckets — production path; no SQL
+    oracle: xxhash64 is Spark-internal). Rows-only check."""
+    t = _t(spark, sf_dir)
+    s = shard_hash(t, ["conv_id"], 8)
+    return s.groupBy("shard_bucket").agg(F.count(F.lit(1)).alias("log_count"))
+
+
+def q_shard_hash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shardhash semantics with a cross-engine-verifiable hash (md5 first
+    hex char mod 8) — the oracle-checkable twin of q_shard_hash."""
+    t = _t(spark, sf_dir)
+    bucket = (F.ascii(F.substring(F.md5(F.col("conv_id")), 1, 1)) % 8).alias("shard_bucket")
+    return t.groupBy(bucket).agg(F.count(F.lit(1)).alias("log_count"))
+
+
+O_SHARD_HASH_MD5 = f"""{_CTE}
+SELECT ascii(substring(md5(conv_id), 1, 1)) % 8 AS shard_bucket,
+       count(*) AS log_count
+FROM transcripts GROUP BY 1
+"""
+
+
+# =====================================================================
+# transforms
+# =====================================================================
+
+def q_desensitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_desensitize const-mode: mask the secret after a begin
+    anchor."""
+    t = _t(spark, sf_dir).filter(F.col("text").startswith("class="))
+    d = desensitize(t, "text", regex_begin="userid=", regex_content=r"\d+",
+                    replace_string="********")
+    return d.select("conv_id", "turn_idx", F.col("text").alias("masked"))
+
+
+O_DESENSITIZE = f"""{_CTE}
+SELECT conv_id, turn_idx,
+  regexp_replace(text, '(userid=)(?:\\d+)', '\\1********', 'g') AS masked
+FROM transcripts WHERE text LIKE 'class=%'
+"""
+
+
+def q_string_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_string_replace regex-mode into DestKey."""
+    t = _t(spark, sf_dir)
+    s = string_replace(t, "text", method="regex", match=r"\d+", replace="#",
+                       dest_key="redacted")
+    return s.select("conv_id", "turn_idx", "redacted")
+
+
+O_STRING_REPLACE = f"""{_CTE}
+SELECT conv_id, turn_idx, regexp_replace(text, '\\d+', '#', 'g') AS redacted
+FROM transcripts
+"""
+
+
+def q_base64_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_base64_encoding + processor_md5."""
+    t = _t(spark, sf_dir)
+    e = md5_field(base64_encode(t, "text", "text_b64"), "text", "text_md5")
+    return e.select("conv_id", "turn_idx", "text_b64", "text_md5")
+
+
+O_BASE64_MD5 = f"""{_CTE}
+SELECT conv_id, turn_idx,
+  base64(cast(text AS blob)) AS text_b64, md5(text) AS text_md5
+FROM transcripts
+"""
+
+
+def q_pack_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_packjson: pack columns into one JSON object."""
+    t = _t(spark, sf_dir)
+    p = pack_json(t, ["conv_id", "turn_idx", "role"], "packed")
+    return p.select("conv_id", "turn_idx", "packed")
+
+
+O_PACK_JSON = f"""{_CTE}
+SELECT conv_id, turn_idx,
+  json_object('conv_id', conv_id, 'turn_idx', turn_idx, 'role', role) AS packed
+FROM transcripts
+"""
+
+
+def q_log_to_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_log_to_sls_metric: reshape to metric rows."""
+    t = _t(spark, sf_dir)
+    p = regex_parse(t, _APP_RE, ["ts_str", "pid", "thread", "level", "code"],
+                    "text", keep_source=True, dotall=False)
+    p = p.filter(F.col("level").isNotNull())
+    m = log_to_metric(p, "app_code", "code", ["role", "level"], time_col="ts")
+    return m
+
+
+O_LOG_TO_METRIC = f"""{_CTE}
+SELECT 'app_code' AS __name__,
+  concat_ws('|', concat_ws('#$#', 'level', regexp_extract(text, '{_APP_RE}', 4)),
+                 concat_ws('#$#', 'role', role)) AS __labels__,
+  cast(regexp_extract(text, '{_APP_RE}', 5) AS double) AS __value__,
+  epoch_us(ts) * 1000 AS __time_nano__
+FROM transcripts WHERE regexp_matches(text, '{_APP_RE}')
+"""
+
+
+# =====================================================================
+# flagship e2e
+# =====================================================================
+
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: parse → enrich → route → aggregate (per-sink × role_group
+    counts — the reference's per-sink delivered-count check)."""
+    t = _t(spark, sf_dir)
+    p = regex_parse(t, NGINX_PATTERN, NGINX_KEYS, "text", keep_source=True,
+                    types={"response_code": "int", "bytes": "long"})
+    d = dict_map(p, ROLE_DIM, "role", "role_group",
+                 handle_missing=True, missing="Unknown")
+    r = route_exclusive(d, _ROUTE_RULES)
+    return (
+        r.groupBy("route", "role_group")
+        .agg(F.count(F.lit(1)).alias("log_count"),
+             F.sum(F.coalesce(F.col("bytes"), F.lit(0))).alias("sum_bytes"))
+    )
+
+
+O_PIPELINE_E2E = f"""{_CTE}
+SELECT {_O_ROUTE_EXPR} AS route,
+  CASE role WHEN 'user' THEN 'human' WHEN 'assistant' THEN 'model'
+    WHEN 'system' THEN 'control' WHEN 'tool' THEN 'machine'
+    ELSE 'Unknown' END AS role_group,
+  count(*) AS log_count,
+  sum(CASE WHEN regexp_matches(text, '{_NGINX_RE}')
+      THEN cast(regexp_extract(text, '{_NGINX_RE}', 7) AS bigint) ELSE 0 END) AS sum_bytes
+FROM transcripts GROUP BY 1, 2
+"""
+
+
+# =====================================================================
+# events/lineitem corpus
+# =====================================================================
+
+def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPL extend json_extract + groupBy — over the driver `events` table."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"),
+             F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+O_EVENTS_PROPS = """
+SELECT event_type, count(*) AS n,
+  sum(cast(json_extract_string(props, '$.k') AS int)) AS sum_k,
+  round(avg(value), 4) AS avg_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational-aggregate exercise (TPC-H Q1 shape) — partial+final hash
+    agg; the shuffle carries 4 rows."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+O_LINEITEM_PRICING = """
+SELECT l_returnflag, l_linestatus,
+  sum(l_quantity) AS sum_qty,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(avg(l_discount), 6) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= timestamp '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# =====================================================================
+# training-data ops: documents / embeddings
+# =====================================================================
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = exact_dedup(_docs(spark, sf_dir))
+    return d.select("text_md5", "doc_id", "dup_count")
+
+
+O_EXACT_DEDUP = """
+SELECT md5(text) AS text_md5, min(doc_id) AS doc_id, count(*) AS dup_count
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = bpe_ish_token_count(token_count(_docs(spark, sf_dir)))
+    return d.select("doc_id", "n_tokens", "n_bpe_tokens")
+
+
+O_TOKEN_COUNT = r"""
+SELECT doc_id,
+  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]{1,8}|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = quality_score(_docs(spark, sf_dir))
+    return d.select("doc_id", "n_tokens", "mean_token_len", "punct_ratio",
+                    "stopword_ratio", "upper_ratio", "quality_score")
+
+
+_EN_STOP_SQL = "['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this']"
+
+O_QUALITY_SCORE = rf"""
+WITH feat AS (
+  SELECT doc_id,
+    string_split_regex(trim(text), '\s+') AS toks,
+    length(text) AS n_char,
+    len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+    len(regexp_extract_all(text, '[A-Z]')) AS n_upper
+  FROM documents),
+feat2 AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+    round((n_char - len(toks) + 1) / len(toks), 4) AS mean_token_len,
+    round(n_punct / greatest(n_char, 1), 6) AS punct_ratio,
+    round(len(list_filter(toks, x -> list_contains({_EN_STOP_SQL}, lower(x))))
+          / greatest(len(toks), 1), 6) AS stopword_ratio,
+    round(n_upper / greatest(n_char, 1), 6) AS upper_ratio
+  FROM feat)
+SELECT doc_id, n_tokens, mean_token_len, punct_ratio, stopword_ratio, upper_ratio,
+  round(cast((CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+      + (CASE WHEN stopword_ratio >= 0.05 THEN 0.3 ELSE 0.0 END)
+      + (CASE WHEN punct_ratio <= 0.2 THEN 0.2 ELSE 0.0 END)
+      + (CASE WHEN upper_ratio <= 0.3 THEN 0.1 ELSE 0.0 END) AS double), 2) AS quality_score
+FROM feat2
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = lang_id(_docs(spark, sf_dir))
+    return d.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n"))
+
+
+_DE_STOP_SQL = "['der','die','das','und','oder','von','zu','im','ist','es','dass','für','auf','mit','als','war','bei','sein','ein','eine']"
+
+O_LANG_ID = rf"""
+WITH hits AS (
+  SELECT doc_id,
+    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        x -> list_contains({_EN_STOP_SQL}, x))) AS en_hits,
+    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        x -> list_contains({_DE_STOP_SQL}, x))) AS de_hits
+  FROM documents)
+SELECT CASE WHEN en_hits > de_hits AND en_hits > 0 THEN 'en'
+            WHEN de_hits > en_hits AND de_hits > 0 THEN 'de'
+            ELSE 'und' END AS lang_pred, count(*) AS n
+FROM hits GROUP BY 1
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint", "n_tokens")
+
+
+O_FINGERPRINT = r"""
+WITH tok AS (
+  SELECT doc_id,
+    unnest(string_split_regex(trim(text), '\s+')) AS tok,
+    generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos1
+  FROM documents)
+SELECT doc_id,
+  sum((pos1 * (length(tok) * 131 + ascii(tok))) % 1000000007) % 1000000007 AS fingerprint,
+  count(*) AS n_tokens
+FROM tok GROUP BY doc_id
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.3)
+    return p.select("id_a", "id_b", "jaccard")
+
+
+O_NGRAM_JACCARD = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+    CASE WHEN len(t) >= 3
+      THEN array_to_string(t[i:i+2], ' ')
+      ELSE array_to_string(t, ' ') END AS s
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i) AS g),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b,
+  round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter / (sa.sz + sb.sz - inter) >= 0.3
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs — scale path; no SQL oracle (banded
+    signature join); rows-only check. The exact-jaccard twin above is the
+    correctness anchor."""
+    p = minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.3)
+    return p.select("id_a", "id_b", "est_jaccard")
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates — rows-only check."""
+    p = simhash_pairs(_docs(spark, sf_dir), max_hamming=6)
+    return p.select("id_a", "id_b", "hamming")
+
+
+def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for query vectors vec_id < 3 (broadcast +
+    zip_with dot product, JVM-side)."""
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") < 3)
+    return brute_force_topk(emb, qs, k=5)
+
+
+O_ANN_BRUTE_FORCE = """
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.q_id, e.vec_id AS n_id,
+    round(
+      list_dot_product(list_transform(q.q_vec, x -> x::DOUBLE),
+                       list_transform(e.embedding, x -> x::DOUBLE))
+      / (sqrt(list_dot_product(list_transform(q.q_vec, x -> x::DOUBLE),
+                               list_transform(q.q_vec, x -> x::DOUBLE)))
+       * sqrt(list_dot_product(list_transform(e.embedding, x -> x::DOUBLE),
+                               list_transform(e.embedding, x -> x::DOUBLE)))), 6) AS cos_sim
+  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+ranked AS (
+  SELECT q_id, n_id, cos_sim,
+    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS rank
+  FROM scored)
+SELECT q_id, n_id, cos_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN — scale path; rows-only check."""
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") < 3)
+    return lsh_bucket_topk(emb, qs, k=5)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: Arrow-batched mapInPandas feature extraction
+    over binary payloads (deterministic fake kernel) — rows-only check."""
+    m = synthetic_media(spark, 64)
+    f = extract_features(m)
+    return f.select("media_id", "kind", "n_bytes")
+
+
+# =====================================================================
+# registry
+# =====================================================================
+
+QUERIES: dict[str, QueryFn] = {
+    "regex_parse": q_regex_parse,
+    "grok_parse": q_grok_parse,
+    "json_parse": q_json_parse,
+    "csv_parse": q_csv_parse,
+    "kv_parse": q_kv_parse,
+    "anchor": q_anchor,
+    "split_log_string": q_split_log_string,
+    "multiline_merge": q_multiline_merge,
+    "strptime": q_strptime,
+    "filter_regex": q_filter_regex,
+    "filter_expr": q_filter_expr,
+    "rate_limit": q_rate_limit,
+    "dict_map": q_dict_map,
+    "dict_map_join": q_dict_map_join,
+    "route_exclusive": q_route_exclusive,
+    "route_copy": q_route_copy,
+    "content_value_group": q_content_value_group,
+    "stable_order": q_stable_order,
+    "lineage": q_lineage,
+    "shard_hash": q_shard_hash,
+    "shard_hash_md5": q_shard_hash_md5,
+    "desensitize": q_desensitize,
+    "string_replace": q_string_replace,
+    "base64_md5": q_base64_md5,
+    "pack_json": q_pack_json,
+    "log_to_metric": q_log_to_metric,
+    "pipeline_e2e": q_pipeline_e2e,
+    "events_props": q_events_props,
+    "lineitem_pricing": q_lineitem_pricing,
+    "exact_dedup": q_exact_dedup,
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,
+    "ann_brute_force": q_ann_brute_force,
+    "ann_lsh": q_ann_lsh,
+    "media_features": q_media_features,
+}
+
+ORACLES: dict[str, str] = {
+    "regex_parse": O_REGEX_PARSE,
+    "grok_parse": O_GROK_PARSE,
+    "json_parse": O_JSON_PARSE,
+    "csv_parse": O_CSV_PARSE,
+    "kv_parse": O_KV_PARSE,
+    "anchor": O_ANCHOR,
+    "split_log_string": O_SPLIT_LOG_STRING,
+    "multiline_merge": O_MULTILINE_MERGE,
+    "strptime": O_STRPTIME,
+    "filter_regex": O_FILTER_REGEX,
+    "filter_expr": O_FILTER_EXPR,
+    "rate_limit": O_RATE_LIMIT,
+    "dict_map": O_DICT_MAP,
+    "dict_map_join": O_DICT_MAP_JOIN,
+    "route_exclusive": O_ROUTE_EXCLUSIVE,
+    "route_copy": O_ROUTE_COPY,
+    "content_value_group": O_CONTENT_VALUE_GROUP,
+    "stable_order": O_STABLE_ORDER,
+    "lineage": O_LINEAGE,
+    "shard_hash_md5": O_SHARD_HASH_MD5,
+    "desensitize": O_DESENSITIZE,
+    "string_replace": O_STRING_REPLACE,
+    "base64_md5": O_BASE64_MD5,
+    "pack_json": O_PACK_JSON,
+    "log_to_metric": O_LOG_TO_METRIC,
+    "pipeline_e2e": O_PIPELINE_E2E,
+    "events_props": O_EVENTS_PROPS,
+    "lineitem_pricing": O_LINEITEM_PRICING,
+    "exact_dedup": O_EXACT_DEDUP,
+    "token_count": O_TOKEN_COUNT,
+    "quality_score": O_QUALITY_SCORE,
+    "lang_id": O_LANG_ID,
+    "fingerprint": O_FINGERPRINT,
+    "ngram_jaccard": O_NGRAM_JACCARD,
+    "ann_brute_force": O_ANN_BRUTE_FORCE,
+}
+
+# queries intentionally without oracle (non-SQL-expressible internals):
+NO_ORACLE: dict[str, str] = {
+    "shard_hash": "xxhash64 is engine-internal; md5 twin is oracle-checked",
+    "minhash_lsh": "banded LSH join; exact-jaccard twin is oracle-checked",
+    "simhash": "bit-vote hashing; exact-jaccard twin is oracle-checked",
+    "ann_lsh": "hyperplane LSH; brute-force twin is oracle-checked",
+    "media_features": "Arrow mapInPandas kernel (no SQL form)",
+}

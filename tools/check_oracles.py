@@ -1,0 +1,95 @@
+"""Driver-mimic: run every queries() entry and its oracle_sql() via DuckDB
+at a given SF dir; compare row count, column names, and order-insensitive
+values. Usage: python tools/check_oracles.py [sf_dir] [name ...]"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+
+def norm(v):
+    import datetime
+    import math
+
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    return str(v)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from __spark_entry__ import oracle_sql, queries
+
+    from ilogtail_spark.session import get_spark
+
+    spark = get_spark(master="local[16]", shuffle_partitions=16,
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, os_ = queries(), oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sorted(sdf.columns)
+            sset = sorted(
+                tuple(norm(r[c]) for c in scols) for r in srows
+            )
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error {str(e).splitlines()[0][:200]}")
+            continue
+        took = time.time() - t0
+        if name not in os_:
+            print(f"ok-   {name}: rows={len(srows)} (rows-only, no oracle) [{took:.1f}s]")
+            continue
+        try:
+            rel = con.sql(os_[name])
+            dcols_raw = rel.columns
+            drows = rel.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error {str(e).splitlines()[0][:200]}")
+            continue
+        dcols = sorted(dcols_raw)
+        didx = [dcols_raw.index(c) for c in dcols]
+        dset = sorted(tuple(norm(r[i]) for i in didx) for r in drows)
+        if scols != dcols:
+            failures.append(name)
+            print(f"FAIL  {name}: columns {scols} vs {dcols}")
+        elif len(sset) != len(dset):
+            failures.append(name)
+            print(f"FAIL  {name}: rowcount {len(sset)} vs {len(dset)}")
+        elif sset != dset:
+            failures.append(name)
+            diff = [(a, b) for a, b in zip(sset, dset) if a != b][:3]
+            print(f"FAIL  {name}: values differ, e.g. {diff}")
+        else:
+            print(f"OK    {name}: rows={len(sset)} [{took:.1f}s]")
+    spark.stop()
+    print(f"\n{len(failures)} failures: {failures}")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
