@@ -1,0 +1,111 @@
+"""Benchmark driver — prints ONE JSON line.
+
+Headline: the flagship parse → enrich → route → aggregate pipeline over a
+generated ~1.2M-turn transcript table (the log_pipeline tier workload,
+mirroring the reference's 10 MB/s regex-parse benchmark,
+test/benchmark/test_cases/performance_file_to_blackhole_ilogtail/case.feature).
+Sink is Spark's noop format — the reference benchmarks against a
+blackhole flusher (core/plugin/flusher/blackhole/FlusherBlackHole.cpp).
+
+Also times representative registry queries at $SPARK_GRAFT_SF_DIR.
+
+Env:
+  SPARK_GRAFT_SF_DIR   (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     (default 32)
+  BENCH_CONVS          (default 60000 → ~1.28M turns)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_DATA = "/tmp/ilogtail_spark_bench_transcripts"
+
+
+def _ensure_bench_data(spark, n_convs: int) -> str:
+    """Materialize generated transcripts once; reuse across runs."""
+    marker = f"{BENCH_DATA}_{n_convs}"
+    if not os.path.exists(f"{marker}/_SUCCESS"):
+        from ilogtail_spark.gen import gen_transcripts
+
+        # 128 files: enough input splits that a 32-thread scan gets 4 task
+        # waves (a single ~100 MB parquet file would serialize the whole
+        # map-side pipeline onto 1-3 tasks — the classic small-file/
+        # huge-file scan granularity trap)
+        gen_transcripts(spark, n_convs).repartition(128).write.mode(
+            "overwrite"
+        ).parquet(marker)
+    return marker
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_convs = int(os.environ.get("BENCH_CONVS", "60000"))
+
+    from ilogtail_spark.plans.pipeline import FLAGSHIP_SPEC, build_pipeline
+    from ilogtail_spark.queries import QUERIES
+    from ilogtail_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="ilogtail_spark_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    data_path = _ensure_bench_data(spark, n_convs)
+    src = spark.read.parquet(data_path)
+    n_turns = src.count()
+
+    timings: dict[str, float] = {}
+
+    # headline: full pipeline, routed rows to noop sink + per-sink counts
+    t0 = time.time()
+    routed = build_pipeline(src, FLAGSHIP_SPEC)
+    routed.write.format("noop").mode("overwrite").save()
+    headline = time.time() - t0
+    timings["pipeline_1m_noop"] = round(headline, 3)
+
+    t0 = time.time()
+    counts = routed.groupBy("route").count().collect()
+    timings["pipeline_1m_counts"] = round(time.time() - t0, 3)
+
+    # representative registry queries at the sf dir
+    for name in (
+        "regex_parse", "grok_parse", "json_parse", "multiline_merge",
+        "rate_limit", "pipeline_e2e", "exact_dedup", "minhash_lsh",
+        "ngram_jaccard", "ann_brute_force", "quality_score", "fingerprint",
+    ):
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "flagship parse→enrich→route→aggregate wall-seconds "
+                  f"({n_turns} turns, noop sink) + registry query seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "headline_turns": n_turns,
+        "headline_sec": round(headline, 3),
+        "turns_per_sec": round(n_turns / headline, 1),
+        "cpus": cpus,
+        "sink_counts": {r["route"]: r["count"] for r in counts},
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -76,7 +76,7 @@ def strptime_op(
     microsecond column. Unparseable values yield NULL (try_to_timestamp),
     matching the reference's keep-on-error behavior."""
     if fmt == "%s":
-        ts = F.timestamp_seconds(F.try_cast(F.col(source_key), "long"))
+        ts = F.timestamp_seconds(F.col(source_key).try_cast("long"))
     else:
         java_fmt = strptime_to_java(fmt)
         ts = F.try_to_timestamp(F.col(source_key), F.lit(java_fmt))
@@ -104,7 +104,7 @@ def gotime_op(
     numeric = {"seconds": F.timestamp_seconds, "milliseconds": F.timestamp_millis,
                "microseconds": F.timestamp_micros}
     if source_layout in numeric:
-        ts = numeric[source_layout](F.try_cast(F.col(source_key), "long"))
+        ts = numeric[source_layout](F.col(source_key).try_cast("long"))
     else:
         ts = F.try_to_timestamp(F.col(source_key), F.lit(gotime_to_java(source_layout)))
     if dest_layout in numeric:

@@ -1,0 +1,158 @@
+"""Filter + enrich operator semantics (SURVEY.md §2.4, §2.5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ilogtail_spark.operators.enrich import (
+    add_fields,
+    appender,
+    dict_map,
+    geoip_range_join,
+    rename_fields,
+    tag_native,
+)
+from ilogtail_spark.operators.filters import (
+    drop_last_key,
+    fields_with_condition,
+    filter_expr,
+    filter_regex,
+    pick_keys,
+    rate_limit,
+)
+
+
+class TestFilterRegex:
+    def test_include_exclude(self, spark):
+        df = spark.createDataFrame(
+            [("user", "ok"), ("user", "SECRET x"), ("tool", "ok")], "role string, text string"
+        )
+        out = filter_regex(df, include={"role": "user"}, exclude={"text": "SECRET.*"}).collect()
+        assert len(out) == 1 and out[0]["text"] == "ok"
+
+    def test_missing_include_key_drops(self, spark):
+        # IsLogMatch: a row without the include key never matches (:77)
+        df = spark.createDataFrame([(None, "x"), ("user", "x")], "role string, text string")
+        out = filter_regex(df, include={"role": "user"}).collect()
+        assert len(out) == 1
+
+    def test_full_match_anchoring(self, spark):
+        # the reference full-matches; substring must not pass
+        df = spark.createDataFrame([("superuser",)], "role string")
+        assert filter_regex(df, include={"role": "user"}).count() == 0
+
+
+class TestFilterExpr:
+    def test_tree(self, spark):
+        df = spark.createDataFrame(
+            [("a", "1"), ("b", "1"), ("a", "2")], "k string, v string"
+        )
+        tree = {"and": [{"key": "k", "regex": "a"}, {"not": {"key": "v", "regex": "2"}}]}
+        out = filter_expr(df, tree).collect()
+        assert len(out) == 1 and out[0]["v"] == "1"
+
+    def test_bad_node_raises(self, spark):
+        df = spark.createDataFrame([("a",)], "k string")
+        with pytest.raises(ValueError):
+            filter_expr(df, {"bogus": 1})
+
+
+class TestFieldsWithCondition:
+    def test_first_match_wins_and_drop(self, spark):
+        df = spark.createDataFrame([("e1",), ("e2",), ("zz",)], "t string")
+        cases = [
+            {"when": {"key": "t", "regex": "e1"}, "add": {"sev": "high"}},
+            {"when": {"key": "t", "regex": "e.*"}, "add": {"sev": "low"}},
+        ]
+        out = {r["t"]: r["sev"] for r in fields_with_condition(df, cases).collect()}
+        assert out == {"e1": "high", "e2": "low", "zz": None}
+        kept = fields_with_condition(df, cases, drop_if_not_match=True).count()
+        assert kept == 2
+
+
+class TestRateLimit:
+    def test_deterministic_limit(self, spark):
+        rows = [("k", i, f"2024-01-01 00:00:0{i % 2}") for i in range(8)]
+        df = spark.createDataFrame(rows, "key string, i int, ts_s string").withColumn(
+            "ts", F.to_timestamp("ts_s")
+        )
+        out = rate_limit(df, ["key"], 2, tiebreak=["i"]).collect()
+        # 2 per (key, second-bucket) × 2 buckets
+        assert len(out) == 4
+        assert sorted(r["i"] for r in out) == [0, 1, 2, 3]  # lowest i win
+
+
+class TestProjection:
+    def test_pick_drop_rename(self, spark):
+        df = spark.createDataFrame([(1, 2, 3)], "a int, b int, c int")
+        assert pick_keys(df, include=["a"]).columns == ["a"]
+        assert pick_keys(df, exclude=["b"]).columns == ["a", "c"]
+        assert rename_fields(df, {"a": "x"}).columns == ["x", "b", "c"]
+
+    def test_drop_last_key(self, spark):
+        df = spark.createDataFrame(
+            [("raw1", "p"), ("raw2", None)], "raw string, parsed string"
+        )
+        out = {r["parsed"]: r["raw"] for r in drop_last_key(df, "raw", ["parsed"]).collect()}
+        assert out["p"] is None  # dropped once parse complete
+        assert out[None] == "raw2"  # kept when parse incomplete
+
+
+class TestDictMap:
+    def test_literal_vs_join_methods_agree(self, spark):
+        df = spark.createDataFrame([("user",), ("ghost",), (None,)], "role string")
+        m = {"user": "human"}
+        a = dict_map(df, m, "role", "g", handle_missing=True, missing="Unknown")
+        b = dict_map(df, m, "role", "g", handle_missing=True, missing="Unknown",
+                     method="join")
+        assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
+        vals = {r["role"]: r["g"] for r in a.collect()}
+        assert vals == {"user": "human", "ghost": "Unknown", None: "Unknown"}
+
+    def test_fill_vs_overwrite(self, spark):
+        df = spark.createDataFrame(
+            [("user", "keepme"), ("tool", None)], "role string, g string"
+        )
+        fill = {r["role"]: r["g"] for r in
+                dict_map(df, {"user": "X", "tool": "Y"}, "role", "g", mode="fill").collect()}
+        assert fill == {"user": "keepme", "tool": "Y"}
+        over = {r["role"]: r["g"] for r in
+                dict_map(df, {"user": "X", "tool": "Y"}, "role", "g", mode="overwrite").collect()}
+        assert over == {"user": "X", "tool": "Y"}
+
+    def test_max_dict_size(self, spark):
+        df = spark.createDataFrame([("a",)], "k string")
+        with pytest.raises(ValueError):
+            dict_map(df, {str(i): "v" for i in range(1001)}, "k", "d")
+
+    def test_missing_untouched_without_handle(self, spark):
+        df = spark.createDataFrame([("ghost",)], "role string")
+        out = dict_map(df, {"user": "h"}, "role", "g").first()
+        assert out["g"] is None
+
+
+class TestMiscEnrich:
+    def test_add_fields_ignore_if_exist(self, spark):
+        df = spark.createDataFrame([(1,)], "a int")
+        out = add_fields(df, {"a": "n", "b": "v"}, ignore_if_exist=True).first()
+        assert out["a"] == 1 and out["b"] == "v"
+
+    def test_appender_template(self, spark):
+        df = spark.createDataFrame([("x",)], "k string")
+        out = appender(df, "k", "|{{__ip__}}", ctx={"__ip__": "1.2.3.4"}).first()
+        assert out["k"] == "x|1.2.3.4"
+
+    def test_tag_native(self, spark):
+        df = spark.createDataFrame([(1,)], "a int")
+        out = tag_native(df, {"host": "h1"}).first()
+        assert out["tag_host"] == "h1"
+
+    def test_geoip_range_join(self, spark):
+        df = spark.createDataFrame([("10.0.0.5",), ("200.1.1.1",)], "ip string")
+        ranges = spark.createDataFrame(
+            [(167772160, 184549376, "cn-a")],  # 10.0.0.0/8
+            "ip_start long, ip_end long, region string",
+        )
+        out = {r["ip"]: r["region"] for r in geoip_range_join(df, ranges, "ip").collect()}
+        assert out == {"10.0.0.5": "cn-a", "200.1.1.1": None}

@@ -1,0 +1,160 @@
+"""Training-data function tests: dedup, similarity, textstats, multimodal."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ilogtail_spark.functions.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from ilogtail_spark.functions.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    synthetic_media,
+)
+from ilogtail_spark.functions.similarity import brute_force_topk, lsh_bucket_topk
+from ilogtail_spark.functions.textstats import (
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+DOC_SCHEMA = "doc_id long, text string"
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    rows = [
+        (1, base),
+        (2, base),          # exact dup of 1
+        (3, near),          # near dup of 1
+        (4, "completely different text about spark shuffles and partitions"),
+        (5, "unrelated short snippet"),
+    ]
+    return spark.createDataFrame(rows, DOC_SCHEMA).cache()
+
+
+class TestDedup:
+    def test_exact(self, dup_docs):
+        out = {r["doc_id"]: r["dup_count"] for r in exact_dedup(dup_docs).collect()}
+        assert out[1] == 2  # ids 1,2 collapse, min id kept
+        assert sum(out.values()) == 5
+
+    def test_jaccard_finds_near_dup(self, dup_docs):
+        pairs = ngram_jaccard_pairs(dup_docs, threshold=0.5).collect()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (1, 2) in got  # exact dup: jaccard 1.0
+        assert (1, 3) in got and (2, 3) in got  # near dup
+        assert not any({a, b} & {4, 5} and {a, b} & {1, 2, 3} for a, b in got)
+
+    def test_minhash_exact_dup_estimates_one(self, dup_docs):
+        sigs = {r["doc_id"]: r["minhash"] for r in minhash_signatures(dup_docs).collect()}
+        assert sigs[1] == sigs[2]
+        assert len(sigs[1]) == 64
+
+    def test_minhash_lsh_finds_dups(self, dup_docs):
+        pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+                 for r in minhash_lsh_pairs(dup_docs, threshold=0.5).collect()}
+        assert pairs[(1, 2)] == 1.0
+        assert (1, 3) in pairs
+
+    def test_simhash_identical_and_near(self, dup_docs):
+        h = {r["doc_id"]: r["simhash"] for r in simhash(dup_docs).collect()}
+        assert h[1] == h[2]
+        ham13 = bin(h[1] ^ h[3]).count("1")
+        ham14 = bin(h[1] ^ h[4]).count("1")
+        assert ham13 < ham14  # near dup closer than unrelated
+        pairs = {(r["id_a"], r["id_b"]) for r in simhash_pairs(dup_docs, max_hamming=0).collect()}
+        assert (1, 2) in pairs
+
+
+class TestSimilarity:
+    def test_brute_force_identical_vector_ranks_first(self, spark):
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [1.0, 0.0, 0.0]),   # identical to 0
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.7, 0.7, 0.0]),
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        qs = emb.filter(F.col("vec_id") == 0)
+        out = brute_force_topk(emb, qs, k=3).orderBy("rank").collect()
+        assert out[0]["n_id"] == 1 and out[0]["cos_sim"] == 1.0
+        assert out[1]["n_id"] == 3
+
+    def test_lsh_buckets_identical_together(self, spark):
+        rows = [(i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2)])
+                for i in range(9)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        qs = emb.filter(F.col("vec_id") == 0)
+        out = lsh_bucket_topk(emb, qs, k=2, n_planes=4).collect()
+        # identical vectors (3, 6) share 0's bucket and rank top with cos 1.0
+        top = [r for r in out if r["rank"] == 1][0]
+        assert top["cos_sim"] == 1.0 and top["n_id"] in (3, 6)
+
+
+class TestTextstats:
+    def test_token_counts(self, spark):
+        df = spark.createDataFrame([(1, "  a bb  ccc  ")], DOC_SCHEMA)
+        out = bpe_ish_token_count(token_count(df)).first()
+        assert out["n_tokens"] == 3
+        assert out["n_bpe_tokens"] == 3
+
+    def test_quality_monotonic(self, spark):
+        good = "the cat sat on the mat and it was a good day for all of us here"
+        bad = "$$$ ### !!! @@@"
+        df = spark.createDataFrame([(1, good), (2, bad)], DOC_SCHEMA)
+        out = {r["doc_id"]: r["quality_score"] for r in quality_score(df).collect()}
+        assert out[1] > out[2]
+
+    def test_lang_id(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the cat is on the mat and it is a cat"),
+             (2, "der hund ist im haus und das ist ein hund"),
+             (3, "xyzzy plugh")],
+            DOC_SCHEMA,
+        )
+        out = {r["doc_id"]: r["lang_pred"] for r in lang_id(df).collect()}
+        assert out == {1: "en", 2: "de", 3: "und"}
+
+    def test_fingerprint_deterministic_order_sensitive(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "a b c"), (3, "c b a")], DOC_SCHEMA
+        )
+        out = {r["doc_id"]: r["fingerprint"] for r in fingerprint(df).collect()}
+        assert out[1] == out[2]
+        assert out[1] != out[3]  # position-weighted
+
+
+class TestMultimodal:
+    def test_feature_extraction_shape(self, spark):
+        m = synthetic_media(spark, 12)
+        f = extract_features(m, feature_dim=8).collect()
+        assert len(f) == 12
+        for r in f:
+            assert len(r["feature"]) == 8
+            assert r["n_bytes"] > 0
+            assert r["kind"] in ("image", "audio", "video")
+
+    def test_features_deterministic(self, spark):
+        m = synthetic_media(spark, 6)
+        a = sorted(map(str, extract_features(m).collect()))
+        b = sorted(map(str, extract_features(m).collect()))
+        assert a == b
+
+    def test_frame_plan_only_videos(self, spark):
+        m = synthetic_media(spark, 12)
+        plan = frame_sample_plan(m, every_ms=1000)
+        vids = set(r["media_id"] for r in plan.collect())
+        kinds = {r["media_id"]: r["kind"] for r in m.collect()}
+        assert all(kinds[v] == "video" for v in vids)

@@ -1,0 +1,70 @@
+"""Generator determinism/skew + Structured Streaming batch-parity."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from ilogtail_spark.gen import HOT_EVERY, gen_transcripts
+from ilogtail_spark.plans.pipeline import FLAGSHIP_SPEC, build_pipeline
+from ilogtail_spark.streaming.stream import run_stream_pipeline
+
+STREAM_DIR = "/tmp/ilogtail_spark_stream_in"
+STREAM_OUT = "/tmp/ilogtail_spark_stream_out"
+
+
+class TestGen:
+    def test_deterministic(self, spark):
+        a = sorted(map(str, gen_transcripts(spark, 50).collect()))
+        b = sorted(map(str, gen_transcripts(spark, 50).collect()))
+        assert a == b
+
+    def test_schema_matches_input_hint(self, spark):
+        g = gen_transcripts(spark, 10)
+        assert [f.name for f in g.schema.fields] == [
+            "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        ]
+
+    def test_hot_conv_skew(self, spark):
+        g = gen_transcripts(spark, 200)
+        sizes = {r["conv_id"]: r["n"] for r in
+                 g.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+        hot = sizes[f"conv-{0:08d}"]
+        cold = sizes[f"conv-{1:08d}"]
+        assert hot >= 40 * cold  # 50x base turns
+        assert len(sizes) == 200
+
+    def test_turn_idx_dense(self, spark):
+        g = gen_transcripts(spark, 20)
+        bad = (
+            g.groupBy("conv_id")
+            .agg(F.max("turn_idx").alias("mx"), F.count(F.lit(1)).alias("n"))
+            .filter(F.col("mx") != F.col("n") - 1)
+            .count()
+        )
+        assert bad == 0
+
+
+class TestStreaming:
+    def test_stream_equals_batch(self, spark):
+        shutil.rmtree(STREAM_DIR, ignore_errors=True)
+        shutil.rmtree(STREAM_OUT, ignore_errors=True)
+        t = gen_transcripts(spark, 40)
+        # several files so availableNow processes multiple micro-batches
+        t.repartition(6).write.parquet(STREAM_DIR)
+
+        run_stream_pipeline(spark, STREAM_DIR, STREAM_OUT, FLAGSHIP_SPEC,
+                            available_now=True)
+
+        got = (
+            spark.read.parquet(f"{STREAM_OUT}/routed")
+            .groupBy("route").agg(F.count(F.lit(1)).alias("n"))
+        )
+        exp = (
+            build_pipeline(spark.read.parquet(STREAM_DIR), FLAGSHIP_SPEC)
+            .groupBy("route").agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert {(r["route"], r["n"]) for r in got.collect()} == {
+            (r["route"], r["n"]) for r in exp.collect()
+        }
