@@ -90,6 +90,32 @@ def desensitize_md5_arrow(
     return df.withColumn(source_key, _mask(F.col(source_key)))
 
 
+def encrypt_fields(
+    df: DataFrame,
+    source_keys: list[str],
+    key: str,
+    *,
+    iv_hex: str | None = None,
+    keep_source_value_if_error: bool = False,
+) -> DataFrame:
+    """processor_encrypt (plugins/processor/encrypt/processor_encrypt.go:92):
+    AES-CBC encrypt listed fields, hex output. Spark's aes_encrypt runs
+    JVM-side; a fixed IV (the reference reads key+IV from config) keeps
+    output deterministic for tests. Null/error ⇒ empty value unless
+    `keep_source_value_if_error` (the reference's flag)."""
+    iv = F.unhex(F.lit(iv_hex)) if iv_hex else F.unhex(F.lit("00" * 16))
+    cols = {}
+    for k in source_keys:
+        enc = F.hex(
+            F.aes_encrypt(
+                F.col(k).cast("binary"), F.lit(key), F.lit("CBC"), F.lit("PKCS"), iv
+            )
+        )
+        fallback = F.col(k) if keep_source_value_if_error else F.lit("")
+        cols[k] = F.when(F.col(k).isNotNull(), enc).otherwise(fallback)
+    return df.withColumns(cols)
+
+
 def string_replace(
     df: DataFrame,
     source_key: str,

@@ -174,6 +174,25 @@ def run_pipeline(
         r["route"]: r["log_count"]
         for r in spark.read.parquet(f"{out_dir}/sink_counts").collect()
     }
+
+    # per-stage + per-partition metrics (mirrors mProcessorsInEventsTotal /
+    # OutEventsTotal, core/pipeline/Pipeline.h:110-117, and the per-source
+    # pack bookkeeping of aggregator_context)
+    rows_in = df.count()
+    rows_out = sum(counts.values())
+    spark.createDataFrame(
+        [(run_id, "pipeline", rows_in, rows_out)],
+        "run_id string, stage string, rows_in long, rows_out long",
+    ).write.mode("append").parquet(f"{out_dir}/metrics")
+    if "lineage" in written.columns:
+        written.groupBy("route", F.spark_partition_id().alias("partition_id")).agg(
+            F.count(F.lit(1)).alias("row_count"),
+            F.min("lineage").alias("lineage_first"),
+            F.max("lineage").alias("lineage_last"),
+        ).withColumn("run_id", F.lit(run_id)).write.mode("append").parquet(
+            f"{out_dir}/partition_metrics"
+        )
+
     ckpt.commit(run_id, stage, counts)
     return counts
 

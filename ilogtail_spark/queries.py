@@ -618,6 +618,38 @@ FROM transcripts GROUP BY 1, 2
 """
 
 
+def q_spl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPL embedded query language (processor_spl,
+    core/plugin/processor/ProcessorSPL.h:25; op corpus
+    core/unittest/spl/SplUnittest.cpp): parse-regexp | where | stats."""
+    from ilogtail_spark.plans.spl import spl_query
+
+    t = _t(spark, sf_dir)
+    return spl_query(
+        t,
+        r"* | parse-regexp text, '\"(\w+) (\S+) HTTP' as method, path"
+        " | where method is not null"
+        " | stats count(1) as n by method",
+    )
+
+
+O_SPL_PIPELINE = f"""{_CTE}
+SELECT regexp_extract(text, '"(\\w+) (\\S+) HTTP', 1) AS method, count(*) AS n
+FROM transcripts WHERE regexp_matches(text, '"(\\w+) (\\S+) HTTP')
+GROUP BY 1
+"""
+
+
+def q_encrypt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_encrypt: AES-CBC hex over a field — deterministic but
+    engine-internal AES (no DuckDB oracle); rows-only check."""
+    from ilogtail_spark.operators.transform import encrypt_fields
+
+    t = _t(spark, sf_dir).filter(F.col("text").startswith("class="))
+    e = encrypt_fields(t, ["text"], "0123456789abcdef")
+    return e.select("conv_id", "turn_idx", F.col("text").alias("encrypted"))
+
+
 # =====================================================================
 # events/lineitem corpus
 # =====================================================================
@@ -885,6 +917,8 @@ QUERIES: dict[str, QueryFn] = {
     "pack_json": q_pack_json,
     "log_to_metric": q_log_to_metric,
     "pipeline_e2e": q_pipeline_e2e,
+    "spl_pipeline": q_spl_pipeline,
+    "encrypt": q_encrypt,
     "events_props": q_events_props,
     "lineitem_pricing": q_lineitem_pricing,
     "exact_dedup": q_exact_dedup,
@@ -927,6 +961,7 @@ ORACLES: dict[str, str] = {
     "pack_json": O_PACK_JSON,
     "log_to_metric": O_LOG_TO_METRIC,
     "pipeline_e2e": O_PIPELINE_E2E,
+    "spl_pipeline": O_SPL_PIPELINE,
     "events_props": O_EVENTS_PROPS,
     "lineitem_pricing": O_LINEITEM_PRICING,
     "exact_dedup": O_EXACT_DEDUP,
@@ -940,6 +975,7 @@ ORACLES: dict[str, str] = {
 
 # queries intentionally without oracle (non-SQL-expressible internals):
 NO_ORACLE: dict[str, str] = {
+    "encrypt": "AES-CBC output has no DuckDB equivalent; determinism pytest-checked",
     "shard_hash": "xxhash64 is engine-internal; md5 twin is oracle-checked",
     "minhash_lsh": "banded LSH join; exact-jaccard twin is oracle-checked",
     "simhash": "bit-vote hashing; exact-jaccard twin is oracle-checked",

@@ -47,10 +47,12 @@ spark.stop()
 
 
 def run_level(cpus: int, data: str) -> dict:
-    out = subprocess.run(
-        [sys.executable, "-c", _WORKER % {"repo": REPO}, str(cpus), data],
-        capture_output=True, text=True, timeout=900,
-    )
+    # taskset pins the whole JVM (task threads + GC + JIT) to exactly
+    # `cpus` cores — otherwise the small level borrows idle cores for GC
+    # and the comparison flatters N / deflates measured efficiency.
+    cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c",
+           _WORKER % {"repo": REPO}, str(cpus), data]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
     return json.loads(line)
 
