@@ -66,11 +66,17 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    # headline: full pipeline, routed rows to noop sink + per-sink counts
+    # headline: full pipeline, routed rows to noop sink + per-sink counts.
+    # cold includes JIT/codegen; warm is the steady-state number a
+    # long-running cluster job sees.
     t0 = time.time()
     routed = build_pipeline(src, FLAGSHIP_SPEC)
     routed.write.format("noop").mode("overwrite").save()
+    headline_cold = time.time() - t0
+    t0 = time.time()
+    routed.write.format("noop").mode("overwrite").save()
     headline = time.time() - t0
+    timings["pipeline_1m_noop_cold"] = round(headline_cold, 3)
     timings["pipeline_1m_noop"] = round(headline, 3)
 
     t0 = time.time()
@@ -99,6 +105,7 @@ def main() -> None:
         "sf": sf_dir,
         "headline_turns": n_turns,
         "headline_sec": round(headline, 3),
+        "headline_sec_cold": round(headline_cold, 3),
         "turns_per_sec": round(n_turns / headline, 1),
         "cpus": cpus,
         "sink_counts": {r["route"]: r["count"] for r in counts},

@@ -73,7 +73,8 @@ def ngram_jaccard_pairs(
     """
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(_shingles(F.col(text_col), n)).alias("sh")
-    )
+    ).persist()  # used 3x (self-join both sides + sizes); computing the
+    # shingle explode once is the classic MinHashLSH-style materialization
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     pairs = (
         sh.alias("a")
@@ -143,7 +144,7 @@ def minhash_lsh_pairs(
     banded = sigs.select(
         F.col(id_col).alias("id"),
         F.col("minhash"),
-        F.posexplode(
+        F.posexplode(  # persisted below: both sides of the bucket self-join
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.md5(
@@ -151,7 +152,7 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("band", "bucket"),
-    )
+    ).persist()
     cand = (
         banded.alias("a")
         .join(

@@ -89,6 +89,52 @@ def stable_order(
     return df.withColumn(seq_col, F.row_number().over(w))
 
 
+def stable_order_salted(
+    df: DataFrame,
+    partition_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    seq_col: str = "seq",
+    *,
+    salt_width: int = 256,
+) -> DataFrame:
+    """Skew-safe variant of :func:`stable_order` (SURVEY.md §7.3.4).
+
+    A 10^12-turn table has hot conversations; a plain window over
+    `conv_id` funnels each whole conversation into one task. Two-level
+    plan: (1) rank within (conv_id, salt) where salt = turn_idx-range
+    bucket of width `salt_width` — hot convs split across many tasks;
+    (2) add the per-conv cumulative offset of the preceding salt buckets
+    (a tiny aggregate joined back, broadcast-size: Σ ceil(len/width) rows).
+
+    Result is identical to stable_order (dense per-conv sequence by
+    order_col) because the salt respects order ranges.
+    """
+    # order-respecting salt: contiguous turn_idx ranges map to increasing
+    # bucket ids, so bucket-local rank + prior-bucket counts = global rank.
+    # Fixed-width ranges: hot convs span many buckets, cold convs one.
+    salt = (F.col(order_col) / salt_width).cast("int")
+    w_local = Window.partitionBy(partition_col, salt).orderBy(order_col)
+    local = df.withColumn("__salt__", salt).withColumn(
+        "__rn__", F.row_number().over(w_local)
+    )
+    bucket_counts = (
+        local.groupBy(partition_col, "__salt__")
+        .agg(F.count(F.lit(1)).alias("__cnt__"))
+    )
+    w_off = (
+        Window.partitionBy(partition_col)
+        .orderBy("__salt__")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bucket_counts.withColumn(
+        "__off__", F.coalesce(F.sum("__cnt__").over(w_off), F.lit(0))
+    ).drop("__cnt__")
+    out = local.join(F.broadcast(offsets), [partition_col, "__salt__"])
+    return out.withColumn(seq_col, (F.col("__rn__") + F.col("__off__")).cast("int")).drop(
+        "__salt__", "__rn__", "__off__"
+    )
+
+
 def add_lineage(
     df: DataFrame,
     config_name: str,

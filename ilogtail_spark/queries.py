@@ -41,6 +41,7 @@ from ilogtail_spark.operators.aggregate import (
     shard_hash,
     sink_counts,
     stable_order,
+    stable_order_salted,
 )
 from ilogtail_spark.operators.enrich import dict_map
 from ilogtail_spark.operators.filters import filter_expr, filter_regex, rate_limit
@@ -457,6 +458,16 @@ SELECT conv_id, turn_idx,
   row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS seq
 FROM transcripts
 """
+
+
+def q_stable_order_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-level ordering (salted window + offset merge) — must
+    equal the plain per-conv sequence, verified by the SAME oracle."""
+    t = _t(spark, sf_dir)
+    return stable_order_salted(t, salt_width=16).select("conv_id", "turn_idx", "seq")
+
+
+O_STABLE_ORDER_SALTED = O_STABLE_ORDER
 
 
 def q_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -908,6 +919,7 @@ QUERIES: dict[str, QueryFn] = {
     "route_copy": q_route_copy,
     "content_value_group": q_content_value_group,
     "stable_order": q_stable_order,
+    "stable_order_salted": q_stable_order_salted,
     "lineage": q_lineage,
     "shard_hash": q_shard_hash,
     "shard_hash_md5": q_shard_hash_md5,
@@ -953,6 +965,7 @@ ORACLES: dict[str, str] = {
     "route_copy": O_ROUTE_COPY,
     "content_value_group": O_CONTENT_VALUE_GROUP,
     "stable_order": O_STABLE_ORDER,
+    "stable_order_salted": O_STABLE_ORDER_SALTED,
     "lineage": O_LINEAGE,
     "shard_hash_md5": O_SHARD_HASH_MD5,
     "desensitize": O_DESENSITIZE,

@@ -11,6 +11,7 @@ from ilogtail_spark.operators.aggregate import (
     shard_hash,
     sink_counts,
     stable_order,
+    stable_order_salted,
 )
 from ilogtail_spark.operators.multiline import merge_multiline
 from ilogtail_spark.operators.route import (
@@ -88,6 +89,19 @@ class TestStableOrderLineage:
         )
         out = {(r["conv_id"], r["turn_idx"]): r["seq"] for r in stable_order(df).collect()}
         assert out == {("c1", 3): 1, ("c1", 10): 2, ("c2", 1): 1}
+
+    def test_salted_order_equals_plain(self, spark):
+        # hot conv (900 turns, sparse non-contiguous idx) + cold convs —
+        # the salted two-level plan must produce the identical sequence
+        rows = [("hot", i * 3) for i in range(900)] + [
+            ("cold1", 0), ("cold1", 7), ("cold2", 5),
+        ]
+        df = spark.createDataFrame(rows, "conv_id string, turn_idx int").repartition(8)
+        plain = {(r["conv_id"], r["turn_idx"]): r["seq"]
+                 for r in stable_order(df).collect()}
+        salted = {(r["conv_id"], r["turn_idx"]): r["seq"]
+                  for r in stable_order_salted(df, salt_width=64).collect()}
+        assert plain == salted
 
     def test_lineage_distinct_and_rerun_stable(self, spark):
         df = spark.createDataFrame(

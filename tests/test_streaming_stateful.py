@@ -1,0 +1,78 @@
+"""Streaming stateful multiline merge — cross-micro-batch buffer semantics."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from ilogtail_spark.streaming.stateful import stream_merge_multiline
+
+IN_DIR = "/tmp/ilogtail_spark_stateful_in"
+CKPT = "/tmp/ilogtail_spark_stateful_ckpt"
+
+
+class TestStreamMergeMultiline:
+    def test_merge_across_micro_batches(self, spark):
+        shutil.rmtree(IN_DIR, ignore_errors=True)
+        shutil.rmtree(CKPT, ignore_errors=True)
+
+        # three sequential file drops — the tail-a-file arrival model of the
+        # reference: later lines land in later micro-batches, so record A's
+        # tail and record B's head cross a batch boundary
+        batches = [
+            [("c1", 0, "2024-01-01 start A"), ("c1", 1, "  cont A1")],
+            [("c1", 2, "2024-01-02 start B"), ("c1", 3, "  cont B1"),
+             ("c2", 0, "2024-01-05 solo D")],
+            [("c1", 4, "2024-01-03 start C"),  # C stays pending (no next begin)
+             ("c2", 1, "  cont D1"), ("c2", 2, "2024-01-06 start E")],
+        ]
+        import time as _time
+
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(
+                rows, "conv_id string, line_no int, text string"
+            ).coalesce(1).write.mode("append").parquet(IN_DIR)
+            _time.sleep(1.1)  # distinct modTimes → deterministic file order
+
+        src = (
+            spark.readStream.schema("conv_id string, line_no int, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(IN_DIR)
+        )
+        merged = stream_merge_multiline(src, begin_regex=r"^\d{4}-", timeout_ms=2000)
+        q = (
+            merged.writeStream.format("memory")
+            .queryName("merged_out")
+            .option("checkpointLocation", CKPT)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+        def rows():
+            return {
+                (r["conv_id"], r["merged"])
+                for r in spark.sql("select * from merged_out").collect()
+            }
+
+        # poll until the idle-timeout flush (TimeoutFlushManager analog)
+        # has emitted the pending records, then stop the query
+        got = set()
+        for _ in range(60):
+            q.awaitTermination(2)
+            got = rows()
+            if any("start C" in m for _, m in got) and any(
+                "start E" in m for _, m in got
+            ):
+                break
+        q.stop()
+        q.awaitTermination(30)
+
+        # records completed by a following begin-mark (cross-batch buffers)
+        assert ("c1", "2024-01-01 start A\n  cont A1") in got
+        assert ("c1", "2024-01-02 start B\n  cont B1") in got
+        assert ("c2", "2024-01-05 solo D\n  cont D1") in got
+        # records with no following begin-mark flush via idle timeout
+        assert ("c1", "2024-01-03 start C") in got
+        assert ("c2", "2024-01-06 start E") in got
