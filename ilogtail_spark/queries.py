@@ -685,6 +685,38 @@ FROM events GROUP BY event_type
 """
 
 
+def q_enrich_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-chain enrich at scale: fact (events) left-joins two
+    small dims (customer → nation), both broadcast — the
+    processor_dict_map pattern when the dict is a real table
+    (SURVEY.md §2.5). The fact side never shuffles."""
+    from ilogtail_spark.operators.enrich import lookup_join
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("nation")
+    )
+    out = lookup_join(lookup_join(e, cust, "user_id"), nat, "c_nationkey")
+    return (
+        out.groupBy(F.coalesce(F.col("nation"), F.lit("UNKNOWN")).alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+O_ENRICH_STAR = """
+SELECT coalesce(n.n_name, 'UNKNOWN') AS nation, count(*) AS n,
+       round(sum(e.value), 2) AS sum_value
+FROM events e
+LEFT JOIN customer c ON c.c_custkey = e.user_id
+LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY 1
+"""
+
+
 def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational-aggregate exercise (TPC-H Q1 shape) — partial+final hash
     agg; the shuffle carries 4 rows."""
@@ -932,6 +964,7 @@ QUERIES: dict[str, QueryFn] = {
     "spl_pipeline": q_spl_pipeline,
     "encrypt": q_encrypt,
     "events_props": q_events_props,
+    "enrich_star": q_enrich_star,
     "lineitem_pricing": q_lineitem_pricing,
     "exact_dedup": q_exact_dedup,
     "token_count": q_token_count,
@@ -976,6 +1009,7 @@ ORACLES: dict[str, str] = {
     "pipeline_e2e": O_PIPELINE_E2E,
     "spl_pipeline": O_SPL_PIPELINE,
     "events_props": O_EVENTS_PROPS,
+    "enrich_star": O_ENRICH_STAR,
     "lineitem_pricing": O_LINEITEM_PRICING,
     "exact_dedup": O_EXACT_DEDUP,
     "token_count": O_TOKEN_COUNT,
