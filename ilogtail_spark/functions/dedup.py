@@ -140,11 +140,13 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
         df, id_col=id_col, text_col=text_col, n=n, num_hashes=num_hashes
-    )
+    ).persist()
+    # the banded relation carries only (id, band, bucket) — the 64-slot
+    # signature array stays OUT of the self-join shuffle; signatures are
+    # joined back only for the deduped candidate pairs (≪ banded rows)
     banded = sigs.select(
         F.col(id_col).alias("id"),
-        F.col("minhash"),
-        F.posexplode(  # persisted below: both sides of the bucket self-join
+        F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.md5(
@@ -152,8 +154,8 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("band", "bucket"),
-    ).persist()
-    cand = (
+    )
+    cand_ids = (
         banded.alias("a")
         .join(
             banded.alias("b"),
@@ -161,20 +163,18 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.minhash").alias("mh_a"),
-            F.col("b.minhash").alias("mh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("mh_b"))
+    cand = cand_ids.join(sa, "id_a").join(sb, "id_b")
     est = F.size(
         F.filter(
             F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")),
             lambda v: v == 1,
         )
-    ) / F.lit(float(len(range(num_hashes))))
+    ) / F.lit(float(num_hashes))
     return (
         cand.withColumn("est_jaccard", F.round(est, 6))
         .filter(F.col("est_jaccard") >= threshold)

@@ -66,9 +66,18 @@ def regex_parse(
     full_match: bool = False,
     dotall: bool = True,
     mode: str = "jvm",
+    guard_startswith: str | None = None,
+    guard_regex: str | None = None,
 ) -> DataFrame:
     """processor_regex (plugins/processor/regex/regex.go:32-129) /
     ProcessorParseRegexNative (core/plugin/processor/ProcessorParseRegexNative.cpp:103).
+
+    `guard_startswith` / `guard_regex` give a CHEAP NECESSARY condition
+    for the pattern (e.g. nginx lines start with a digit): rows failing
+    the guard skip the expensive regex entirely and are treated as parse
+    failures. Sound only if every true match satisfies the guard —
+    measured 2.1× end-to-end on a mixed-format corpus where ~20% of rows
+    are the target format (tools/bench_prefilter.py).
 
     `keys[i]` receives capture group i+1. The reference prepends ``(?s)``
     so ``.`` crosses newlines (regex.go:56-57); `full_match` anchors the
@@ -92,10 +101,17 @@ def regex_parse(
         pat = _anchor(pat)
     types = types or {}
 
+    guard: Column | None = None
+    if guard_startswith is not None:
+        guard = F.col(source_key).startswith(guard_startswith)
+    if guard_regex is not None:
+        g = F.col(source_key).rlike(guard_regex)
+        guard = g if guard is None else (guard & g)
+
     if mode == "jvm":
         return _regex_parse_onepass(
             df, pat, keys, source_key, types,
-            keep_source, keep_source_if_parse_error, full_match,
+            keep_source, keep_source_if_parse_error, full_match, guard,
         )
 
     if mode == "arrow":
@@ -110,6 +126,8 @@ def regex_parse(
         return df.drop("__m__")
 
     matched = F.col(source_key).rlike(pat)
+    if guard is not None:
+        matched = guard & matched
     cols = {}
     for i, k in enumerate(keys, start=1):
         c = F.when(matched, F.regexp_extract(F.col(source_key), pat, i))
@@ -137,6 +155,7 @@ def _regex_parse_onepass(
     keep_source: bool,
     keep_source_if_parse_error: bool,
     already_anchored: bool,
+    guard: Column | None = None,
 ) -> DataFrame:
     """Single-execution JVM path: one ``regexp_replace`` rewrites a matched
     value into sentinel + \\x01-joined groups; non-matching values pass
@@ -150,7 +169,9 @@ def _regex_parse_onepass(
         wrapped = f"{flags}^(?:.*?)(?:{body})(?:.*)$"
     repl = _ONEPASS_SENT + _ONEPASS_SEP.join(f"${i}" for i in range(1, len(keys) + 1))
     packed = F.regexp_replace(F.col(source_key), wrapped, repl)
-    matched = packed.startswith(_ONEPASS_SENT)
+    if guard is not None:
+        packed = F.when(guard, packed)
+    matched = packed.isNotNull() & packed.startswith(_ONEPASS_SENT)
     arr = F.split(F.substring(packed, 2, 2147483647), _ONEPASS_SEP)
     cols = {}
     for i, k in enumerate(keys):

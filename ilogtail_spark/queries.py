@@ -101,7 +101,7 @@ def q_regex_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """processor_regex: 9-key nginx parse, parsed rows only."""
     t = _t(spark, sf_dir)
     p = regex_parse(
-        t, NGINX_PATTERN, NGINX_KEYS, "text",
+        t, NGINX_PATTERN, NGINX_KEYS, "text", guard_regex=r"^\d",
         types={"response_code": "int", "bytes": "long"},
     )
     return p.filter(F.col("ip").isNotNull()).select(
@@ -402,6 +402,7 @@ def q_route_exclusive(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-sink counts (verify.LogCount)."""
     t = _t(spark, sf_dir)
     p = regex_parse(t, NGINX_PATTERN, NGINX_KEYS, "text", keep_source=True,
+                    guard_regex=r"^\d",
                     types={"response_code": "int", "bytes": "long"})
     r = route_exclusive(p, _ROUTE_RULES)
     return sink_counts(r)
@@ -606,6 +607,7 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts — the reference's per-sink delivered-count check)."""
     t = _t(spark, sf_dir)
     p = regex_parse(t, NGINX_PATTERN, NGINX_KEYS, "text", keep_source=True,
+                    guard_regex=r"^\d",
                     types={"response_code": "int", "bytes": "long"})
     d = dict_map(p, ROLE_DIM, "role", "role_group",
                  handle_missing=True, missing="Unknown")
