@@ -45,6 +45,23 @@ def content_value_group(
     )
 
 
+def metadata_group(
+    df: DataFrame,
+    group_keys: list[str],
+    *,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """aggregator_metadata_group
+    (plugins/aggregator/metadatagroup/aggregator_metadata_group.go:34-235):
+    physically regroup events by metadata keys so each group's rows are
+    co-located (the V2 engine's repartition-by-key). The per-group
+    1024-event/3MiB caps are physical batching — handled by file sizing.
+    Returns the repartitioned frame; downstream groupBy on the same keys
+    then needs no second shuffle (Catalyst sees the partitioning)."""
+    cols = [F.col(k) for k in group_keys]
+    return df.repartition(num_partitions, *cols) if num_partitions else df.repartition(*cols)
+
+
 def shard_hash(
     df: DataFrame,
     source_keys: list[str],

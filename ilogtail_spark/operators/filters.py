@@ -78,6 +78,28 @@ def discard_non_utf8(df: DataFrame, key: str) -> DataFrame:
     return df.filter(F.col(key).isNotNull())
 
 
+def filter_key_regex_map(
+    df: DataFrame,
+    map_col: str,
+    include: str | None = None,
+    exclude: str | None = None,
+) -> DataFrame:
+    """processor_filter_key_regex
+    (plugins/processor/filter/keyregex/processor_filter_key_regex.go:28-73)
+    for the dynamic-schema case: the row's key set lives in a MapType
+    column (the `extra` spill column of SURVEY §1.3). Keep a row iff every
+    map key matches `include` and none matches `exclude`. For the fixed
+    schema case this is just static column selection (pick_keys)."""
+    keys = F.map_keys(F.col(map_col))
+    cond = F.lit(True)
+    if include:
+        cond = cond & (F.size(F.filter(keys, lambda k: k.rlike(f"^(?:{include})$")))
+                       == F.size(keys))
+    if exclude:
+        cond = cond & (F.size(F.filter(keys, lambda k: k.rlike(f"^(?:{exclude})$"))) == 0)
+    return df.filter(cond)
+
+
 def fields_with_condition(
     df: DataFrame,
     cases: list[dict],

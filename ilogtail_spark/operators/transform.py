@@ -161,6 +161,31 @@ def pack_json(
     return out
 
 
+def otel_trace_reshape(
+    df: DataFrame,
+    *,
+    trace_id: str,
+    span_id: str,
+    name: str,
+    start_ts: str,
+    end_ts: str,
+    attr_keys: list[str],
+) -> DataFrame:
+    """processor_otel_trace (plugins/processor/otel/processor_otel_trace.go):
+    reshape KV log rows into OTel span shape — pure column projection."""
+    return df.select(
+        F.col(trace_id).alias("traceId"),
+        F.col(span_id).alias("spanId"),
+        F.col(name).alias("name"),
+        F.unix_micros(F.col(start_ts).cast("timestamp")).alias("startTimeUnixMicro"),
+        F.unix_micros(F.col(end_ts).cast("timestamp")).alias("endTimeUnixMicro"),
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k in attr_keys]),
+            F.array(*[F.coalesce(F.col(k).cast("string"), F.lit("")) for k in attr_keys]),
+        ).alias("attributes"),
+    )
+
+
 def log_to_metric(
     df: DataFrame,
     metric_name: str,

@@ -58,6 +58,53 @@ class TestFilterExpr:
             filter_expr(df, {"bogus": 1})
 
 
+class TestFilterKeyRegexMap:
+    def test_include_exclude_on_map_keys(self, spark):
+        from ilogtail_spark.operators.filters import filter_key_regex_map
+
+        df = spark.createDataFrame(
+            [({"app_a": "1", "app_b": "2"},), ({"app_a": "1", "sys_x": "2"},)],
+            "extra map<string,string>",
+        )
+        assert filter_key_regex_map(df, "extra", include=r"app_\w+").count() == 1
+        assert filter_key_regex_map(df, "extra", exclude=r"sys_\w+").count() == 1
+
+
+class TestOtelReshape:
+    def test_span_shape(self, spark):
+        from ilogtail_spark.operators.transform import otel_trace_reshape
+
+        df = spark.createDataFrame(
+            [("t1", "s1", "op", "2024-01-01 00:00:00", "2024-01-01 00:00:01", "x")],
+            "tid string, sid string, op string, st string, en string, attr string",
+        )
+        out = otel_trace_reshape(
+            df, trace_id="tid", span_id="sid", name="op",
+            start_ts="st", end_ts="en", attr_keys=["attr"],
+        ).first()
+        assert out["traceId"] == "t1"
+        assert out["endTimeUnixMicro"] - out["startTimeUnixMicro"] == 1_000_000
+        assert out["attributes"]["attr"] == "x"
+
+
+class TestMetadataGroup:
+    def test_repartition_colocates(self, spark):
+        from ilogtail_spark.operators.aggregate import metadata_group
+
+        df = spark.createDataFrame(
+            [("a", i) for i in range(10)] + [("b", i) for i in range(10)],
+            "k string, v int",
+        )
+        out = metadata_group(df, ["k"], num_partitions=4)
+        from pyspark.sql import functions as FF
+
+        parts = (
+            out.withColumn("p", FF.spark_partition_id())
+            .groupBy("k").agg(FF.countDistinct("p").alias("np")).collect()
+        )
+        assert all(r["np"] == 1 for r in parts)  # each key in one partition
+
+
 class TestFieldsWithCondition:
     def test_first_match_wins_and_drop(self, spark):
         df = spark.createDataFrame([("e1",), ("e2",), ("zz",)], "t string")
