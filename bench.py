@@ -86,8 +86,9 @@ def main() -> None:
     # representative registry queries at the sf dir
     for name in (
         "regex_parse", "grok_parse", "json_parse", "multiline_merge",
-        "rate_limit", "pipeline_e2e", "exact_dedup", "minhash_lsh",
-        "ngram_jaccard", "ann_brute_force", "quality_score", "fingerprint",
+        "rate_limit", "pipeline_e2e", "spl_pipeline", "exact_dedup",
+        "minhash_lsh", "ngram_jaccard", "ann_brute_force", "quality_score",
+        "fingerprint",
     ):
         fn = QUERIES[name]
         t0 = time.time()
