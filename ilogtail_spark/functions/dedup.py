@@ -62,19 +62,26 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ t).
 
     Inverted-index join: explode distinct shingles, self-join on shingle,
     count shared, divide by union. Exact — and therefore the oracle for
     the LSH tier. Cost is bounded by shingle co-occurrence, not docs²,
-    but still quadratic for popular shingles: at scale, first drop the
-    top-frequency shingles (stopword shingles) — `max_df` below.
+    but quadratic in per-shingle document frequency: at scale set
+    `max_df` to drop stopword shingles from the shingle space (jaccard
+    is then computed over the filtered space — sizes and intersections
+    stay consistent, so it remains a true Jaccard, of the informative
+    shingles only).
     """
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(_shingles(F.col(text_col), n)).alias("sh")
-    ).persist()  # used 3x (self-join both sides + sizes); computing the
-    # shingle explode once is the classic MinHashLSH-style materialization
+    )
+    if max_df is not None:
+        dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df__"))
+        sh = sh.join(dfreq.filter(F.col("__df__") <= max_df).select("sh"), "sh")
+    sh = sh.persist()  # used 3x (self-join both sides + sizes)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     pairs = (
         sh.alias("a")
