@@ -69,6 +69,71 @@ def brute_force_topk(
     )
 
 
+def embedding_cosine_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ t) —
+    EXACT all-pairs; the oracle tier for embedding dedup. O(n²) compute
+    with zero shuffle of the right side when it broadcasts; at corpus
+    scale use `embedding_cosine_pairs_lsh`."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine(F.col("v_a"), F.col("v_b")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def embedding_cosine_pairs_lsh(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """Scale path for embedding near-dup: hyperplane-LSH buckets, pairs
+    form only within a bucket (shuffle O(n), compute O(Σ bucket²)), then
+    exact cosine verifies. High-cosine pairs land in the same bucket with
+    probability (1 - θ/π)^n_planes — recall tunable via n_planes."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = [_hyperplane(dim, p) for p in range(n_planes)]
+
+    def signature(vec: Column) -> Column:
+        out = F.lit(0)
+        for p_idx, plane in enumerate(planes):
+            plane_col = F.array(*[F.lit(v) for v in plane])
+            out = out + F.when(_dot(vec, plane_col) >= 0, F.lit(2**p_idx)).otherwise(F.lit(0))
+        return out
+
+    bucketed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        signature(F.col(vec_col)).alias("bucket"),
+    )
+    return (
+        bucketed.alias("a")
+        .join(
+            bucketed.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane: values from a
     fixed LCG on (plane_idx, i) — no RNG state, reproducible anywhere."""

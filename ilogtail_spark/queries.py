@@ -915,6 +915,40 @@ SELECT q_id, n_id, cos_sim, rank FROM ranked WHERE rank <= 5
 """
 
 
+def q_embedding_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact all-pairs tier (oracle)."""
+    from ilogtail_spark.functions.similarity import embedding_cosine_pairs
+
+    return embedding_cosine_pairs(_emb(spark, sf_dir), threshold=0.35)
+
+
+O_EMBEDDING_DUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(
+    list_dot_product(list_transform(a.embedding, x -> x::DOUBLE),
+                     list_transform(b.embedding, x -> x::DOUBLE))
+    / (sqrt(list_dot_product(list_transform(a.embedding, x -> x::DOUBLE),
+                             list_transform(a.embedding, x -> x::DOUBLE)))
+     * sqrt(list_dot_product(list_transform(b.embedding, x -> x::DOUBLE),
+                             list_transform(b.embedding, x -> x::DOUBLE)))), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE
+  list_dot_product(list_transform(a.embedding, x -> x::DOUBLE),
+                   list_transform(b.embedding, x -> x::DOUBLE))
+  / (sqrt(list_dot_product(list_transform(a.embedding, x -> x::DOUBLE),
+                           list_transform(a.embedding, x -> x::DOUBLE)))
+   * sqrt(list_dot_product(list_transform(b.embedding, x -> x::DOUBLE),
+                           list_transform(b.embedding, x -> x::DOUBLE)))) >= 0.35
+"""
+
+
+def q_embedding_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, LSH-bucketed scale tier — rows-only check."""
+    from ilogtail_spark.functions.similarity import embedding_cosine_pairs_lsh
+
+    return embedding_cosine_pairs_lsh(_emb(spark, sf_dir), threshold=0.35, n_planes=4)
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed ANN — scale path; rows-only check."""
     emb = _emb(spark, sf_dir)
@@ -977,6 +1011,8 @@ QUERIES: dict[str, QueryFn] = {
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
     "ann_brute_force": q_ann_brute_force,
+    "embedding_dup": q_embedding_dup,
+    "embedding_dup_lsh": q_embedding_dup_lsh,
     "ann_lsh": q_ann_lsh,
     "media_features": q_media_features,
 }
@@ -1020,6 +1056,7 @@ ORACLES: dict[str, str] = {
     "fingerprint": O_FINGERPRINT,
     "ngram_jaccard": O_NGRAM_JACCARD,
     "ann_brute_force": O_ANN_BRUTE_FORCE,
+    "embedding_dup": O_EMBEDDING_DUP,
 }
 
 # queries intentionally without oracle (non-SQL-expressible internals):
@@ -1029,5 +1066,6 @@ NO_ORACLE: dict[str, str] = {
     "minhash_lsh": "banded LSH join; exact-jaccard twin is oracle-checked",
     "simhash": "bit-vote hashing; exact-jaccard twin is oracle-checked",
     "ann_lsh": "hyperplane LSH; brute-force twin is oracle-checked",
+    "embedding_dup_lsh": "LSH recall<1 by design; exact twin is oracle-checked",
     "media_features": "Arrow mapInPandas kernel (no SQL form)",
 }

@@ -103,6 +103,28 @@ class TestSimilarity:
         assert top["cos_sim"] == 1.0 and top["n_id"] in (3, 6)
 
 
+class TestEmbeddingDedup:
+    def test_exact_and_lsh_tiers(self, spark):
+        from ilogtail_spark.functions.similarity import (
+            embedding_cosine_pairs,
+            embedding_cosine_pairs_lsh,
+        )
+
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.999, 0.01, 0.0]),   # near-dup of 0
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.0, 0.99, 0.1]),     # near-dup of 2
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        exact = {(r["id_a"], r["id_b"]) for r in
+                 embedding_cosine_pairs(emb, threshold=0.95).collect()}
+        assert exact == {(0, 1), (2, 3)}
+        lsh = {(r["id_a"], r["id_b"]) for r in
+               embedding_cosine_pairs_lsh(emb, threshold=0.95, n_planes=2).collect()}
+        assert lsh <= exact  # no false positives (exact verify step)
+
+
 class TestTextstats:
     def test_token_counts(self, spark):
         df = spark.createDataFrame([(1, "  a bb  ccc  ")], DOC_SCHEMA)
