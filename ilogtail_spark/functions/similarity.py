@@ -134,6 +134,79 @@ def embedding_cosine_pairs_lsh(
     )
 
 
+def ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probes: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: assign every vector to its nearest
+    coarse centroid; a query searches only its `n_probes` nearest
+    centroids' lists. The 100 TB path alongside LSH: the corpus shuffles
+    once on centroid id (or is bucketed/partitioned by it at write time),
+    and query cost is probes/centroids of the corpus.
+
+    Centroids here are a deterministic stride-sample of the corpus
+    itself (ids 0, n/k, 2n/k, …) — a cheap stand-in for a k-means pass
+    that keeps everything reproducible; swap in trained centroids
+    without touching the plan.
+    """
+    n = df.count()
+    stride = max(n // n_centroids, 1)
+    cent_rows = (
+        df.withColumn("__rid__", F.col(id_col))
+        .filter((F.col("__rid__") % stride == 0))
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+        .collect()
+    )
+    centroids = [(int(r["c_id"]), [float(x) for x in r["c_vec"]]) for r in cent_rows]
+
+    def ranked_centroids(vec: Column) -> Column:
+        """Struct array sorted best-first: one score expression per
+        centroid, shared by assignment and probing. (A when-cascade
+        argmax duplicates each score expr at every level — exponential
+        plan blowup; this stays linear.) Epsilon on the index makes tie
+        order identical everywhere."""
+        cells = [
+            F.struct(
+                (cosine(vec, F.array(*[F.lit(v) for v in c_vec])) + F.lit(i * 1e-9)).alias("s"),
+                F.lit(c_id).alias("c"),
+            )
+            for i, (c_id, c_vec) in enumerate(centroids)
+        ]
+        return F.reverse(F.array_sort(F.array(*cells)))
+
+    corpus = df.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.element_at(ranked_centroids(F.col(vec_col)), 1).getField("c").alias("centroid"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(
+            F.slice(ranked_centroids(F.col(vec_col)), 1, n_probes).getField("c")
+        ).alias("centroid"),
+    )
+    scored = corpus.join(F.broadcast(q), "centroid").filter(
+        F.col("q_id") != F.col("n_id")
+    ).select(
+        "q_id", "n_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "cos_sim", "rank")
+    )
+
+
 def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane: values from a
     fixed LCG on (plane_idx, i) — no RNG state, reproducible anywhere."""

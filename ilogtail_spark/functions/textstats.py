@@ -73,20 +73,79 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("quality_score", F.round(score, 2))
 
 
-def lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
-    """Stopword-hit language heuristic (n-gram-free variant of the usual
-    char-trigram scorer; deterministic and shuffle-free): the language
-    whose stopword list hits the most tokens wins; ties/no-hits → 'und'."""
-    toks = tokens(F.lower(F.col(text_col)))
-    en_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
-    de_arr = F.array(*[F.lit(w) for w in DE_STOPWORDS])
-    en_hits = F.size(F.filter(toks, lambda x: F.array_contains(en_arr, x)))
-    de_hits = F.size(F.filter(toks, lambda x: F.array_contains(de_arr, x)))
+# tiny character-trigram profiles (most frequent trigrams incl. spaces,
+# standard n-gram language-ID features)
+EN_TRIGRAMS = [" th", "the", "he ", "ing", "nd ", " an", "and", " of", "of ", "ed "]
+DE_TRIGRAMS = ["en ", "er ", " de", "der", "ie ", "ch ", "sch", "ein", " un", "und"]
+
+
+def lang_id(
+    df: DataFrame, text_col: str = "text", out: str = "lang_pred",
+    *, mode: str = "stopword",
+) -> DataFrame:
+    """Language-ID heuristic, two deterministic shuffle-free modes:
+
+    mode='stopword': the language whose stopword list hits the most
+    tokens wins; ties/no-hits → 'und'.
+    mode='trigram' : classic char-n-gram scoring — count occurrences of
+    each language's top character trigrams; counted regex-free via the
+    length-delta of a replace (regexp_count measured 50× slower here),
+    highest total wins.
+    """
+    if mode == "trigram":
+        low = F.lower(F.col(text_col))
+
+        def hits(grams: list[str]) -> Column:
+            total = F.lit(0)
+            for g in grams:
+                total = total + (
+                    F.length(low) - F.length(F.replace(low, F.lit(g), F.lit(g[:-1])))
+                )
+            return total
+
+        en_hits, de_hits = hits(EN_TRIGRAMS), hits(DE_TRIGRAMS)
+    else:
+        toks = tokens(F.lower(F.col(text_col)))
+        en_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+        de_arr = F.array(*[F.lit(w) for w in DE_STOPWORDS])
+        en_hits = F.size(F.filter(toks, lambda x: F.array_contains(en_arr, x)))
+        de_hits = F.size(F.filter(toks, lambda x: F.array_contains(de_arr, x)))
     return df.withColumn(
         out,
         F.when((en_hits > de_hits) & (en_hits > 0), F.lit("en"))
         .when((de_hits > en_hits) & (de_hits > 0), F.lit("de"))
         .otherwise(F.lit("und")),
+    )
+
+
+def kgram_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 5,
+    mod_p: int = 4,
+) -> DataFrame:
+    """Rolling-hash document fingerprinting (MOD-p / 0-mod-p sampling,
+    the scheme winnowing improves on): hash every token k-gram with a
+    stable hash, keep the ~1/mod_p of hashes ≡ 0 (mod mod_p) as the
+    document's fingerprint set, plus an order-insensitive digest.
+    Copied/overlapping passages share fingerprints regardless of
+    position — the plagiarism/near-dup detection primitive. Pure array
+    expressions, no shuffle."""
+    from ilogtail_spark.functions.dedup import _hash32, _shingles
+
+    hashes = F.transform(_shingles(F.col(text_col), k), _hash32)
+    sampled = F.array_sort(
+        F.array_distinct(F.filter(hashes, lambda h: h % mod_p == 0))
+    )
+    return df.select(
+        F.col(id_col),
+        sampled.alias("fingerprints"),
+        F.md5(F.array_join(F.transform(sampled, lambda h: h.cast("string")), ",")).alias(
+            "fp_digest"
+        ),
+        F.size(sampled).alias("n_fingerprints"),
     )
 
 

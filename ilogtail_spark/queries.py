@@ -956,6 +956,55 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(emb, qs, k=5)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN — coarse-centroid bucketing scale path;
+    rows-only check (probe recall < 1 by design, brute-force twin is the
+    oracle-checked anchor)."""
+    from ilogtail_spark.functions.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") < 3)
+    return ivf_topk(emb, qs, k=5, n_centroids=16, n_probes=2)
+
+
+def q_lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram n-gram language-ID mode."""
+    from ilogtail_spark.functions.textstats import lang_id as _lang_id
+
+    d = _lang_id(_docs(spark, sf_dir), mode="trigram")
+    return d.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n"))
+
+
+_EN_TRI_SQL = "[' th','the','he ','ing','nd ',' an','and',' of','of ','ed ']"
+_DE_TRI_SQL = "['en ','er ',' de','der','ie ','ch ','sch','ein',' un','und']"
+
+O_LANG_ID_TRIGRAM = rf"""
+WITH hits AS (
+  SELECT doc_id,
+    list_reduce(list_transform({_EN_TRI_SQL},
+      g -> len(text) - len(replace(lower(text), g, substring(g, 1, len(g)-1)))),
+      (a, b) -> a + b) AS en_hits,
+    list_reduce(list_transform({_DE_TRI_SQL},
+      g -> len(text) - len(replace(lower(text), g, substring(g, 1, len(g)-1)))),
+      (a, b) -> a + b) AS de_hits
+  FROM documents)
+SELECT CASE WHEN en_hits > de_hits AND en_hits > 0 THEN 'en'
+            WHEN de_hits > en_hits AND de_hits > 0 THEN 'de'
+            ELSE 'und' END AS lang_pred, count(*) AS n
+FROM hits GROUP BY 1
+"""
+
+
+def q_kgram_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash MOD-p fingerprint sampling — rows-only check (md5
+    k-gram hashes have no DuckDB arithmetic equivalent); determinism and
+    copy-detection semantics pytest-verified."""
+    from ilogtail_spark.functions.textstats import kgram_fingerprints
+
+    f = kgram_fingerprints(_docs(spark, sf_dir))
+    return f.select("doc_id", "fp_digest", "n_fingerprints")
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: Arrow-batched mapInPandas feature extraction
     over binary payloads (deterministic fake kernel) — rows-only check."""
@@ -1014,6 +1063,9 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_dup": q_embedding_dup,
     "embedding_dup_lsh": q_embedding_dup_lsh,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
+    "lang_id_trigram": q_lang_id_trigram,
+    "kgram_fingerprints": q_kgram_fingerprints,
     "media_features": q_media_features,
 }
 
@@ -1057,6 +1109,7 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard": O_NGRAM_JACCARD,
     "ann_brute_force": O_ANN_BRUTE_FORCE,
     "embedding_dup": O_EMBEDDING_DUP,
+    "lang_id_trigram": O_LANG_ID_TRIGRAM,
 }
 
 # queries intentionally without oracle (non-SQL-expressible internals):
@@ -1067,5 +1120,7 @@ NO_ORACLE: dict[str, str] = {
     "simhash": "bit-vote hashing; exact-jaccard twin is oracle-checked",
     "ann_lsh": "hyperplane LSH; brute-force twin is oracle-checked",
     "embedding_dup_lsh": "LSH recall<1 by design; exact twin is oracle-checked",
+    "ann_ivf": "IVF probe recall<1 by design; brute-force twin is oracle-checked",
+    "kgram_fingerprints": "md5 k-gram hashes have no DuckDB arithmetic form",
     "media_features": "Arrow mapInPandas kernel (no SQL form)",
 }

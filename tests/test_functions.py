@@ -92,6 +92,19 @@ class TestSimilarity:
         assert out[0]["n_id"] == 1 and out[0]["cos_sim"] == 1.0
         assert out[1]["n_id"] == 3
 
+    def test_ivf_finds_identical_vector(self, spark):
+        from ilogtail_spark.functions.similarity import ivf_topk
+
+        # (i+j)%7 repeats every 7 ids: vecs 5,12,19,26 are identical, plus
+        # the planted copy 100 — all must surface with cosine 1.0
+        rows = [(i, [float((i + j) % 7) for j in range(8)]) for i in range(32)]
+        rows.append((100, rows[5][1]))  # identical to vec 5
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        qs = emb.filter(F.col("vec_id") == 5)
+        out = ivf_topk(emb, qs, k=4, n_centroids=4, n_probes=2).orderBy("rank").collect()
+        assert {r["n_id"] for r in out} == {12, 19, 26, 100}
+        assert all(r["cos_sim"] == 1.0 for r in out)
+
     def test_lsh_buckets_identical_together(self, spark):
         rows = [(i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2)])
                 for i in range(9)]
@@ -148,6 +161,37 @@ class TestTextstats:
         )
         out = {r["doc_id"]: r["lang_pred"] for r in lang_id(df).collect()}
         assert out == {1: "en", 2: "de", 3: "und"}
+
+    def test_lang_id_trigram_mode(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the thing and the other thing of interest"),
+             (2, "der schoene hund und die schoene katze ein wunder"),
+             (3, "zzz qqq")],
+            DOC_SCHEMA,
+        )
+        out = {r["doc_id"]: r["lang_pred"]
+               for r in lang_id(df, mode="trigram").collect()}
+        assert out == {1: "en", 2: "de", 3: "und"}
+
+    def test_kgram_fingerprints_copy_detection(self, spark):
+        from ilogtail_spark.functions.textstats import kgram_fingerprints
+
+        shared = "alpha beta gamma delta epsilon zeta eta theta"
+        rows = [
+            (1, shared + " unique tail one two three"),
+            (2, "different head four five " + shared),
+            (3, "totally unrelated words here nothing shared at all ok"),
+        ]
+        df = spark.createDataFrame(rows, DOC_SCHEMA)
+        out = {r["doc_id"]: set(r["fingerprints"])
+               for r in kgram_fingerprints(df, k=4, mod_p=2).collect()}
+        # overlapping passage ⇒ shared fingerprints regardless of position
+        assert out[1] & out[2]
+        assert not (out[1] & out[3])
+        # deterministic
+        out2 = {r["doc_id"]: set(r["fingerprints"])
+                for r in kgram_fingerprints(df, k=4, mod_p=2).collect()}
+        assert out == out2
 
     def test_fingerprint_deterministic_order_sensitive(self, spark):
         df = spark.createDataFrame(
