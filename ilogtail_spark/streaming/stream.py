@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 TRANSCRIPT_SCHEMA = T.StructType(
@@ -45,6 +46,41 @@ def stream_transcripts(
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
+    )
+
+
+def windowed_route_counts(
+    stream: DataFrame,
+    spec: dict[str, Any],
+    *,
+    window_duration: str = "1 minute",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Event-time windowed per-sink counts with a watermark.
+
+    The reference handles late data by ingestion-time batching + timeout
+    flush (core/pipeline/batch/TimeoutFlushManager.cpp) and discards
+    history beyond a threshold (ProcessorParseTimestampNative). The
+    Spark-native upgrade: event-time windows + watermark — rows later
+    than `watermark` past the max seen event time are dropped, windows
+    finalize (and emit, in append mode) once the watermark passes their
+    end. State is bounded by (routes × open windows).
+    """
+    from ilogtail_spark.plans.pipeline import apply_processors, apply_router
+
+    routed = apply_router(
+        apply_processors(stream, spec.get("processors", [])), spec.get("router")
+    )
+    return (
+        routed.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("win"), F.col("route"))
+        .agg(F.count(F.lit(1)).alias("log_count"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "route",
+            "log_count",
+        )
     )
 
 

@@ -47,6 +47,46 @@ class TestGen:
 
 
 class TestStreaming:
+    def test_windowed_watermark_counts(self, spark):
+        import shutil as _sh
+
+        from ilogtail_spark.streaming.stream import (
+            stream_transcripts,
+            windowed_route_counts,
+        )
+
+        in_dir = "/tmp/ilogtail_spark_wm_in"
+        ck = "/tmp/ilogtail_spark_wm_ck"
+        _sh.rmtree(in_dir, ignore_errors=True)
+        _sh.rmtree(ck, ignore_errors=True)
+        t = gen_transcripts(spark, 30)
+        t.coalesce(2).write.parquet(in_dir)
+
+        src = stream_transcripts(spark, in_dir)
+        agg = windowed_route_counts(src, FLAGSHIP_SPEC, window_duration="1 hour",
+                                    watermark="1 minute")
+        q = (
+            agg.writeStream.format("memory").queryName("wm_out")
+            .option("checkpointLocation", ck)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
+        got = spark.sql("select * from wm_out").collect()
+        # append mode emits only watermark-finalized windows: every
+        # emitted window must be complete and counts must match batch
+        exp = (
+            build_pipeline(spark.read.parquet(in_dir), FLAGSHIP_SPEC)
+            .groupBy(F.window("ts", "1 hour").alias("win"), F.col("route"))
+            .count()
+            .collect()
+        )
+        exp_map = {(r["win"]["start"], r["route"]): r["count"] for r in exp}
+        assert len(got) > 0
+        for r in got:
+            assert exp_map[(r["window_start"], r["route"])] == r["log_count"]
+
     def test_stream_equals_batch(self, spark):
         shutil.rmtree(STREAM_DIR, ignore_errors=True)
         shutil.rmtree(STREAM_OUT, ignore_errors=True)
