@@ -573,7 +573,8 @@ def q_pack_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_PACK_JSON = f"""{_CTE}
 SELECT conv_id, turn_idx,
-  json_object('conv_id', conv_id, 'turn_idx', turn_idx, 'role', role) AS packed
+  cast(json_object('conv_id', conv_id, 'turn_idx', turn_idx, 'role', role)
+       AS varchar) AS packed
 FROM transcripts
 """
 
@@ -625,8 +626,8 @@ SELECT {_O_ROUTE_EXPR} AS route,
     WHEN 'system' THEN 'control' WHEN 'tool' THEN 'machine'
     ELSE 'Unknown' END AS role_group,
   count(*) AS log_count,
-  sum(CASE WHEN regexp_matches(text, '{_NGINX_RE}')
-      THEN cast(regexp_extract(text, '{_NGINX_RE}', 7) AS bigint) ELSE 0 END) AS sum_bytes
+  cast(sum(CASE WHEN regexp_matches(text, '{_NGINX_RE}')
+      THEN cast(regexp_extract(text, '{_NGINX_RE}', 7) AS bigint) ELSE 0 END) AS bigint) AS sum_bytes
 FROM transcripts GROUP BY 1, 2
 """
 
@@ -681,7 +682,7 @@ def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_EVENTS_PROPS = """
 SELECT event_type, count(*) AS n,
-  sum(cast(json_extract_string(props, '$.k') AS int)) AS sum_k,
+  cast(sum(cast(json_extract_string(props, '$.k') AS int)) AS bigint) AS sum_k,
   round(avg(value), 4) AS avg_value
 FROM events GROUP BY event_type
 """
@@ -840,7 +841,7 @@ WITH tok AS (
     generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos1
   FROM documents)
 SELECT doc_id,
-  sum((pos1 * (length(tok) * 131 + ascii(tok))) % 1000000007) % 1000000007 AS fingerprint,
+  cast(sum((pos1 * (length(tok) * 131 + ascii(tok))) % 1000000007) % 1000000007 AS bigint) AS fingerprint,
   count(*) AS n_tokens
 FROM tok GROUP BY doc_id
 """

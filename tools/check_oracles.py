@@ -25,6 +25,42 @@ def norm(v):
     return str(v)
 
 
+def canon_spark_type(dt: str) -> str:
+    dt = dt.lower()
+    if dt in ("tinyint", "smallint", "int", "bigint", "long", "integer"):
+        return "int"
+    if dt in ("float", "double"):
+        return "float"
+    if dt.startswith("decimal"):
+        return "decimal"
+    if dt.startswith("timestamp"):
+        return "ts"
+    if dt.startswith("array"):
+        return "list"
+    return {"string": "str", "boolean": "bool", "date": "date"}.get(dt, dt)
+
+
+def canon_duck_type(t) -> str:
+    s = str(t).upper()
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if s in ("HUGEINT", "UHUGEINT"):
+        # DuckDB promotes sum(INT/BIGINT) to HUGEINT; the driver's value-hash
+        # is type-sensitive, so an oracle must CAST these to BIGINT explicitly.
+        return "hugeint"
+    if s in ("FLOAT", "DOUBLE", "REAL"):
+        return "float"
+    if s.startswith("DECIMAL"):
+        return "decimal"
+    if s.startswith("TIMESTAMP"):
+        return "ts"
+    if s.endswith("[]") or s.startswith("LIST") or s.startswith("STRUCT("):
+        return "list"
+    return {"VARCHAR": "str", "JSON": "str", "BOOLEAN": "bool",
+            "DATE": "date"}.get(s, s)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -74,9 +110,16 @@ def main() -> None:
         dcols = sorted(dcols_raw)
         didx = [dcols_raw.index(c) for c in dcols]
         dset = sorted(tuple(norm(r[i]) for i in didx) for r in drows)
+        stypes = {c: canon_spark_type(t) for c, t in sdf.dtypes}
+        dtypes = {c: canon_duck_type(t) for c, t in zip(dcols_raw, rel.types)}
+        badtypes = {c: (stypes[c], dtypes[c]) for c in stypes
+                    if c in dtypes and stypes[c] != dtypes[c]}
         if scols != dcols:
             failures.append(name)
             print(f"FAIL  {name}: columns {scols} vs {dcols}")
+        elif badtypes:
+            failures.append(name)
+            print(f"FAIL  {name}: type mismatch spark-vs-duckdb {badtypes}")
         elif len(sset) != len(dset):
             failures.append(name)
             print(f"FAIL  {name}: rowcount {len(sset)} vs {len(dset)}")
