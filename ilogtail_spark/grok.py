@@ -8,12 +8,20 @@ Reimplements the semantics of processor_grok
     `double`/`bool`) applied after extraction (processor_grok.go:49).
 
 The reference denormalizes the pattern graph with a topological sort
-(processor_grok.go:218-258, sort at :380-427) so each pattern is expanded
-exactly once; we achieve the same closure by memoized recursive expansion
-with cycle detection. The compiled artifact is ONE plain-group regex plus
-an ordered (alias, type, group_index) list — group indices are counted the
-same way Java and Python do (opening parens of capturing groups), so the
-result runs unchanged in JVM ``regexp_extract`` or pandas ``str.extract``.
+(processor_grok.go:218-258, sort at :380-427), wrapping every referenced
+pattern in a group — named `(?P<alias>...)` when aliased, plain `(...)`
+when not (denormalizePattern, processor_grok.go:261-295) — and at match
+time keeps every NAMED group's capture while skipping numeric (unnamed)
+groups (processor_grok.go:141-152). So inner aliases survive un-aliased
+references: `%{COMBINEDAPACHELOG}` extracts clientip/verb/… even with no
+top-level alias. We reproduce that closure by recursive expansion with
+cycle detection, where the ONLY capturing groups in the output are the
+aliased references (at any depth, in opening-paren order ⇒ contiguous
+group indices 1..n); un-aliased references, library parens, and literal
+parens the user wrote are all rewritten non-capturing — exactly the set
+the reference's extraction loop would skip. The compiled artifact is ONE
+plain-group regex plus an ordered (alias, type, group_index) list that
+runs unchanged in JVM ``regexp_extract`` or pandas ``str.extract``.
 
 Multiple `Match` expressions are tried in order, first match wins
 (processor_grok.go:135-173) — see :func:`grok_parse`.
@@ -27,16 +35,20 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# A compact default pattern library covering the reference's commonly-used
-# subset (processor_grok_default_patterns.go ships 97; these are the ones
-# its tests and docs exercise). All standard grok definitions — public
-# knowledge, written fresh.
+# The full default pattern library at name parity with the reference's 78
+# entries (processor_grok_default_patterns.go) — these are the standard
+# public grok/logstash pattern definitions, written fresh. Where the
+# upstream library uses regexp2-only syntax that Java/Python support
+# (fixed-width lookbehind, atomic groups on Python ≥3.11) it is kept;
+# where it doesn't matter for matching we keep the simpler equivalent.
 DEFAULT_PATTERNS: dict[str, str] = {
     "USERNAME": r"[a-zA-Z0-9._-]+",
     "USER": r"%{USERNAME}",
     "INT": r"(?:[+-]?(?:[0-9]+))",
     "BASE10NUM": r"(?:[+-]?(?:[0-9]+(?:\.[0-9]+)?)|\.[0-9]+)",
     "NUMBER": r"(?:%{BASE10NUM})",
+    "BASE16NUM": r"(?<![0-9A-Fa-f])(?:[+-]?(?:0x)?(?:[0-9A-Fa-f]+))",
+    "BASE16FLOAT": r"\b(?<![0-9A-Fa-f.])(?:[+-]?(?:0x)?(?:(?:[0-9A-Fa-f]+(?:\.[0-9A-Fa-f]*)?)|(?:\.[0-9A-Fa-f]+)))\b",
     "POSINT": r"\b(?:[1-9][0-9]*)\b",
     "NONNEGINT": r"\b(?:[0-9]+)\b",
     "WORD": r"\b\w+\b",
@@ -47,17 +59,24 @@ DEFAULT_PATTERNS: dict[str, str] = {
     "QUOTEDSTRING": r'(?:"(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\')',
     "QS": r"%{QUOTEDSTRING}",
     "UUID": r"[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}",
+    "URN": r"urn:[0-9A-Za-z][0-9A-Za-z-]{0,31}:(?:%[0-9a-fA-F]{2}|[0-9A-Za-z()+,.:=@;$_!*'/?#-])+",
     "IPV4": r"(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)",
     "IPV6": r"(?:[0-9A-Fa-f]{0,4}:){2,7}(?:[0-9A-Fa-f]{0,4}|%{IPV4})",
     "IP": r"(?:%{IPV6}|%{IPV4})",
     "HOSTNAME": r"\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\.?\b",
     "HOST": r"%{HOSTNAME}",
     "IPORHOST": r"(?:%{IP}|%{HOSTNAME})",
+    "HOSTPORT": r"%{IPORHOST}:%{POSINT}",
     "EMAILLOCALPART": r"[a-zA-Z][a-zA-Z0-9_.+-=:]+",
     "EMAILADDRESS": r"%{EMAILLOCALPART}@%{HOSTNAME}",
-    "MAC": r"(?:[A-Fa-f0-9]{2}[:-]){5}[A-Fa-f0-9]{2}",
+    "HTTPDUSER": r"%{EMAILADDRESS}|%{USER}",
+    "CISCOMAC": r"(?:(?:[A-Fa-f0-9]{4}\.){2}[A-Fa-f0-9]{4})",
+    "WINDOWSMAC": r"(?:(?:[A-Fa-f0-9]{2}-){5}[A-Fa-f0-9]{2})",
+    "COMMONMAC": r"(?:(?:[A-Fa-f0-9]{2}:){5}[A-Fa-f0-9]{2})",
+    "MAC": r"(?:%{CISCOMAC}|%{WINDOWSMAC}|%{COMMONMAC})",
     "MONTH": r"\b(?:Jan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|Apr(?:il)?|May|Jun(?:e)?|Jul(?:y)?|Aug(?:ust)?|Sep(?:tember)?|Oct(?:ober)?|Nov(?:ember)?|Dec(?:ember)?)\b",
     "MONTHNUM": r"(?:0?[1-9]|1[0-2])",
+    "MONTHNUM2": r"(?:0[1-9]|1[0-2])",
     "MONTHDAY": r"(?:(?:0[1-9])|(?:[12][0-9])|(?:3[01])|[1-9])",
     "DAY": r"(?:Mon(?:day)?|Tue(?:sday)?|Wed(?:nesday)?|Thu(?:rsday)?|Fri(?:day)?|Sat(?:urday)?|Sun(?:day)?)",
     "YEAR": r"(?:\d\d){1,2}",
@@ -72,25 +91,84 @@ DEFAULT_PATTERNS: dict[str, str] = {
     "TIMESTAMP_ISO8601": r"%{YEAR}-%{MONTHNUM}-%{MONTHDAY}[T ]%{HOUR}:?%{MINUTE}(?::?%{SECOND})?%{ISO8601_TIMEZONE}?",
     "DATE": r"%{DATE_US}|%{DATE_EU}",
     "DATESTAMP": r"%{DATE}[- ]%{TIME}",
+    "TZ": r"(?:[PMCE][SD]T|UTC|GMT)",
+    "DATESTAMP_RFC822": r"%{DAY} %{MONTH} %{MONTHDAY} %{YEAR} %{TIME} %{TZ}",
+    "DATESTAMP_RFC2822": r"%{DAY}, %{MONTHDAY} %{MONTH} %{YEAR} %{TIME} %{ISO8601_TIMEZONE}",
+    "DATESTAMP_OTHER": r"%{DAY} %{MONTH} %{MONTHDAY} %{TIME} %{TZ} %{YEAR}",
+    "DATESTAMP_EVENTLOG": r"%{YEAR}%{MONTHNUM2}%{MONTHDAY}%{HOUR}%{MINUTE}%{SECOND}",
+    "HTTPDERROR_DATE": r"%{DAY} %{MONTH} %{MONTHDAY} %{TIME} %{YEAR}",
     "HTTPDATE": r"%{MONTHDAY}/%{MONTH}/%{YEAR}:%{TIME} %{INT}",
+    "SYSLOGTIMESTAMP": r"%{MONTH} +%{MONTHDAY} %{TIME}",
+    "PROG": r"[\x21-\x5a\x5c\x5e-\x7e]+",
+    "SYSLOGPROG": r"%{PROG:program}(?:\[%{POSINT:pid}\])?",
+    "SYSLOGHOST": r"%{IPORHOST}",
+    "SYSLOGFACILITY": r"<%{NONNEGINT:facility}.%{NONNEGINT:priority}>",
+    "SYSLOGBASE": r"%{SYSLOGTIMESTAMP:timestamp} (?:%{SYSLOGFACILITY} )?%{SYSLOGHOST:logsource} %{SYSLOGPROG}:",
     "LOGLEVEL": r"(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|NOTICE|[Ii]nfo?(?:rmation)?|INFO?(?:RMATION)?|[Ww]arn?(?:ing)?|WARN?(?:ING)?|[Ee]rr?(?:or)?|ERR?(?:OR)?|[Cc]rit(?:ical)?|CRIT(?:ICAL)?|[Ff]atal|FATAL|[Ss]evere|SEVERE|EMERG(?:ENCY)?|[Ee]merg(?:ency)?)",
+    "TTY": r"(?:/dev/(pts|tty([pq])?)(\w+)?/?(?:[0-9]+))",
     "UNIXPATH": r"(?:/[\w_%!$@:.,+~-]+)+",
     "WINPATH": r"(?:[A-Za-z]+:|\\)(?:\\[^\\?*]*)+",
     "PATH": r"(?:%{UNIXPATH}|%{WINPATH})",
     "URIPROTO": r"[A-Za-z](?:[A-Za-z0-9+\-.]+)+",
-    "URIHOST": r"%{IPORHOST}(?::%{POSINT})?",
+    "URIHOST": r"%{IPORHOST}(?::%{POSINT:port})?",
     "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%&_\-]*)+",
     "URIQUERY": r"[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\-\[\]<>]*",
     "URIPARAM": r"\?%{URIQUERY}",
-    "URIPATHPARAM": r"%{URIPATH}(?:\?%{URIQUERY})?",
+    "URIPATHPARAM": r"%{URIPATH}(?:%{URIPARAM})?",
     "URI": r"%{URIPROTO}://(?:%{USER}(?::[^@]*)?@)?(?:%{URIHOST})?(?:%{URIPATHPARAM})?",
-    "SYSLOGTIMESTAMP": r"%{MONTH} +%{MONTHDAY} %{TIME}",
-    "COMBINEDAPACHELOG": r'%{IPORHOST:clientip} %{USER:ident} %{USER:auth} \[%{HTTPDATE:timestamp}\] "(?:%{WORD:verb} %{NOTSPACE:request}(?: HTTP/%{NUMBER:httpversion})?|%{DATA:rawrequest})" %{NUMBER:response} (?:%{NUMBER:bytes}|-) %{QS:referrer} %{QS:agent}',
+    "COMMONAPACHELOG": r'%{IPORHOST:clientip} %{HTTPDUSER:ident} %{USER:auth} \[%{HTTPDATE:timestamp}\] "(?:%{WORD:verb} %{NOTSPACE:request}(?: HTTP/%{NUMBER:httpversion})?|%{DATA:rawrequest})" %{NUMBER:response} (?:%{NUMBER:bytes}|-)',
+    "COMBINEDAPACHELOG": r"%{COMMONAPACHELOG} %{QS:referrer} %{QS:agent}",
+    "HTTPD20_ERRORLOG": r"\[%{HTTPDERROR_DATE:timestamp}\] \[%{LOGLEVEL:loglevel}\] (?:\[client %{IPORHOST:clientip}\] ){0,1}%{GREEDYDATA:errormsg}",
+    "HTTPD24_ERRORLOG": r"\[%{HTTPDERROR_DATE:timestamp}\] \[%{WORD:module}:%{LOGLEVEL:loglevel}\] \[pid %{POSINT:pid}:tid %{NUMBER:tid}\]( \(%{POSINT:proxy_errorcode}\)%{DATA:proxy_errormessage}:)?( \[client %{IPORHOST:client}:%{POSINT:clientport}\])? %{DATA:errorcode}: %{GREEDYDATA:message}",
+    "HTTPD_ERRORLOG": r"%{HTTPD20_ERRORLOG}|%{HTTPD24_ERRORLOG}",
 }
 
 _GROK_REF = re.compile(r"%\{(\w+)(?::([\w.\[\]]+))?(?::(\w+))?\}")
-# an unescaped '(' that starts a *capturing* group
-_CAPTURING_PAREN = re.compile(r"(?<!\\)\((?!\?)")
+
+
+def _neutralize(s: str) -> str:
+    """Rewrite every capturing ``(`` in a regex fragment to ``(?:``.
+
+    Linear scan that is escape- and character-class-aware: ``\\(`` stays a
+    literal, ``(`` inside ``[...]`` stays a class member (including the
+    ``[]]`` / ``[^]]`` literal-bracket forms), and ``(?...)`` constructs
+    (non-capturing, lookaround, atomic, flags) pass through unchanged.
+    """
+    out: list[str] = []
+    i, n = 0, len(s)
+    in_class = False
+    just_opened = False  # directly after '[' or '[^' — ']' is literal there
+    while i < n:
+        c = s[i]
+        if c == "\\" and i + 1 < n:
+            out.append(s[i : i + 2])
+            i += 2
+            just_opened = False
+            continue
+        if in_class:
+            if c == "^" and just_opened and out[-1] == "[":
+                out.append(c)
+                i += 1
+                continue
+            if c == "]" and not just_opened:
+                in_class = False
+            out.append(c)
+            i += 1
+            just_opened = False
+            continue
+        if c == "[":
+            in_class = True
+            just_opened = True
+            out.append(c)
+            i += 1
+            continue
+        if c == "(" and not (i + 1 < n and s[i + 1] == "?"):
+            out.append("(?:")
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
 
 
 @dataclass
@@ -115,64 +193,48 @@ def compile_grok(
     """Denormalize a grok expression into one plain-group regex.
 
     Equivalent closure to the reference's topo-sorted denormalization
-    (processor_grok.go:261-295): every %{REF} is fully inlined; alias
-    captures become plain `(...)` groups; group indices are assigned by
-    opening-paren order, counting any literal capturing parens the user
-    wrote in `expr` itself (they get index slots but no alias).
+    (processor_grok.go:261-295) + named-groups-only extraction
+    (processor_grok.go:141-152): every %{REF} is fully inlined; ALIASED
+    references — at any nesting depth, so inner aliases of an un-aliased
+    %{REF} survive, e.g. %{SYSLOGPROG} yields program/pid — become plain
+    `(...)` groups in opening-paren order; everything else (un-aliased
+    refs, library parens, literal parens the user wrote) is rewritten
+    non-capturing, matching the groups the reference's extraction skips.
+    Group indices are therefore contiguous 1..len(fields).
     """
     patterns = dict(DEFAULT_PATTERNS)
     if custom_patterns:
         patterns.update(custom_patterns)
 
-    memo: dict[str, str] = {}
+    # (alias, type) in opening-paren order; indices assigned at the end
+    flat: list[tuple[str, str]] = []
 
-    def expand_plain(name: str, stack: tuple[str, ...]) -> str:
-        """Expand a referenced pattern with all inner aliases discarded
-        (an un-aliased %{REF} captures nothing, grok semantics)."""
-        if name in memo:
-            return memo[name]
-        if name in stack:
-            raise ValueError(f"grok pattern cycle: {' -> '.join(stack)} -> {name}")
-        if name not in patterns:
-            raise KeyError(f"unknown grok pattern %{{{name}}}")
-        body = patterns[name]
-
-        def sub(m: re.Match[str]) -> str:
-            return "(?:" + expand_plain(m.group(1), stack + (name,)) + ")"
-
-        out = _GROK_REF.sub(sub, body)
-        # neutralize capturing parens inside library patterns so they don't
-        # shift user group indices
-        out = _CAPTURING_PAREN.sub("(?:", out)
-        memo[name] = out
-        return out
-
-    fields: list[tuple[str, str, int]] = []
-    counter = {"g": 0}
-
-    def build(s: str) -> str:
+    def expand(s: str, stack: tuple[str, ...]) -> str:
         out: list[str] = []
         pos = 0
         for m in _GROK_REF.finditer(s):
-            lit = s[pos : m.start()]
-            counter["g"] += len(_CAPTURING_PAREN.findall(lit))
-            out.append(lit)
+            out.append(_neutralize(s[pos : m.start()]))
             name, alias, typ = m.group(1), m.group(2), m.group(3)
-            inner = expand_plain(name, ())
+            if name in stack:
+                raise ValueError(
+                    f"grok pattern cycle: {' -> '.join(stack)} -> {name}"
+                )
+            if name not in patterns:
+                raise KeyError(f"unknown grok pattern %{{{name}}}")
             if alias:
-                counter["g"] += 1
-                fields.append((alias.replace(".", "_"), typ or "string", counter["g"]))
-                out.append("(" + inner + ")")
+                # outer group opens before the inner ones expand — append
+                # the field record first to keep opening-paren order
+                flat.append((re.sub(r"\W", "_", alias), typ or "string"))
+                out.append("(" + expand(patterns[name], stack + (name,)) + ")")
             else:
-                out.append("(?:" + inner + ")")
+                out.append("(?:" + expand(patterns[name], stack + (name,)) + ")")
             pos = m.end()
-        tail = s[pos:]
-        counter["g"] += len(_CAPTURING_PAREN.findall(tail))
-        out.append(tail)
+        out.append(_neutralize(s[pos:]))
         return "".join(out)
 
-    regex = build(expr)
+    regex = expand(expr, ())
     re.compile(regex)  # validate eagerly, driver-side
+    fields = [(a, t, i + 1) for i, (a, t) in enumerate(flat)]
     return CompiledGrok(regex=regex, fields=fields)
 
 

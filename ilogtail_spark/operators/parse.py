@@ -129,13 +129,31 @@ def regex_parse(
     if guard is not None:
         matched = guard & matched
     cols = {}
-    for i, k in enumerate(keys, start=1):
-        c = F.when(matched, F.regexp_extract(F.col(source_key), pat, i))
+    for k, idxs in _key_slots(keys).items():
+        raw = F.regexp_extract(F.col(source_key), pat, idxs[0] + 1)
+        for j in idxs[1:]:
+            raw = F.coalesce(
+                F.nullif(raw, F.lit("")),
+                F.regexp_extract(F.col(source_key), pat, j + 1),
+            )
+        c = F.when(matched, raw)
         if k in types:
             c = c.cast(types[k])
         cols[k] = c
     df = df.withColumns(cols)
     return _apply_keep_source(df, source_key, matched, keep_source, keep_source_if_parse_error)
+
+
+def _key_slots(keys: list[str]) -> dict[str, list[int]]:
+    """Map key name → 0-based capture-group positions feeding it. Grok
+    aliases may repeat across alternation branches (e.g. HTTPD_ERRORLOG's
+    timestamp); only one branch participates in a match, so the first
+    non-empty capture is the value — the columnar analog of the
+    reference's skip-empty-captures extraction (processor_grok.go:148)."""
+    slots: dict[str, list[int]] = {}
+    for i, k in enumerate(keys):
+        slots.setdefault(k, []).append(i)
+    return slots
 
 
 def _anchor(pat: str) -> str:
@@ -174,8 +192,11 @@ def _regex_parse_onepass(
     matched = packed.isNotNull() & packed.startswith(_ONEPASS_SENT)
     arr = F.split(F.substring(packed, 2, 2147483647), _ONEPASS_SEP)
     cols = {}
-    for i, k in enumerate(keys):
-        c = F.when(matched, arr.getItem(i))
+    for k, idxs in _key_slots(keys).items():
+        raw = arr.getItem(idxs[0])
+        for j in idxs[1:]:
+            raw = F.coalesce(F.nullif(raw, F.lit("")), arr.getItem(j))
+        c = F.when(matched, raw)
         if k in types:
             c = c.cast(types[k])
         cols[k] = c

@@ -148,6 +148,70 @@ FROM transcripts WHERE regexp_matches(text, '{_APP_RE}')
 """
 
 
+def q_grok_apache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Un-aliased %{COMBINEDAPACHELOG}: the referenced pattern's inner
+    aliases (clientip/verb/…) propagate, per the reference's
+    denormalizePattern semantics (processor_grok.go:261-295). Exercises
+    the completed 78-pattern default library on the nginx-format rows."""
+    t = _t(spark, sf_dir)
+    g = grok_parse(t, "%{COMBINEDAPACHELOG}", "text")
+    return g.filter(F.col("clientip").isNotNull()).select(
+        "conv_id", "turn_idx", "clientip", "timestamp", "verb", "request",
+        "httpversion",
+        F.col("response").cast("int").alias("response"),
+        F.col("bytes").cast("long").alias("bytes"),
+        F.expr("trim(BOTH '\"' FROM agent)").alias("agent"),
+    )
+
+
+O_GROK_APACHE = f"""{_CTE}
+SELECT conv_id, turn_idx,
+  regexp_extract(text, '{_NGINX_RE}', 1) AS clientip,
+  regexp_extract(text, '{_NGINX_RE}', 2) AS "timestamp",
+  regexp_extract(text, '{_NGINX_RE}', 3) AS verb,
+  regexp_extract(text, '{_NGINX_RE}', 4) AS request,
+  regexp_extract(text, '{_NGINX_RE}', 5) AS httpversion,
+  cast(regexp_extract(text, '{_NGINX_RE}', 6) AS int) AS response,
+  cast(regexp_extract(text, '{_NGINX_RE}', 7) AS bigint) AS bytes,
+  regexp_extract(text, '{_NGINX_RE}', 9) AS agent
+FROM transcripts WHERE regexp_matches(text, '{_NGINX_RE}')
+"""
+
+
+# syslog text synthesized by ONE shared SQL expression so Spark and DuckDB
+# see identical bytes (same trick as TRANSCRIPTS_SQL_BODY)
+_SYSLOG_TEXT_SQL = (
+    "concat('Jan ', cast(1 + turn_idx % 28 AS string), ' 12:00:', "
+    "lpad(cast(turn_idx % 60 AS string), 2, '0'), ' host-', "
+    "cast(turn_idx % 5 AS string), ' ', coalesce(tool, 'agentd'), '[', "
+    "cast(10 + turn_idx % 90 AS string), ']: event from ', role)"
+)
+
+_SYSLOG_ORACLE_RE = r"^(\w+ +\d+ \d+:\d+:\d+) (\S+) ([^\[]+)\[(\d+)\]: (.*)$"
+
+
+def q_grok_syslog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """%{SYSLOGBASE}: timestamp/logsource/program/pid via the default
+    library's SYSLOG* family (processor_grok_default_patterns.go)."""
+    t = _t(spark, sf_dir).withColumn("syslog", F.expr(_SYSLOG_TEXT_SQL))
+    g = grok_parse(t, "%{SYSLOGBASE} %{GREEDYDATA:msg}", "syslog")
+    return g.select(
+        "conv_id", "turn_idx", "timestamp", "logsource", "program",
+        F.col("pid").cast("int").alias("pid"), "msg",
+    )
+
+
+O_GROK_SYSLOG = f"""{_CTE}
+SELECT conv_id, turn_idx,
+  regexp_extract({_SYSLOG_TEXT_SQL}, '{_SYSLOG_ORACLE_RE}', 1) AS "timestamp",
+  regexp_extract({_SYSLOG_TEXT_SQL}, '{_SYSLOG_ORACLE_RE}', 2) AS logsource,
+  regexp_extract({_SYSLOG_TEXT_SQL}, '{_SYSLOG_ORACLE_RE}', 3) AS program,
+  cast(regexp_extract({_SYSLOG_TEXT_SQL}, '{_SYSLOG_ORACLE_RE}', 4) AS int) AS pid,
+  regexp_extract({_SYSLOG_TEXT_SQL}, '{_SYSLOG_ORACLE_RE}', 5) AS msg
+FROM transcripts
+"""
+
+
 def q_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """processor_json: schema'd expand with connector naming."""
     t = _t(spark, sf_dir).filter(F.col("text").startswith("{"))
@@ -1021,6 +1085,8 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, QueryFn] = {
     "regex_parse": q_regex_parse,
     "grok_parse": q_grok_parse,
+    "grok_apache": q_grok_apache,
+    "grok_syslog": q_grok_syslog,
     "json_parse": q_json_parse,
     "csv_parse": q_csv_parse,
     "kv_parse": q_kv_parse,
@@ -1073,6 +1139,8 @@ QUERIES: dict[str, QueryFn] = {
 ORACLES: dict[str, str] = {
     "regex_parse": O_REGEX_PARSE,
     "grok_parse": O_GROK_PARSE,
+    "grok_apache": O_GROK_APACHE,
+    "grok_syslog": O_GROK_SYSLOG,
     "json_parse": O_JSON_PARSE,
     "csv_parse": O_CSV_PARSE,
     "kv_parse": O_KV_PARSE,

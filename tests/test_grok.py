@@ -22,12 +22,14 @@ class TestCompile:
         assert "%{" not in cg.regex
         assert re.fullmatch(cg.regex, "3.14").group(1) == "3.14"
 
-    def test_group_indices_count_user_parens(self):
+    def test_user_literal_parens_are_neutralized(self):
+        # the reference skips unnamed (numeric) groups at extraction
+        # (processor_grok.go:148), so a user-written literal group must not
+        # consume a field slot — indices stay contiguous over aliases only
         cg = compile_grok(r"(\w+)=%{INT:v}")
-        # user literal group shifts the alias to group 2
-        assert cg.fields == [("v", "string", 2)]
+        assert cg.fields == [("v", "string", 1)]
         m = re.search(cg.regex, "k=5")
-        assert m.group(2) == "5"
+        assert m.group(1) == "5"
 
     def test_library_inner_parens_do_not_capture(self):
         # IPV4 contains parens; they must not shift user groups
@@ -48,14 +50,92 @@ class TestCompile:
         with pytest.raises(ValueError, match="cycle"):
             compile_grok("%{A:x}", {"A": "%{B}", "B": "%{A}"})
 
-    def test_combined_apachelog(self):
+    def test_combined_apachelog_inner_aliases_propagate(self):
+        # an un-aliased %{REF} keeps the referenced pattern's named groups
+        # (denormalizePattern inlines processed patterns WITH their aliases,
+        # processor_grok.go:261-295)
         cg = compile_grok("%{COMBINEDAPACHELOG}", None)
-        # no aliases at top level (unaliased ref discards inner aliases)
         assert isinstance(cg, CompiledGrok)
+        assert cg.keys == [
+            "clientip", "ident", "auth", "timestamp", "verb", "request",
+            "httpversion", "rawrequest", "response", "bytes",
+            "referrer", "agent",
+        ]
+        line = ('10.1.2.3 - frank [10/Oct/2000:13:55:36 -0700] '
+                '"GET /apache_pb.gif HTTP/1.0" 200 2326 '
+                '"http://ref.example/" "Mozilla/4.08"')
+        m = re.search(cg.regex, line)
+        assert m is not None
+        got = {k: m.group(gi) for k, _, gi in cg.fields}
+        assert got["clientip"] == "10.1.2.3"
+        assert got["verb"] == "GET"
+        assert got["request"] == "/apache_pb.gif"
+        assert got["response"] == "200"
+        assert got["bytes"] == "2326"
+        assert got["agent"] == '"Mozilla/4.08"'
+
+    def test_syslogprog_inner_aliases(self):
+        cg = compile_grok("%{SYSLOGBASE} %{GREEDYDATA:msg}")
+        assert cg.keys == ["timestamp", "facility", "priority",
+                           "logsource", "program", "pid", "msg"]
+        m = re.search(cg.regex, "Oct 11 22:14:15 myhost sshd[1234]: boom")
+        got = {k: m.group(gi) for k, _, gi in cg.fields}
+        assert got["timestamp"] == "Oct 11 22:14:15"
+        assert got["logsource"] == "myhost"
+        assert got["program"] == "sshd"
+        assert got["pid"] == "1234"
+        assert got["msg"] == "boom"
+
+    def test_char_class_parens_survive(self):
+        # URIPATH's character class contains '(' — paren neutralization must
+        # not rewrite inside [...]: '/a?b' must match only '/a'
+        cg = compile_grok("%{URIPATH:p}")
+        m = re.search(cg.regex, "/a?b")
+        assert m.group(cg.fields[0][2]) == "/a"
+        # and parens inside the class still match literally
+        m2 = re.search(cg.regex, "/x(1)")
+        assert m2.group(cg.fields[0][2]) == "/x(1)"
 
     def test_default_patterns_all_compile(self):
         for name in DEFAULT_PATTERNS:
             compile_grok(f"%{{{name}:x}}")
+
+    def test_default_pattern_name_parity_with_reference(self):
+        # plugins/processor/grok/processor_grok_default_patterns.go ships 78
+        assert len(DEFAULT_PATTERNS) >= 78
+        required = {
+            "USERNAME", "USER", "EMAILLOCALPART", "EMAILADDRESS", "HTTPDUSER",
+            "INT", "BASE10NUM", "NUMBER", "BASE16NUM", "BASE16FLOAT",
+            "POSINT", "NONNEGINT", "WORD", "NOTSPACE", "SPACE", "DATA",
+            "GREEDYDATA", "QUOTEDSTRING", "QS", "UUID", "URN", "MAC",
+            "CISCOMAC", "WINDOWSMAC", "COMMONMAC", "IPV6", "IPV4", "IP",
+            "HOSTNAME", "HOST", "IPORHOST", "HOSTPORT", "PATH", "UNIXPATH",
+            "TTY", "WINPATH", "URIPROTO", "URIHOST", "URIPATH", "URIPARAM",
+            "URIPATHPARAM", "URI", "MONTH", "MONTHNUM", "MONTHNUM2",
+            "MONTHDAY", "DAY", "YEAR", "HOUR", "MINUTE", "SECOND", "TIME",
+            "DATE_US", "DATE_EU", "ISO8601_TIMEZONE", "ISO8601_SECOND",
+            "TIMESTAMP_ISO8601", "DATE", "DATESTAMP", "TZ",
+            "DATESTAMP_RFC822", "DATESTAMP_RFC2822", "DATESTAMP_OTHER",
+            "DATESTAMP_EVENTLOG", "HTTPDERROR_DATE", "SYSLOGTIMESTAMP",
+            "PROG", "SYSLOGPROG", "SYSLOGHOST", "SYSLOGFACILITY",
+            "HTTPDATE", "SYSLOGBASE", "COMMONAPACHELOG", "COMBINEDAPACHELOG",
+            "HTTPD20_ERRORLOG", "HTTPD24_ERRORLOG", "HTTPD_ERRORLOG",
+            "LOGLEVEL",
+        }
+        missing = required - set(DEFAULT_PATTERNS)
+        assert not missing, f"missing default grok patterns: {sorted(missing)}"
+
+    def test_duplicate_alias_across_branches(self, spark):
+        # HTTPD_ERRORLOG repeats timestamp/loglevel in both branches; only
+        # the matching branch's capture is non-empty and must win
+        df = spark.createDataFrame(
+            [("[Wed Oct 11 14:32:52 2000] [error] [client 1.2.3.4] oops",)],
+            "text string",
+        )
+        out = grok_parse(df, "%{HTTPD_ERRORLOG}").first()
+        assert out["timestamp"] == "Wed Oct 11 14:32:52 2000"
+        assert out["loglevel"] == "error"
+        assert out["errormsg"] == "oops"
 
 
 class TestGrokParse:
