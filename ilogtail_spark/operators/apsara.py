@@ -1,0 +1,115 @@
+"""Apsara-format log parsing.
+
+Reimplements ProcessorParseApsaraNative
+(core/plugin/processor/ProcessorParseApsaraNative.cpp) declaratively.
+
+Format: a leading run of bracketed base fields separated by tabs, then
+tab-separated ``key:value`` pairs::
+
+    [2024-01-01 00:00:05.123456]\t[ERROR]\t[1234]\t[/src/worker.cpp:88]\tk:v\t...
+
+Semantics mirrored from the reference:
+
+  * base field 0 is the time — either epoch seconds (first char ``1``,
+    ApsaraEasyReadLogTimeParser:256-273) or ``%Y-%m-%d %H:%M:%S`` with an
+    optional fractional part (:274-320); ``microtime`` is seconds*1e6 +
+    microseconds (AddLog("microtime", ...), :229);
+  * among the remaining base fields, the FIRST all-uppercase field is
+    ``__LEVEL__`` (IsFieldLevel:366-373), the first all-digits field is
+    ``__THREAD__`` (IsFieldThread:382-389), and the first containing
+    ``/`` or ``.`` splits at its first colon into ``__FILE__`` /
+    ``__LINE__`` (IsFieldFileLine:398-404, FindColonIndex:413-421) — the
+    three predicates are disjoint over non-empty fields, so independent
+    first-match scans reproduce the reference's claim-in-order bitmap
+    loop (ParseApsaraBaseFields:430-460);
+  * the remainder parses as tab-separated pairs split at the first colon
+    (:200-221), exposed as a ``fields`` map column (or as typed columns
+    via ``kv_keys``);
+  * a time-parse failure obeys the keep-source-when-parse-fail rule
+    (:137-170).
+
+Everything is whole-stage-codegen column expressions — the regexes are
+anchored single-pass extracts, the field scan is an array ``filter`` over
+at most 10 base fields (MAX_BASE_FIELD_NUM:34).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ilogtail_spark.operators.parse import _apply_keep_source
+
+_HEAD_RE = r"^(\[[^\]]*\](?:\t\[[^\]]*\])*)"
+_DT_RE = r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}"
+
+
+def _first_match(arr: Column, pattern: str) -> Column:
+    # F.get is null-safe on empty arrays (ANSI element_at throws)
+    return F.get(F.filter(arr, lambda x: x.rlike(pattern)), 0)
+
+
+def apsara_parse(
+    df: DataFrame,
+    source_key: str = "text",
+    *,
+    kv_keys: list[str] | None = None,
+    keep_source: bool = False,
+    keep_source_if_parse_error: bool = True,
+) -> DataFrame:
+    """ProcessorParseApsaraNative — see module docstring."""
+    src = F.col(source_key)
+    time_str = F.regexp_extract(src, r"^\[([^\]]*)\]", 1)
+
+    is_epoch = time_str.rlike(r"^1[0-9]*$")
+    dt_secs = F.unix_timestamp(F.substring(time_str, 1, 19), "yyyy-MM-dd HH:mm:ss")
+    seconds = F.when(is_epoch, time_str.cast("long")).otherwise(
+        F.when(time_str.rlike(_DT_RE), dt_secs)
+    )
+    # fractional part → microseconds (Strptime %f scales digit count to ns)
+    frac = F.regexp_extract(time_str, r"\.([0-9]+)", 1)
+    micros = F.when(
+        is_epoch | (frac == ""), F.lit(0)
+    ).otherwise(
+        (F.rpad(F.substring(frac, 1, 9), 9, "0").cast("long") / 1000).cast("long")
+    )
+    valid = src.startswith("[") & seconds.isNotNull() & (seconds > 0)
+    microtime = (seconds * F.lit(1000000) + micros).cast("long")
+
+    head = F.regexp_extract(src, _HEAD_RE, 1)
+    base = F.regexp_extract_all(src, F.lit(r"\[([^\]]*)\]"), 1)
+    # regexp_extract_all scans the whole line; restrict to the head run's
+    # field count so a bracketed token inside the kv tail can't leak in
+    n_base = F.size(F.split(head, "\t"))
+    tail_fields = F.slice(base, 2, F.greatest(n_base - 1, F.lit(0)))
+
+    level = _first_match(tail_fields, r"^[A-Z]*$")
+    thread = _first_match(tail_fields, r"^[0-9]+$")
+    fileline = _first_match(tail_fields, r"[/.]")
+    file_c = F.substring_index(fileline, ":", 1)
+    line_c = F.when(
+        fileline.contains(":"),
+        F.substring(fileline, F.instr(fileline, ":") + 1, F.lit(2147483647)),
+    )
+
+    rest = F.when(
+        F.length(src) > F.length(head) + 1,
+        F.substring(src, F.length(head) + 2, F.lit(2147483647)),
+    )
+    kv = F.str_to_map(rest, F.lit("\t"), F.lit(":"))
+
+    cols: dict[str, Column] = {
+        "microtime": F.when(valid, microtime),
+        "__LEVEL__": F.when(valid, level),
+        "__THREAD__": F.when(valid, thread),
+        "__FILE__": F.when(valid, file_c),
+        "__LINE__": F.when(valid, line_c),
+    }
+    if kv_keys is None:
+        cols["fields"] = F.when(valid, kv)
+    else:
+        for k in kv_keys:
+            # try_element_at: NULL (not ANSI error) when the key is absent
+            cols[k] = F.when(valid, F.try_element_at(kv, F.lit(k)))
+    df = df.withColumns(cols)
+    return _apply_keep_source(df, source_key, valid, keep_source, keep_source_if_parse_error)

@@ -329,6 +329,142 @@ FROM marked GROUP BY conv_id, record_id
 
 
 # =====================================================================
+# §2.2 container / apsara native parsers
+# =====================================================================
+
+# Synthesized inputs use ONE shared SQL expression per format so Spark and
+# DuckDB see identical bytes (chr(9)/chr(92) instead of backslash escapes,
+# which the two dialects interpret differently).
+
+_CONTAINERD_TEXT_SQL = (
+    "concat('2024-01-01T00:00:', lpad(cast(turn_idx % 60 AS string), 2, '0'), "
+    "'.', lpad(cast(turn_idx % 1000 AS string), 3, '0'), '000000Z ', "
+    "CASE WHEN turn_idx % 2 = 0 THEN 'stdout' ELSE 'stderr' END, ' ', "
+    "CASE WHEN turn_idx % 3 = 2 THEN 'F' ELSE 'P' END, ' seg', "
+    "cast(turn_idx AS string), ';')"
+)
+
+_CONTAINERD_ORACLE_RE = r"^(\S+) (stdout|stderr) ([PF]) (.*)$"
+
+
+def q_container_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ProcessorParseContainerLogNative containerd-text + flag-mode partial
+    merge (core/plugin/processor/inner/ProcessorParseContainerLogNative.cpp:180,
+    ProcessorMergeMultilineLogNative BY_FLAG): P,P,F part runs reassemble
+    into one record with no separator."""
+    from ilogtail_spark.operators.container import container_log_parse, merge_partial_logs
+
+    t = _t(spark, sf_dir).withColumn("cl", F.expr(_CONTAINERD_TEXT_SQL))
+    p = container_log_parse(t, "cl", fmt="containerd_text")
+    m = merge_partial_logs(p, partition_col="conv_id", order_col="turn_idx")
+    return m.select(
+        "conv_id", F.col("record_id").cast("long").alias("record_id"),
+        "first_line_no", "_time_", "_source_", "content", "is_partial",
+    )
+
+
+O_CONTAINER_LOG_PARSE = f"""{_CTE},
+parsed AS (
+  SELECT conv_id, turn_idx,
+    regexp_extract({_CONTAINERD_TEXT_SQL}, '{_CONTAINERD_ORACLE_RE}', 1) AS t,
+    regexp_extract({_CONTAINERD_TEXT_SQL}, '{_CONTAINERD_ORACLE_RE}', 2) AS src,
+    regexp_extract({_CONTAINERD_TEXT_SQL}, '{_CONTAINERD_ORACLE_RE}', 3) = 'P' AS part,
+    regexp_extract({_CONTAINERD_TEXT_SQL}, '{_CONTAINERD_ORACLE_RE}', 4) AS c
+  FROM transcripts),
+marked AS (
+  SELECT *, coalesce(sum(CASE WHEN part THEN 0 ELSE 1 END)
+    OVER (PARTITION BY conv_id ORDER BY turn_idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS record_id
+  FROM parsed)
+SELECT conv_id, cast(record_id AS bigint) AS record_id,
+  min(turn_idx) AS first_line_no,
+  min_by(t, turn_idx) AS _time_,
+  min_by(src, turn_idx) AS _source_,
+  string_agg(c, '' ORDER BY turn_idx) AS content,
+  max_by(part, turn_idx) AS is_partial
+FROM marked GROUP BY conv_id, record_id
+"""
+
+
+_DOCKER_TEXT_SQL = (
+    "concat('{\"log\":\"line-', cast(turn_idx AS string), ' from ', role, "
+    "chr(92), 'n\",\"stream\":\"', "
+    "CASE WHEN turn_idx % 2 = 0 THEN 'stdout' ELSE 'stderr' END, "
+    "'\",\"time\":\"2024-01-01T00:00:', lpad(cast(turn_idx % 60 AS string), 2, '0'), "
+    "'Z\"}')"
+)
+
+
+def q_docker_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ProcessorParseContainerLogNative docker json-file format
+    (ParseDockerJsonLogLine, :463-525): log/stream/time keys, exactly one
+    trailing newline stripped from the payload."""
+    from ilogtail_spark.operators.container import container_log_parse
+
+    t = _t(spark, sf_dir).withColumn("dj", F.expr(_DOCKER_TEXT_SQL))
+    p = container_log_parse(t, "dj", fmt="docker_json")
+    return p.select("conv_id", "turn_idx", "_time_", "_source_", "content")
+
+
+O_DOCKER_JSON_PARSE = f"""{_CTE},
+raw AS (SELECT conv_id, turn_idx, {_DOCKER_TEXT_SQL} AS dj FROM transcripts),
+j AS (
+  SELECT conv_id, turn_idx,
+    json_extract_string(dj, '$.time') AS _time_,
+    json_extract_string(dj, '$.stream') AS _source_,
+    json_extract_string(dj, '$.log') AS l
+  FROM raw)
+SELECT conv_id, turn_idx, _time_, _source_,
+  CASE WHEN substring(l, length(l), 1) = chr(10)
+       THEN substring(l, 1, length(l) - 1) ELSE l END AS content
+FROM j
+"""
+
+
+_APSARA_TEXT_SQL = (
+    "concat('[2024-01-01 00:00:', lpad(cast(turn_idx % 60 AS string), 2, '0'), "
+    "'.', lpad(cast((turn_idx * 7919) % 1000000 AS string), 6, '0'), ']', chr(9), "
+    "'[', CASE WHEN turn_idx % 11 = 0 THEN 'ERROR' ELSE 'INFO' END, ']', chr(9), "
+    "'[', cast(100 + turn_idx % 900 AS string), ']', chr(9), "
+    "'[/src/', coalesce(tool, 'core'), '.cpp:', cast(1 + turn_idx % 400 AS string), ']', chr(9), "
+    "'rolek:', role, chr(9), 'seq:', cast(turn_idx AS string))"
+)
+
+
+def q_apsara_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ProcessorParseApsaraNative
+    (core/plugin/processor/ProcessorParseApsaraNative.cpp): bracketed base
+    fields (time/LEVEL/thread/file:line) + microsecond time + kv tail."""
+    from ilogtail_spark.operators.apsara import apsara_parse
+
+    t = _t(spark, sf_dir).withColumn("ap", F.expr(_APSARA_TEXT_SQL))
+    p = apsara_parse(t, "ap", kv_keys=["rolek", "seq"])
+    return p.select(
+        "conv_id", "turn_idx", "microtime",
+        F.col("__LEVEL__").alias("level"),
+        F.col("__THREAD__").alias("thread"),
+        F.col("__FILE__").alias("file"),
+        F.col("__LINE__").alias("line"),
+        "rolek", F.col("seq").cast("int").alias("seq"),
+    )
+
+
+O_APSARA_PARSE = f"""{_CTE}
+SELECT conv_id, turn_idx,
+  cast(epoch_us(timestamp '2024-01-01 00:00:00')
+       + (turn_idx % 60) * 1000000 + (turn_idx * 7919) % 1000000
+       AS bigint) AS microtime,
+  CASE WHEN turn_idx % 11 = 0 THEN 'ERROR' ELSE 'INFO' END AS level,
+  cast(100 + turn_idx % 900 AS string) AS thread,
+  concat('/src/', coalesce(tool, 'core'), '.cpp') AS file,
+  cast(1 + turn_idx % 400 AS string) AS line,
+  role AS rolek,
+  turn_idx AS seq
+FROM transcripts
+"""
+
+
+# =====================================================================
 # §2.3 time parse
 # =====================================================================
 
@@ -1087,6 +1223,9 @@ QUERIES: dict[str, QueryFn] = {
     "grok_parse": q_grok_parse,
     "grok_apache": q_grok_apache,
     "grok_syslog": q_grok_syslog,
+    "container_log_parse": q_container_log_parse,
+    "docker_json_parse": q_docker_json_parse,
+    "apsara_parse": q_apsara_parse,
     "json_parse": q_json_parse,
     "csv_parse": q_csv_parse,
     "kv_parse": q_kv_parse,
@@ -1141,6 +1280,9 @@ ORACLES: dict[str, str] = {
     "grok_parse": O_GROK_PARSE,
     "grok_apache": O_GROK_APACHE,
     "grok_syslog": O_GROK_SYSLOG,
+    "container_log_parse": O_CONTAINER_LOG_PARSE,
+    "docker_json_parse": O_DOCKER_JSON_PARSE,
+    "apsara_parse": O_APSARA_PARSE,
     "json_parse": O_JSON_PARSE,
     "csv_parse": O_CSV_PARSE,
     "kv_parse": O_KV_PARSE,
