@@ -228,15 +228,25 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 6,
-    band_bits: int = 8,
+    band_bits: int = 4,
     bits: int = 32,
 ) -> DataFrame:
     """SimHash near-dup candidates: band the hash into (bits/band_bits)
     keys; by pigeonhole, any pair within hamming distance < nbands shares
     at least one identical band — join per band, verify true hamming ≤
-    max_hamming. The join shuffles on (band, key): O(docs × bands)."""
+    max_hamming. The join shuffles on (band, key): O(docs × bands).
+
+    Completeness REQUIRES max_hamming < nbands (a pair differing in every
+    band would never share one) — validated here; the defaults
+    (band_bits=4 → 8 bands) cover the default max_hamming=6."""
     h = simhash(df, id_col=id_col, text_col=text_col, bits=bits)
     nbands = bits // band_bits
+    if max_hamming >= nbands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs at least {max_hamming + 1} bands "
+            f"for pigeonhole completeness, got {nbands} (bits={bits}, "
+            f"band_bits={band_bits}) — lower band_bits or max_hamming"
+        )
     banded = h.select(
         F.col(id_col).alias("id"),
         F.col("simhash"),

@@ -29,8 +29,21 @@ from pyspark.sql import functions as F
 @dataclass(frozen=True)
 class RouteRule:
     source_key: str
-    regex: str          # full-match anchored, aggregator_router.go:99
+    regex: str | None   # full-match anchored, aggregator_router.go:99
     sink: str
+    # numeric alternative to `regex`: inclusive (lo, hi) range compiled to a
+    # vectorizable integer compare instead of cast-to-string + regex — use
+    # for numeric columns (e.g. 5xx status codes). Exactly one of
+    # regex / between must be set.
+    between: tuple[float, float] | None = None
+
+    def condition(self) -> Column:
+        if self.between is not None:
+            lo, hi = self.between
+            c = F.col(self.source_key)
+            return c.isNotNull() & (c >= F.lit(lo)) & (c <= F.lit(hi))
+        src = F.col(self.source_key).cast("string")
+        return src.isNotNull() & src.rlike(f"^(?:{self.regex})$")
 
 
 def route_exclusive(
@@ -46,11 +59,12 @@ def route_exclusive(
     The reference checks `indexArray[0]==0 && indexArray[1]==len(value)`
     (aggregator_router.go:99) — i.e. the regex must span the whole value —
     reproduced with ^(?:pat)$ anchoring. Missing/null key never matches.
+    Rules with `between` compile to integer range compares (no per-row
+    int→string cast + regex on the hot path).
     """
     expr: Column | None = None
     for r in rules:
-        src = F.col(r.source_key).cast("string")
-        cond = src.isNotNull() & src.rlike(f"^(?:{r.regex})$")
+        cond = r.condition()
         expr = F.when(cond, F.lit(r.sink)) if expr is None else expr.when(cond, F.lit(r.sink))
     if expr is None:
         expr = F.lit(default_sink)

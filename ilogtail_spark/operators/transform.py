@@ -134,17 +134,18 @@ def string_replace(
     elif method == "const":
         out = F.replace(F.col(source_key), F.lit(match), F.lit(replace))
     elif method == "unquote":
-        # strip one layer of surrounding quotes and unescape \" \\ \n \t
+        # strip one layer of surrounding quotes and unescape \" \\ \n \t.
+        # Escaped backslashes are replaced FIRST (via a sentinel) so the
+        # backslash they produce is never re-interpreted as starting a new
+        # escape — input a\\nb must yield a\nb (backslash + 'n'), not a
+        # newline (Go strconv.Unquote semantics).
         stripped = F.regexp_replace(F.col(source_key), r'^"(.*)"$', "$1")
-        out = F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(F.regexp_replace(stripped, r'\\"', '"'), r"\\n", "\n"),
-                r"\\t",
-                "\t",
-            ),
-            r"\\\\",
-            "\\\\",
-        )
+        sent = "\x00"
+        out = F.regexp_replace(stripped, r"\\\\", sent)
+        out = F.regexp_replace(out, r'\\"', '"')
+        out = F.regexp_replace(out, r"\\n", "\n")
+        out = F.regexp_replace(out, r"\\t", "\t")
+        out = F.replace(out, F.lit(sent), F.lit("\\"))
     else:
         raise ValueError(f"unknown method {method}")
     return df.withColumn(dest, out)

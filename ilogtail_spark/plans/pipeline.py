@@ -96,7 +96,11 @@ def apply_router(df: DataFrame, router: dict[str, Any] | None) -> DataFrame:
     if router.get("mode", "exclusive") == "copy":
         conds = [CopyCondition(sink=s, key=k, value=v) for (k, v, s) in router["rules"]]
         return route_copy(df, conds)
-    rules = [RouteRule(k, rx, s) for (k, rx, s) in router["rules"]]
+    rules = [
+        RouteRule(k, None, s, between=tuple(rx["between"]))
+        if isinstance(rx, dict) else RouteRule(k, rx, s)
+        for (k, rx, s) in router["rules"]
+    ]
     return route_exclusive(
         df,
         rules,
@@ -151,8 +155,14 @@ def run_pipeline(
     `partitionBy(route)` (single pass — no per-sink rescan), sharded
     pre-write like aggregator_shardhash when `shard_keys` is given.
     """
+    from pyspark.sql import Observation
+
     from ilogtail_spark.plans.checkpoint import CheckpointTable
 
+    # rows_in rides the write job as an Observation — no second scan of the
+    # input (at 100 TB a metrics-only df.count() is a full extra pass)
+    obs_in = Observation(f"rows_in:{run_id}")
+    df = df.observe(obs_in, F.count(F.lit(1)).alias("n"))
     routed = build_pipeline(df, spec)
     if shard_keys:
         routed = agg_ops.shard_hash(routed, shard_keys, shard_count, repartition=True)
@@ -177,8 +187,9 @@ def run_pipeline(
 
     # per-stage + per-partition metrics (mirrors mProcessorsInEventsTotal /
     # OutEventsTotal, core/pipeline/Pipeline.h:110-117, and the per-source
-    # pack bookkeeping of aggregator_context)
-    rows_in = df.count()
+    # pack bookkeeping of aggregator_context). The write action above
+    # already evaluated the observation — this is a dict lookup, not a job.
+    rows_in = obs_in.get["n"]
     rows_out = sum(counts.values())
     spark.createDataFrame(
         [(run_id, "pipeline", rows_in, rows_out)],
@@ -231,7 +242,8 @@ FLAGSHIP_SPEC: dict[str, Any] = {
         "mode": "exclusive",
         "rules": [
             ["role", "tool", "sink_tool"],
-            ["response_code", r"5\d\d", "sink_errors"],
+            # numeric range rule: integer compare, not cast-to-string+regex
+            ["response_code", {"between": [500, 599]}, "sink_errors"],
             ["role", "assistant|system", "sink_model"],
         ],
         "default": "sink_default",

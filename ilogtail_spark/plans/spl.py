@@ -37,6 +37,9 @@ from pyspark.sql import functions as F
 
 from ilogtail_spark.operators.parse import csv_parse, regex_parse
 
+# rows sampled to the driver for parse-json dynamic key discovery
+_JSON_KEY_SAMPLE_ROWS = 1024
+
 # SPL function names → Spark SQL equivalents
 _FN_REWRITES = [
     (re.compile(r"\bjson_extract_scalar\s*\("), "get_json_object("),
@@ -152,19 +155,27 @@ def _apply_stage(df: DataFrame, stage: str) -> DataFrame:
                            col, keep_source=True)
 
     if op == "parse-json":
-        # flat expand of a JSON object column into columns (SplUnittest:198).
-        # Dynamic keys need a key-discovery pass (same cost class as
-        # spark.read.json schema inference); the expansion itself stays
-        # a single columnar projection.
-        col = rest.strip()
+        # parse-json <col> [as k1, k2, ...]  (SplUnittest:198)
+        # With `as`, the key set is given and the expansion is a single
+        # columnar projection — the scale path (like the reference's SPL
+        # configs, which carry the schema). Without it, keys are discovered
+        # from a BOUNDED driver sample (take(N), the same cost class as
+        # spark.read.json's samplingRatio inference) — never a full-data
+        # scan/collect; rare keys outside the sample are missed, which is
+        # the documented tradeoff of dynamic mode.
+        m = re.match(r"(\S+?),?(?:\s+as\s+(.*))?$", rest, re.S)
+        if not m:
+            raise ValueError(f"bad parse-json: {stage}")
+        col, keys_s = m.group(1), m.group(2)
         parsed = F.from_json(F.col(col), "map<string,string>")
         tmp = df.withColumn("__spl_json__", parsed)
-        keys = sorted(
-            r[0]
-            for r in tmp.select(
-                F.explode(F.map_keys("__spl_json__")).alias("k")
-            ).distinct().collect()
-        )
+        if keys_s:
+            keys = [k.strip() for k in keys_s.split(",")]
+        else:
+            sample = tmp.select(F.map_keys("__spl_json__").alias("ks")).take(
+                _JSON_KEY_SAMPLE_ROWS
+            )
+            keys = sorted({k for r in sample for k in (r["ks"] or [])})
         return tmp.withColumns(
             {k: F.col("__spl_json__").getItem(k) for k in keys}
         ).drop("__spl_json__")

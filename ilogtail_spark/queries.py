@@ -584,7 +584,9 @@ FROM transcripts GROUP BY 1
 
 _ROUTE_RULES = [
     RouteRule("role", "tool", "sink_tool"),
-    RouteRule("response_code", r"5\d\d", "sink_errors"),
+    # response_code is numeric → range compare (route.py RouteRule.between),
+    # equivalent to the reference's anchored '5\d\d' on the string form
+    RouteRule("response_code", None, "sink_errors", between=(500, 599)),
     RouteRule("role", "assistant|system", "sink_model"),
 ]
 

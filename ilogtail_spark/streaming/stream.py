@@ -102,8 +102,21 @@ def run_stream_pipeline(
     src = stream_transcripts(spark, in_path)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        routed = build_pipeline(batch_df, spec)
-        routed.write.mode("append").partitionBy("route").parquet(f"{out_dir}/routed")
+        # Idempotent per-batch sink: rows land under their batch_id
+        # partition and a retried micro-batch dynamically OVERWRITES only
+        # its own batch_id partitions — replaying after a partial failure
+        # cannot duplicate rows (exactly-once = checkpointed offsets +
+        # this idempotent write, the analog of the reference's
+        # send-queue dedup on pack id).
+        routed = build_pipeline(batch_df, spec).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        (
+            routed.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "route")
+            .parquet(f"{out_dir}/routed")
+        )
 
     writer = (
         src.writeStream.foreachBatch(_sink)

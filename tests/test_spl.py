@@ -60,6 +60,16 @@ class TestSpl:
         cols = set(out[0].asDict().keys())
         assert {"a", "b", "c"} <= cols
 
+    def test_parse_json_schema_given(self, logs):
+        # `as` form: key set supplied, no driver-side key discovery at all
+        flat = logs.sparkSession.createDataFrame(
+            [('{"a":"1","b":"2"}',), ('{"a":"3","c":"4"}',)], "js string"
+        )
+        out = spl_query(flat, "* | parse-json js as a, c").collect()
+        by_a = {r["a"]: r for r in out}
+        assert by_a["3"]["c"] == "4" and by_a["1"]["c"] is None
+        assert "b" not in out[0].asDict()
+
     def test_project_rename_away(self, logs):
         # SplUnittest.cpp:491 + project-away doc example
         out = spl_query(

@@ -1,0 +1,70 @@
+"""Correctness anchors for transform edge semantics: AES known-answer
+vectors (processor_encrypt), unquote escape ordering
+(processor_string_replace), and simhash band validation."""
+
+from __future__ import annotations
+
+import pytest
+
+from ilogtail_spark.functions.dedup import simhash_pairs
+from ilogtail_spark.operators.transform import encrypt_fields, string_replace
+
+
+class TestEncryptKnownAnswer:
+    # Expected ciphertexts independently generated with
+    # `openssl enc -aes-128-cbc -K <hex(key)> -iv <iv>` (PKCS#7 padding,
+    # same parameters as plugins/processor/encrypt/processor_encrypt.go) —
+    # this anchors the op to a real AES implementation, not just to its
+    # own determinism.
+    KEY = "0123456789abcdef"  # raw ASCII key, hex 303132...6566
+
+    def test_zero_iv_vector(self, spark):
+        # Spark's aes_encrypt emits IV || ciphertext; the ciphertext body
+        # must equal the openssl result for the same key/iv/plaintext
+        df = spark.createDataFrame([("hello",)], "text string")
+        out = encrypt_fields(df, ["text"], self.KEY).first()
+        assert out["text"].lower() == "00" * 16 + "674c7ef38e78cabd9cec9c125823a639"
+
+    def test_nonzero_iv_vector(self, spark):
+        df = spark.createDataFrame([("sensitive-data",)], "text string")
+        out = encrypt_fields(
+            df, ["text"], self.KEY, iv_hex="000102030405060708090a0b0c0d0e0f"
+        ).first()
+        assert out["text"].lower() == (
+            "000102030405060708090a0b0c0d0e0f"
+            "d2481b96528f14a61453cdd799d67e4f"
+        )
+
+
+class TestUnquoteEscapeOrder:
+    def test_escaped_backslash_not_reinterpreted(self, spark):
+        # a\\nb (chars a,\,\,n,b) → a\nb (a, backslash, n, b) — NOT a newline
+        df = spark.createDataFrame([('"a\\\\nb"',)], "v string")
+        out = string_replace(df, "v", method="unquote").first()
+        assert out["v"] == "a\\nb"
+
+    def test_plain_escapes(self, spark):
+        df = spark.createDataFrame([('"x\\n\\ty\\"z"',)], "v string")
+        out = string_replace(df, "v", method="unquote").first()
+        assert out["v"] == 'x\n\ty"z'
+
+    def test_double_backslash_to_single(self, spark):
+        df = spark.createDataFrame([('"c:\\\\path"',)], "v string")
+        out = string_replace(df, "v", method="unquote").first()
+        assert out["v"] == "c:\\path"
+
+
+class TestSimhashBandValidation:
+    def test_incomplete_banding_raises(self, spark):
+        df = spark.createDataFrame([("d1", "a b c")], "doc_id string, text string")
+        # 4 bands (band_bits=8) cannot guarantee hamming ≤ 6 — pigeonhole
+        with pytest.raises(ValueError, match="pigeonhole"):
+            simhash_pairs(df, max_hamming=6, band_bits=8)
+
+    def test_defaults_are_complete(self, spark):
+        df = spark.createDataFrame(
+            [("d1", "alpha beta gamma"), ("d2", "alpha beta gamma")],
+            "doc_id string, text string",
+        )
+        pairs = simhash_pairs(df).collect()  # defaults: 8 bands ≥ hamming 6+1
+        assert {(r["id_a"], r["id_b"]) for r in pairs} == {("d1", "d2")}
