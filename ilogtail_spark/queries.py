@@ -464,6 +464,47 @@ FROM transcripts
 """
 
 
+_OTEL_JSON_SQL = (
+    "concat('{\"resourceMetrics\":[{\"resource\":{\"attributes\":"
+    "[{\"key\":\"host\",\"value\":{\"stringValue\":\"host-', "
+    "cast(turn_idx % 5 AS string), "
+    "'\"}}]},\"scopeMetrics\":[{\"metrics\":["
+    "{\"name\":\"turn.latency\",\"gauge\":{\"dataPoints\":[{\"attributes\":"
+    "[{\"key\":\"role\",\"value\":{\"stringValue\":\"', role, "
+    "'\"}}],\"timeUnixNano\":\"', cast(1700000000000000000 + turn_idx AS string), "
+    "'\",\"asDouble\":', cast(turn_idx % 97 AS string), '.5}]}},"
+    "{\"name\":\"turn.count\",\"sum\":{\"isMonotonic\":true,\"dataPoints\":"
+    "[{\"timeUnixNano\":\"', cast(1700000000000000000 + turn_idx AS string), "
+    "'\",\"asInt\":\"', cast(turn_idx AS string), '\"}]}}"
+    "]}]}]}')"
+)
+
+
+def q_otel_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_otel_metric (plugins/processor/otel/processor_otel_metric.go):
+    OTLP-JSON metrics payload → SLS metric rows, one per data point."""
+    from ilogtail_spark.operators.transform import otel_metric_reshape
+
+    t = _t(spark, sf_dir).withColumn("om", F.expr(_OTEL_JSON_SQL))
+    return otel_metric_reshape(t, "om", id_cols=("conv_id", "turn_idx"))
+
+
+O_OTEL_METRIC = f"""{_CTE}
+SELECT conv_id, turn_idx, 'turn.latency' AS __name__,
+  concat('host#$#host-', cast(turn_idx % 5 AS string), '|role#$#', role) AS __labels__,
+  cast(1700000000000000000 + turn_idx AS bigint) AS __time_nano__,
+  (turn_idx % 97) + 0.5 AS __value__
+FROM transcripts
+UNION ALL
+SELECT conv_id, turn_idx, 'turn.count' AS __name__,
+  concat('host#$#host-', cast(turn_idx % 5 AS string),
+         '|otlp.metric.ismonotonic#$#true') AS __labels__,
+  cast(1700000000000000000 + turn_idx AS bigint) AS __time_nano__,
+  cast(turn_idx AS double) AS __value__
+FROM transcripts
+"""
+
+
 # =====================================================================
 # §2.3 time parse
 # =====================================================================
@@ -1228,6 +1269,7 @@ QUERIES: dict[str, QueryFn] = {
     "container_log_parse": q_container_log_parse,
     "docker_json_parse": q_docker_json_parse,
     "apsara_parse": q_apsara_parse,
+    "otel_metric": q_otel_metric,
     "json_parse": q_json_parse,
     "csv_parse": q_csv_parse,
     "kv_parse": q_kv_parse,
@@ -1285,6 +1327,7 @@ ORACLES: dict[str, str] = {
     "container_log_parse": O_CONTAINER_LOG_PARSE,
     "docker_json_parse": O_DOCKER_JSON_PARSE,
     "apsara_parse": O_APSARA_PARSE,
+    "otel_metric": O_OTEL_METRIC,
     "json_parse": O_JSON_PARSE,
     "csv_parse": O_CSV_PARSE,
     "kv_parse": O_KV_PARSE,
