@@ -143,6 +143,7 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     n_probes: int = 2,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: assign every vector to its nearest
     coarse centroid; a query searches only its `n_probes` nearest
@@ -150,21 +151,22 @@ def ivf_topk(
     once on centroid id (or is bucketed/partitioned by it at write time),
     and query cost is probes/centroids of the corpus.
 
-    Centroids here are a deterministic stride-sample of the corpus
-    itself (ids 0, n/k, 2n/k, …) — a cheap stand-in for a k-means pass
-    that keeps everything reproducible; swap in trained centroids
-    without touching the plan.
+    Pass trained `centroids` explicitly at scale (k-means offline, or any
+    coarse quantizer) — the plan is identical. When omitted, centroids are
+    a deterministic BOUNDED sample: `take(8×k)` reads only enough
+    partitions (never a full count()+scan of the corpus) and the driver
+    spreads picks by hashed id — a reproducible stand-in for k-means.
     """
-    n = df.count()
-    stride = max(n // n_centroids, 1)
-    cent_rows = (
-        df.withColumn("__rid__", F.col(id_col))
-        .filter((F.col("__rid__") % stride == 0))
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
-        .collect()
-    )
-    centroids = [(int(r["c_id"]), [float(x) for x in r["c_vec"]]) for r in cent_rows]
+    if centroids is None:
+        import hashlib
+
+        sample = df.select(
+            F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+        ).take(max(n_centroids * 8, n_centroids))
+        sample = sorted(
+            sample, key=lambda r: hashlib.md5(str(r["c_id"]).encode()).hexdigest()
+        )[:n_centroids]
+        centroids = [(int(r["c_id"]), [float(x) for x in r["c_vec"]]) for r in sample]
 
     def ranked_centroids(vec: Column) -> Column:
         """Struct array sorted best-first: one score expression per

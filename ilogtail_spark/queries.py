@@ -1117,6 +1117,40 @@ WHERE inter / (sa.sz + sb.sz - inter) >= 0.3
 """
 
 
+def q_ngram_jaccard_maxdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ngram_jaccard with the scale knob exercised: max_df drops shingles
+    appearing in > max_df docs (stopword shingles) from the shingle space
+    BEFORE the inverted-index self-join — the join cost is quadratic in
+    per-shingle doc frequency, so this is what bounds the 100 TB run.
+    Jaccard is then over the filtered space (still a true Jaccard)."""
+    p = ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.3, max_df=50)
+    return p.select("id_a", "id_b", "jaccard")
+
+
+O_NGRAM_JACCARD_MAXDF = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+sh0 AS (
+  SELECT DISTINCT doc_id,
+    CASE WHEN len(t) >= 3
+      THEN array_to_string(t[i:i+2], ' ')
+      ELSE array_to_string(t, ' ') END AS s
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i) AS g),
+dfreq AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 50),
+sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN dfreq USING (s)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b,
+  round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter / (sa.sz + sb.sz - inter) >= 0.3
+"""
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs — scale path; no SQL oracle (banded
     signature join); rows-only check. The exact-jaccard twin above is the
@@ -1190,14 +1224,17 @@ def q_embedding_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup, LSH-bucketed scale tier — rows-only check."""
     from ilogtail_spark.functions.similarity import embedding_cosine_pairs_lsh
 
-    return embedding_cosine_pairs_lsh(_emb(spark, sf_dir), threshold=0.35, n_planes=4)
+    # dim passed explicitly: no driver-side first() during plan build
+    return embedding_cosine_pairs_lsh(
+        _emb(spark, sf_dir), threshold=0.35, n_planes=4, dim=64
+    )
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed ANN — scale path; rows-only check."""
     emb = _emb(spark, sf_dir)
     qs = emb.filter(F.col("vec_id") < 3)
-    return lsh_bucket_topk(emb, qs, k=5)
+    return lsh_bucket_topk(emb, qs, k=5, dim=64)
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1307,6 +1344,7 @@ QUERIES: dict[str, QueryFn] = {
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "ngram_jaccard": q_ngram_jaccard,
+    "ngram_jaccard_maxdf": q_ngram_jaccard_maxdf,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
     "ann_brute_force": q_ann_brute_force,
@@ -1363,6 +1401,7 @@ ORACLES: dict[str, str] = {
     "lang_id": O_LANG_ID,
     "fingerprint": O_FINGERPRINT,
     "ngram_jaccard": O_NGRAM_JACCARD,
+    "ngram_jaccard_maxdf": O_NGRAM_JACCARD_MAXDF,
     "ann_brute_force": O_ANN_BRUTE_FORCE,
     "embedding_dup": O_EMBEDDING_DUP,
     "lang_id_trigram": O_LANG_ID_TRIGRAM,

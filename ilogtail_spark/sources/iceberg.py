@@ -22,8 +22,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def iceberg_available(spark: SparkSession) -> bool:
+    # NB: plain `spark._jvm.org.apache.iceberg.Table` attribute access
+    # NEVER raises — py4j returns a JavaPackage placeholder for any dotted
+    # path — so the class must be resolved for real via Class.forName.
     try:
-        spark._jvm.org.apache.iceberg.Table  # noqa: SLF001
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.Table")  # noqa: SLF001
         return True
     except Exception:
         return False
