@@ -52,6 +52,7 @@ from ilogtail_spark.operators.parse import (
     json_parse,
     kv_parse,
     regex_parse,
+    split_char,
     split_log_string,
 )
 from ilogtail_spark.operators.route import CopyCondition, RouteRule, route_copy, route_exclusive
@@ -502,6 +503,190 @@ SELECT conv_id, turn_idx, 'turn.count' AS __name__,
   cast(1700000000000000000 + turn_idx AS bigint) AS __time_nano__,
   cast(turn_idx AS double) AS __value__
 FROM transcripts
+"""
+
+
+# =====================================================================
+# previously pytest-only ops — driver-oracle rows
+# =====================================================================
+
+def q_split_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_split_char / processor_split_string: positional split with
+    overflow preserved (plugins/processor/split/char/split_char.go:34)."""
+    t = _t(spark, sf_dir).filter(F.col("text").rlike(r"^u\d+,"))
+    s = split_char(t, ["uid", "code", "status"], "text", sep=",",
+                   preserve_others=True)
+    return s.select(
+        "conv_id", "turn_idx", "uid", "code", "status",
+        F.col("_split_preserve_").alias("extras"),
+    )
+
+
+O_SPLIT_CHAR = f"""{_CTE},
+parts AS (
+  SELECT conv_id, turn_idx, string_split(text, ',') AS p
+  FROM transcripts WHERE regexp_matches(text, '^u\\d+,'))
+SELECT conv_id, turn_idx, p[1] AS uid, p[2] AS code, p[3] AS status,
+  CASE WHEN len(p) > 3 THEN array_to_string(p[4:], ',') END AS extras
+FROM parts
+"""
+
+
+def q_gotime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_gotime (plugins/processor/gotime/processor_gotime.go:34):
+    Go reference-time layout parse + numeric re-format."""
+    from ilogtail_spark.operators.timeparse import gotime_op
+
+    t = _t(spark, sf_dir)
+    p = regex_parse(t, _APP_RE, ["ts_str", "pid", "thread", "level", "code"],
+                    "text", keep_source=True, guard_startswith="2024-")
+    g = gotime_op(p.filter(F.col("ts_str").isNotNull()),
+                  "ts_str", "2006-01-02 15:04:05.000", "epoch", "seconds")
+    return g.select("conv_id", "turn_idx", "ts_str", "epoch")
+
+
+O_GOTIME = f"""{_CTE}
+SELECT conv_id, turn_idx,
+  regexp_extract(text, '{_APP_RE}', 1) AS ts_str,
+  cast(epoch_us(strptime(regexp_extract(text, '{_APP_RE}', 1),
+      '%Y-%m-%d %H:%M:%S.%g')) // 1000000 AS string) AS epoch
+FROM transcripts WHERE regexp_matches(text, '{_APP_RE}')
+"""
+
+
+def q_timestamp_native_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ProcessorParseTimestampNative history-threshold discard
+    (core/plugin/processor/ProcessorParseTimestampNative.cpp:99)."""
+    from ilogtail_spark.operators.timeparse import parse_timestamp_native
+
+    t = _t(spark, sf_dir)
+    p = regex_parse(t, _APP_RE, ["ts_str", "pid", "thread", "level", "code"],
+                    "text", keep_source=True, guard_startswith="2024-")
+    out = parse_timestamp_native(
+        p.filter(F.col("ts_str").isNotNull()), "ts_str", "%Y-%m-%d %H:%M:%S.%L",
+        dest="event_ts", history_threshold_ts="2024-01-01 00:00:30",
+    )
+    return out.select("conv_id", "turn_idx", "event_ts")
+
+
+O_TIMESTAMP_NATIVE_DROP = f"""{_CTE}
+SELECT conv_id, turn_idx,
+  strptime(regexp_extract(text, '{_APP_RE}', 1), '%Y-%m-%d %H:%M:%S.%g') AS event_ts
+FROM transcripts
+WHERE regexp_matches(text, '{_APP_RE}')
+  AND strptime(regexp_extract(text, '{_APP_RE}', 1), '%Y-%m-%d %H:%M:%S.%g')
+      >= timestamp '2024-01-01 00:00:30'
+"""
+
+
+def q_fields_with_condition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_fields_with_condition switch-case
+    (plugins/processor/fieldswithcondition/processor_fields_with_condition.go:278)."""
+    from ilogtail_spark.operators.filters import fields_with_condition
+
+    t = _t(spark, sf_dir)
+    out = fields_with_condition(t, [
+        {"when": {"key": "role", "regex": "tool"},
+         "add": {"severity": "high", "env": "prod"}},
+        {"when": {"key": "role", "regex": "user"},
+         "add": {"severity": "low"}},
+    ])
+    return (
+        out.groupBy("role", "severity", "env")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+O_FIELDS_WITH_CONDITION = f"""{_CTE}
+SELECT role,
+  CASE WHEN role = 'tool' THEN 'high' WHEN role = 'user' THEN 'low' END AS severity,
+  CASE WHEN role = 'tool' THEN 'prod' END AS env,
+  count(*) AS n
+FROM transcripts GROUP BY 1, 2, 3
+"""
+
+
+def q_drop_last_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_drop_last_key
+    (plugins/processor/droplastkey/processor_drop_last_key.go:84): null the
+    raw source once every parsed key is present."""
+    from ilogtail_spark.operators.filters import drop_last_key
+
+    t = _t(spark, sf_dir)
+    p = regex_parse(t, NGINX_PATTERN, NGINX_KEYS, "text", keep_source=True,
+                    guard_regex=r"^\d")
+    out = drop_last_key(p, "text", ["ip", "method", "request"])
+    return out.select("conv_id", "turn_idx", "text", "ip")
+
+
+O_DROP_LAST_KEY = f"""{_CTE}
+SELECT conv_id, turn_idx,
+  CASE WHEN regexp_matches(text, '{_NGINX_RE}') THEN NULL ELSE text END AS text,
+  CASE WHEN regexp_matches(text, '{_NGINX_RE}')
+       THEN regexp_extract(text, '{_NGINX_RE}', 1) END AS ip
+FROM transcripts
+"""
+
+
+def q_enrich_constants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_add_fields + processor_appender (templated ctx) +
+    ProcessorTagNative — the constant-column enrich family."""
+    from ilogtail_spark.operators.enrich import add_fields, appender, tag_native
+
+    t = _t(spark, sf_dir)
+    out = tag_native(
+        appender(add_fields(t, {"pipeline": "p1"}), "pipeline",
+                 "-{{__host__}}", {"__host__": "h9"}),
+        {"region": "us"},
+    )
+    return out.groupBy("pipeline", "tag_region").agg(F.count(F.lit(1)).alias("n"))
+
+
+O_ENRICH_CONSTANTS = f"""{_CTE}
+SELECT 'p1-h9' AS pipeline, 'us' AS tag_region, count(*) AS n FROM transcripts
+"""
+
+
+def q_geoip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_geoip (plugins/processor/geoip/processor_geoip.go:72):
+    broadcast range join of parsed client IPs against an ip-range dim."""
+    from ilogtail_spark.operators.enrich import geoip_range_join
+
+    t = _t(spark, sf_dir)
+    p = regex_parse(t, NGINX_PATTERN, NGINX_KEYS, "text", keep_source=True,
+                    guard_regex=r"^\d").filter(F.col("ip").isNotNull())
+    # 192.168.0.0 = 3232235520; split the /16 at .128.0
+    ranges = spark.createDataFrame(
+        [(3232235520, 3232268288, "zone-a"), (3232268288, 3232301056, "zone-b")],
+        "ip_start long, ip_end long, zone string",
+    )
+    out = geoip_range_join(p, ranges, "ip")
+    return out.groupBy("zone").agg(F.count(F.lit(1)).alias("n"))
+
+
+O_GEOIP = f"""{_CTE},
+ips AS (
+  SELECT cast(string_split(regexp_extract(text, '{_NGINX_RE}', 1), '.')[3] AS int) AS o3
+  FROM transcripts WHERE regexp_matches(text, '{_NGINX_RE}'))
+SELECT CASE WHEN o3 < 128 THEN 'zone-a' ELSE 'zone-b' END AS zone, count(*) AS n
+FROM ips GROUP BY 1
+"""
+
+
+def q_metadata_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregator_metadata_group
+    (plugins/aggregator/metadatagroup/aggregator_metadata_group.go:34):
+    physical regroup by metadata keys; the downstream groupBy reuses the
+    partitioning (no second shuffle)."""
+    from ilogtail_spark.operators.aggregate import metadata_group
+
+    t = _t(spark, sf_dir)
+    g = metadata_group(t, ["role"], num_partitions=8)
+    return g.groupBy("role").agg(F.count(F.lit(1)).alias("n"))
+
+
+O_METADATA_GROUP = f"""{_CTE}
+SELECT role, count(*) AS n FROM transcripts GROUP BY role
 """
 
 
@@ -1307,6 +1492,14 @@ QUERIES: dict[str, QueryFn] = {
     "docker_json_parse": q_docker_json_parse,
     "apsara_parse": q_apsara_parse,
     "otel_metric": q_otel_metric,
+    "split_char": q_split_char,
+    "gotime": q_gotime,
+    "timestamp_native_drop": q_timestamp_native_drop,
+    "fields_with_condition": q_fields_with_condition,
+    "drop_last_key": q_drop_last_key,
+    "enrich_constants": q_enrich_constants,
+    "geoip": q_geoip,
+    "metadata_group": q_metadata_group,
     "json_parse": q_json_parse,
     "csv_parse": q_csv_parse,
     "kv_parse": q_kv_parse,
@@ -1366,6 +1559,14 @@ ORACLES: dict[str, str] = {
     "docker_json_parse": O_DOCKER_JSON_PARSE,
     "apsara_parse": O_APSARA_PARSE,
     "otel_metric": O_OTEL_METRIC,
+    "split_char": O_SPLIT_CHAR,
+    "gotime": O_GOTIME,
+    "timestamp_native_drop": O_TIMESTAMP_NATIVE_DROP,
+    "fields_with_condition": O_FIELDS_WITH_CONDITION,
+    "drop_last_key": O_DROP_LAST_KEY,
+    "enrich_constants": O_ENRICH_CONSTANTS,
+    "geoip": O_GEOIP,
+    "metadata_group": O_METADATA_GROUP,
     "json_parse": O_JSON_PARSE,
     "csv_parse": O_CSV_PARSE,
     "kv_parse": O_KV_PARSE,
