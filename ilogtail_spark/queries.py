@@ -690,6 +690,62 @@ SELECT role, count(*) AS n FROM transcripts GROUP BY role
 """
 
 
+def q_otel_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_otel_trace (plugins/processor/otel/processor_otel_trace.go):
+    KV log rows reshaped into OTel span shape."""
+    from ilogtail_spark.operators.transform import otel_trace_reshape
+
+    t = (
+        _t(spark, sf_dir)
+        .withColumn("end_ts", F.col("ts") + F.make_interval(
+            secs=(F.col("turn_idx") % 10).cast("double")))
+        .withColumn("span_id", F.col("turn_idx").cast("string"))
+    )
+    s = otel_trace_reshape(t, trace_id="conv_id", span_id="span_id",
+                           name="role", start_ts="ts", end_ts="end_ts",
+                           attr_keys=["tool"])
+    return s.select(
+        "traceId", "spanId", "name", "startTimeUnixMicro", "endTimeUnixMicro",
+        F.try_element_at(F.col("attributes"), F.lit("tool")).alias("attr_tool"),
+    )
+
+
+O_OTEL_TRACE = f"""{_CTE}
+SELECT conv_id AS "traceId", cast(turn_idx AS string) AS "spanId",
+  role AS name,
+  epoch_us(ts) AS "startTimeUnixMicro",
+  epoch_us(ts + (turn_idx % 10) * INTERVAL 1 SECOND) AS "endTimeUnixMicro",
+  coalesce(tool, '') AS attr_tool
+FROM transcripts
+"""
+
+
+def q_spl_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPL op corpus #2 (SplUnittest.cpp): parse-json (schema-given `as`
+    form) | extend | project-rename | project | sort | limit."""
+    from ilogtail_spark.plans.spl import spl_query
+
+    t = _t(spark, sf_dir).filter(F.col("text").startswith("{"))
+    return spl_query(
+        t,
+        "* | parse-json text as action, latency_ms"
+        " | extend lat2 = cast(latency_ms as int) * 2"
+        " | project-rename act=action"
+        " | project conv_id, turn_idx, act, lat2"
+        " | sort by conv_id, turn_idx"
+        " | limit 200",
+    )
+
+
+O_SPL_EXTEND = f"""{_CTE}
+SELECT conv_id, turn_idx,
+  json_extract_string(text, '$.action') AS act,
+  cast(json_extract_string(text, '$.latency_ms') AS int) * 2 AS lat2
+FROM transcripts WHERE text LIKE '{{%'
+ORDER BY conv_id, turn_idx LIMIT 200
+"""
+
+
 # =====================================================================
 # §2.3 time parse
 # =====================================================================
@@ -1500,6 +1556,8 @@ QUERIES: dict[str, QueryFn] = {
     "enrich_constants": q_enrich_constants,
     "geoip": q_geoip,
     "metadata_group": q_metadata_group,
+    "otel_trace": q_otel_trace,
+    "spl_extend": q_spl_extend,
     "json_parse": q_json_parse,
     "csv_parse": q_csv_parse,
     "kv_parse": q_kv_parse,
@@ -1567,6 +1625,8 @@ ORACLES: dict[str, str] = {
     "enrich_constants": O_ENRICH_CONSTANTS,
     "geoip": O_GEOIP,
     "metadata_group": O_METADATA_GROUP,
+    "otel_trace": O_OTEL_TRACE,
+    "spl_extend": O_SPL_EXTEND,
     "json_parse": O_JSON_PARSE,
     "csv_parse": O_CSV_PARSE,
     "kv_parse": O_KV_PARSE,
