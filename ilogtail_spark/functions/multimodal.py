@@ -119,6 +119,106 @@ def extract_features(df: DataFrame, *, feature_dim: int = 8, fake: bool = True) 
     return df.mapInPandas(_batch, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                    T.StructField("codec", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame, width: int, height: int, *, fake: bool = True
+) -> DataFrame:
+    """Resize kernel plumbing: binary in → binary out with rewritten meta,
+    Arrow-batched via mapInPandas. The fake kernel produces a
+    deterministic `width*height`-byte payload by tiling/truncating the
+    source bytes — same I/O shape, schema, and batch handling as a real
+    PIL/libvips resize; swap the body on a real cluster."""
+
+    def _batch(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        target = width * height
+        for pdf in it:
+            payloads = []
+            metas = []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                if not fake:
+                    decode_image(payload)  # pragma: no cover
+                b = bytes(payload) or b"\x00"
+                tiled = (b * (target // len(b) + 1))[:target]
+                payloads.append(tiled)
+                m = dict(meta)
+                m["width"], m["height"] = width, height
+                metas.append(m)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return df.mapInPandas(_batch, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_ts_ms", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, every_ms: int = 1000, *, frame_bytes: int = 64, fake: bool = True
+) -> DataFrame:
+    """Frame sampling: the timestamp plan (`frame_sample_plan`) drives a
+    fake per-frame extraction — each frame is a deterministic slice of the
+    source payload keyed by its timestamp. Real decoder would seek/decode
+    at frame_ts_ms; the explode + mapInPandas shape is identical."""
+    plan = frame_sample_plan(df, every_ms).join(
+        df.select("media_id", "payload"), "media_id"
+    )
+
+    def _batch(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            frames = []
+            for payload, ts in zip(pdf["payload"], pdf["frame_ts_ms"]):
+                if not fake:
+                    decode_image(payload)  # pragma: no cover
+                b = bytes(payload) or b"\x00"
+                start = ts % max(len(b) - frame_bytes, 1)
+                frame = (b[start:] + b)[:frame_bytes]
+                frames.append(frame)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_ts_ms": pdf["frame_ts_ms"].astype("int32"),
+                    "frame": frames,
+                }
+            )
+
+    return plan.mapInPandas(_batch, FRAME_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: computes the frame timestamps to
     decode per video (pure column math — the expensive decode would

@@ -1535,6 +1535,16 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.select("media_id", "kind", "n_bytes")
 
 
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling: timestamp plan (explode) driving the
+    Arrow-batched per-frame kernel — rows-only check."""
+    from ilogtail_spark.functions.multimodal import sample_frames
+
+    m = synthetic_media(spark, 64)
+    f = sample_frames(m, every_ms=5000)
+    return f.select("media_id", "frame_ts_ms", F.length("frame").alias("frame_bytes"))
+
+
 # =====================================================================
 # registry
 # =====================================================================
@@ -1606,6 +1616,7 @@ QUERIES: dict[str, QueryFn] = {
     "lang_id_trigram": q_lang_id_trigram,
     "kgram_fingerprints": q_kgram_fingerprints,
     "media_features": q_media_features,
+    "media_frames": q_media_frames,
 }
 
 ORACLES: dict[str, str] = {

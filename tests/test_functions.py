@@ -224,3 +224,24 @@ class TestMultimodal:
         vids = set(r["media_id"] for r in plan.collect())
         kinds = {r["media_id"]: r["kind"] for r in m.collect()}
         assert all(kinds[v] == "video" for v in vids)
+
+    def test_resize_rewrites_payload_and_meta(self, spark):
+        from ilogtail_spark.functions.multimodal import resize_media
+
+        m = synthetic_media(spark, 9)
+        out = resize_media(m, 32, 16).collect()
+        assert len(out) == 9
+        for r in out:
+            assert len(r["payload"]) == 32 * 16
+            assert r["meta"]["width"] == 32 and r["meta"]["height"] == 16
+            assert r["meta"]["codec"] in ("png", "opus", "h264")  # preserved
+
+    def test_sample_frames_deterministic_slices(self, spark):
+        from ilogtail_spark.functions.multimodal import sample_frames
+
+        m = synthetic_media(spark, 12)
+        f1 = sorted(map(str, sample_frames(m, every_ms=5000).collect()))
+        f2 = sorted(map(str, sample_frames(m, every_ms=5000).collect()))
+        assert f1 == f2 and len(f1) > 0
+        one = sample_frames(m, every_ms=5000).first()
+        assert len(one["frame"]) == 64
