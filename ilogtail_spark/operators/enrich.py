@@ -55,7 +55,7 @@ def dict_map(
         return out.drop("__dict_val__")
 
     m = F.create_map(*[F.lit(x) for x in chain.from_iterable(mapping.items())])
-    looked_up = m.getItem(F.col(source_key))
+    looked_up = m[F.col(source_key)]
     return _apply_dict_value(df, looked_up, dest_key, mode, handle_missing, missing)
 
 

@@ -1690,4 +1690,11 @@ NO_ORACLE: dict[str, str] = {
     "ann_ivf": "IVF probe recall<1 by design; brute-force twin is oracle-checked",
     "kgram_fingerprints": "md5 k-gram hashes have no DuckDB arithmetic form",
     "media_features": "Arrow mapInPandas kernel (no SQL form)",
+    "media_frames": "Arrow mapInPandas frame kernel (no SQL form)",
 }
+
+# invariant: every query either has an oracle or a documented reason
+assert set(NO_ORACLE) == set(QUERIES) - set(ORACLES), (
+    sorted(set(QUERIES) - set(ORACLES) - set(NO_ORACLE)),
+    sorted(set(NO_ORACLE) - (set(QUERIES) - set(ORACLES))),
+)
