@@ -22,6 +22,23 @@ CHECKS = {
     "enrich_star": (["BroadcastHashJoin"], ["SortMergeJoin"]),
     "route_exclusive": (["HashAggregate"], ["SortMergeJoin"]),
     "exact_dedup": (["partial_"], ["SortMergeJoin"]),
+    # containerd parse claims ZERO regex on the hot path (instr/substring)
+    "container_log_parse": (["ReadSchema"], ["SortMergeJoin", "RLIKE"]),
+    "apsara_parse": (["ReadSchema"], ["SortMergeJoin"]),
+    "grok_apache": (["ReadSchema"], ["SortMergeJoin"]),
+    "otel_metric": (["ReadSchema", "Generate"], ["SortMergeJoin"]),
+    # geoip is a broadcast NON-equi join — must not fall back to a
+    # cartesian/sort-merge strategy
+    "geoip": (["BroadcastNestedLoopJoin"], ["SortMergeJoin", "CartesianProduct"]),
+}
+
+# single-pass claims: at most N parquet scans in the physical plan
+SCAN_LIMIT = {
+    "otel_metric": 1,       # array-of-structs build, ONE explode — not union-per-kind
+    "container_log_parse": 1,
+    "apsara_parse": 1,
+    "grok_apache": 1,
+    "pipeline_e2e": 1,
 }
 
 
@@ -47,11 +64,19 @@ def main() -> None:
         plan = plan_of(QUERIES[name](spark, sf))
         missing = [m for m in need if m not in plan]
         present = [m for m in forbid if m in plan]
-        status = "OK" if not missing and not present else "FAIL"
+        # formatted explain prints each node in the tree AND the detail
+        # section — count distinct scan node ids, not text occurrences
+        import re as _re
+
+        scans = len(set(_re.findall(r"\((\d+)\) Scan parquet", plan)))
+        limit = SCAN_LIMIT.get(name)
+        over = limit is not None and scans > limit
+        status = "OK" if not missing and not present and not over else "FAIL"
         if status == "FAIL":
             failures.append((name, missing, present))
         print(f"{status:4} {name}: need={need} forbid={forbid} "
-              f"missing={missing} unexpected={present}")
+              f"missing={missing} unexpected={present}"
+              + (f" scans={scans}/{limit}" if limit is not None else ""))
         sections.append(f"## {name} — {status}\n\n```\n{plan.strip()}\n```\n")
 
     with open("/root/repo/BENCH/PLANS.md", "w") as f:
