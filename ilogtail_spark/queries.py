@@ -1116,6 +1116,40 @@ FROM transcripts GROUP BY 1, 2
 """
 
 
+_CONTAINERD_WRAP_SQL = (
+    "concat('2024-01-01T00:00:00.000000000Z ', "
+    "CASE WHEN turn_idx % 2 = 0 THEN 'stdout' ELSE 'stderr' END, ' F ', text)"
+)
+
+
+def q_container_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed e2e through the container ingestion path: containerd
+    stdout parse → nginx regex parse of the content → dict enrich →
+    route → per-(sink, stream) counts. The container-parse stage is a
+    zero-regex fused projection in the same whole-stage-codegen span as
+    the downstream parse."""
+    from ilogtail_spark.operators.container import container_log_parse
+
+    t = _t(spark, sf_dir).withColumn("cl", F.expr(_CONTAINERD_WRAP_SQL))
+    p = container_log_parse(t, "cl", fmt="containerd_text", keep_source=True)
+    p2 = regex_parse(p, NGINX_PATTERN, NGINX_KEYS, "content", keep_source=True,
+                     guard_regex=r"^\d",
+                     types={"response_code": "int", "bytes": "long"})
+    d = dict_map(p2, ROLE_DIM, "role", "role_group",
+                 handle_missing=True, missing="Unknown")
+    r = route_exclusive(d, _ROUTE_RULES)
+    return r.groupBy("route", "_source_").agg(
+        F.count(F.lit(1)).alias("log_count"))
+
+
+O_CONTAINER_PIPELINE = f"""{_CTE}
+SELECT {_O_ROUTE_EXPR} AS route,
+  CASE WHEN turn_idx % 2 = 0 THEN 'stdout' ELSE 'stderr' END AS _source_,
+  count(*) AS log_count
+FROM transcripts GROUP BY 1, 2
+"""
+
+
 def q_spl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPL embedded query language (processor_spl,
     core/plugin/processor/ProcessorSPL.h:25; op corpus
@@ -1594,6 +1628,7 @@ QUERIES: dict[str, QueryFn] = {
     "pack_json": q_pack_json,
     "log_to_metric": q_log_to_metric,
     "pipeline_e2e": q_pipeline_e2e,
+    "container_pipeline": q_container_pipeline,
     "spl_pipeline": q_spl_pipeline,
     "encrypt": q_encrypt,
     "events_props": q_events_props,
@@ -1663,6 +1698,7 @@ ORACLES: dict[str, str] = {
     "pack_json": O_PACK_JSON,
     "log_to_metric": O_LOG_TO_METRIC,
     "pipeline_e2e": O_PIPELINE_E2E,
+    "container_pipeline": O_CONTAINER_PIPELINE,
     "spl_pipeline": O_SPL_PIPELINE,
     "events_props": O_EVENTS_PROPS,
     "enrich_star": O_ENRICH_STAR,
