@@ -1427,17 +1427,106 @@ WHERE inter / (sa.sz + sb.sz - inter) >= 0.3
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs — scale path; no SQL oracle (banded
-    signature join); rows-only check. The exact-jaccard twin above is the
-    correctness anchor."""
+    """MinHash+LSH near-dup pairs — scale path, NOW oracle-checked: the
+    full banded-LSH computation (md5 shingle hash → 64 permutation mins →
+    16-band bucket join → signature-similarity verify) is reproduced in
+    DuckDB via hex-cast md5 + nested list lambdas."""
     p = minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.3)
     return p.select("id_a", "id_b", "est_jaccard")
 
 
+# mirrors minhash_lsh_pairs exactly: _hash32 = int(md5[:8], 16); per-i
+# permutation (2i+1)*h + (i*i*7+13) mod 2^31-1; 16 bands × 4 rows;
+# est = equal-positions/64
+O_MINHASH_LSH = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+    CASE WHEN len(t) >= 3 THEN array_to_string(t[i:i+2], ' ')
+         ELSE array_to_string(t, ' ') END AS s
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i) AS g),
+hs AS (SELECT doc_id, cast(('0x' || substring(md5(s),1,8)) AS bigint) AS h FROM sh),
+sigs AS (
+  SELECT doc_id, list_transform(range(0,64), i ->
+    list_min(list_transform(hl, h -> ((2*i+1)*h + (i*i*7+13)) % 2147483647))) AS mh
+  FROM (SELECT doc_id, list(h) AS hl FROM hs GROUP BY doc_id)),
+banded AS (
+  SELECT doc_id, band,
+    md5(array_to_string(mh[band*4+1 : band*4+4], ',')) AS bucket
+  FROM sigs, LATERAL (SELECT unnest(range(0,16)) AS band) AS b),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM banded a JOIN banded b2
+    ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id),
+est AS (
+  SELECT id_a, id_b,
+    round(len(list_filter(range(1,65), k -> sa.mh[k] = sb.mh[k])) / 64.0, 6) AS est_jaccard
+  FROM cand JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b)
+SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.3
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates — rows-only check."""
+    """SimHash near-dup candidates — oracle-checked: bit votes, banded
+    pigeonhole join, and hamming verify all reproduced in DuckDB."""
     p = simhash_pairs(_docs(spark, sf_dir), max_hamming=6)
-    return p.select("id_a", "id_b", "hamming")
+    return p.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+O_SIMHASH = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+hl AS (
+  SELECT doc_id,
+    list_transform(t, s -> cast(('0x' || substring(md5(s),1,8)) AS bigint)) AS hs
+  FROM toks),
+sim AS (
+  SELECT doc_id,
+    cast(list_sum(list_transform(range(0,32), b ->
+      CASE WHEN list_sum(list_transform(hs, h ->
+             CASE WHEN (h & (1::BIGINT << b)) <> 0 THEN 1 ELSE -1 END)) > 0
+           THEN (1::BIGINT << b) ELSE 0 END)) AS bigint) AS sh
+  FROM hl),
+banded AS (
+  SELECT doc_id, band, (sh // (1::BIGINT << (band*4))) % 16 AS key
+  FROM sim, LATERAL (SELECT unnest(range(0,8)) AS band) AS g),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, cast(bit_count(xor(sa.sh, sb.sh)) AS int) AS hamming
+FROM cand JOIN sim sa ON sa.doc_id = id_a JOIN sim sb ON sb.doc_id = id_b
+WHERE bit_count(xor(sa.sh, sb.sh)) <= 6
+"""
+
+
+def _plane_lit(p: int, dim: int = 64) -> str:
+    """Hyperplane p as a DuckDB double-list literal — the SAME LCG values
+    the Spark plan embeds (similarity.py::_hyperplane)."""
+    from ilogtail_spark.functions.similarity import _hyperplane
+
+    return "[" + ", ".join(repr(v) for v in _hyperplane(dim, p)) + "]"
+
+
+def _bucket_sql(col: str, n_planes: int) -> str:
+    terms = [
+        f"(CASE WHEN list_dot_product(list_transform({col}, x -> x::DOUBLE), "
+        f"{_plane_lit(p)}) >= 0 THEN {2**p} ELSE 0 END)"
+        for p in range(n_planes)
+    ]
+    return " + ".join(terms)
+
+
+_COS_SQL = (
+    "list_dot_product(list_transform({a}, x -> x::DOUBLE),"
+    " list_transform({b}, x -> x::DOUBLE))"
+    " / (sqrt(list_dot_product(list_transform({a}, x -> x::DOUBLE),"
+    " list_transform({a}, x -> x::DOUBLE)))"
+    " * sqrt(list_dot_product(list_transform({b}, x -> x::DOUBLE),"
+    " list_transform({b}, x -> x::DOUBLE))))"
+)
 
 
 def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1496,7 +1585,8 @@ WHERE
 
 
 def q_embedding_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup, LSH-bucketed scale tier — rows-only check."""
+    """Embedding near-dup, LSH-bucketed scale tier — oracle-checked: the
+    hyperplane literals are shared with the DuckDB oracle."""
     from ilogtail_spark.functions.similarity import embedding_cosine_pairs_lsh
 
     # dim passed explicitly: no driver-side first() during plan build
@@ -1505,22 +1595,94 @@ def q_embedding_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+O_EMBEDDING_DUP_LSH = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding', 4)} AS bucket
+  FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+    round({_COS_SQL.format(a='a.embedding', b='b2.embedding')}, 6) AS cos_sim
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.35
+"""
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed ANN — scale path; rows-only check."""
+    """Hyperplane-LSH bucketed ANN — scale path; oracle-checked (shared
+    plane literals, bucket equi-join, exact re-rank)."""
     emb = _emb(spark, sf_dir)
     qs = emb.filter(F.col("vec_id") < 3)
     return lsh_bucket_topk(emb, qs, k=5, dim=64)
 
 
+O_ANN_LSH = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding', 8)} AS bucket
+  FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+    round({_COS_SQL.format(a='q.embedding', b='c.embedding')}, 6) AS cos_sim
+  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 3),
+ranked AS (
+  SELECT q_id, n_id, cos_sim,
+    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS rank
+  FROM scored)
+SELECT q_id, n_id, cos_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) ANN — coarse-centroid bucketing scale path;
-    rows-only check (probe recall < 1 by design, brute-force twin is the
-    oracle-checked anchor)."""
+    """IVF (inverted-file) ANN — coarse-centroid bucketing scale path,
+    oracle-checked: explicit "trained" centroids (the embeddings of
+    vec_id < 16, the production API where a k-means pass supplies them)
+    let DuckDB reproduce assignment, probing, and re-ranking exactly."""
     from ilogtail_spark.functions.similarity import ivf_topk
 
     emb = _emb(spark, sf_dir)
+    cent_rows = sorted(
+        emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    centroids = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+                 for r in cent_rows]
     qs = emb.filter(F.col("vec_id") < 3)
-    return ivf_topk(emb, qs, k=5, n_centroids=16, n_probes=2)
+    return ivf_topk(emb, qs, k=5, n_centroids=16, n_probes=2,
+                    centroids=centroids)
+
+
+# mirrors ivf_topk with centroids = embeddings of vec_id < 16: score =
+# cosine + centroid_index*1e-9 (deterministic tiebreak), corpus assigned
+# to argmax, queries probe their top-2, exact cosine re-rank top-5
+O_ANN_IVF = f"""
+WITH cent AS (
+  SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 16),
+affin AS (
+  SELECT e.vec_id, c.c_id,
+    {_COS_SQL.format(a='e.embedding', b='c.c_vec')} + c.c_id * 1e-9 AS score
+  FROM embeddings e, cent c),
+ranked_c AS (
+  SELECT vec_id, c_id,
+    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC) AS rn
+  FROM affin),
+corpus AS (
+  SELECT e.vec_id AS n_id, e.embedding AS c_vec, r.c_id AS centroid
+  FROM embeddings e JOIN ranked_c r ON r.vec_id = e.vec_id AND r.rn = 1),
+probes AS (
+  SELECT q.vec_id AS q_id, q.embedding AS q_vec, r.c_id AS centroid
+  FROM embeddings q JOIN ranked_c r ON r.vec_id = q.vec_id AND r.rn <= 2
+  WHERE q.vec_id < 3),
+scored AS (
+  SELECT p.q_id, c.n_id,
+    round({_COS_SQL.format(a='p.q_vec', b='c.c_vec')}, 6) AS cos_sim
+  FROM corpus c JOIN probes p ON c.centroid = p.centroid
+  WHERE p.q_id <> c.n_id),
+ranked AS (
+  SELECT q_id, n_id, cos_sim,
+    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS rank
+  FROM scored)
+SELECT q_id, n_id, cos_sim, rank FROM ranked WHERE rank <= 5
+"""
 
 
 def q_lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1552,13 +1714,35 @@ FROM hits GROUP BY 1
 
 
 def q_kgram_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash MOD-p fingerprint sampling — rows-only check (md5
-    k-gram hashes have no DuckDB arithmetic equivalent); determinism and
-    copy-detection semantics pytest-verified."""
+    """Rolling-hash MOD-p fingerprint sampling — oracle-checked: the md5
+    k-gram hash is int(md5[:8], 16), which DuckDB expresses as a hex
+    cast; sampling keeps hashes ≡ 0 (mod 4)."""
     from ilogtail_spark.functions.textstats import kgram_fingerprints
 
     f = kgram_fingerprints(_docs(spark, sf_dir))
     return f.select("doc_id", "fp_digest", "n_fingerprints")
+
+
+O_KGRAM_FINGERPRINTS = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+    CASE WHEN len(t) >= 5 THEN array_to_string(t[i:i+4], ' ')
+         ELSE array_to_string(t, ' ') END AS s
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(t) - 4, 1))) AS i) AS g),
+hs AS (SELECT doc_id, cast(('0x' || substring(md5(s),1,8)) AS bigint) AS h FROM sh),
+fp AS (
+  SELECT doc_id, list_sort(list(DISTINCT h)) AS fps
+  FROM hs WHERE h % 4 = 0 GROUP BY doc_id)
+SELECT d.doc_id,
+  -- DuckDB array_to_string of an empty/NULL list is NULL; Spark
+  -- array_join of an empty array is '' → md5('')
+  md5(coalesce(array_to_string(fp.fps, ','), '')) AS fp_digest,
+  cast(coalesce(len(fp.fps), 0) AS int) AS n_fingerprints
+FROM documents d LEFT JOIN fp USING (doc_id)
+"""
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1710,6 +1894,12 @@ ORACLES: dict[str, str] = {
     "fingerprint": O_FINGERPRINT,
     "ngram_jaccard": O_NGRAM_JACCARD,
     "ngram_jaccard_maxdf": O_NGRAM_JACCARD_MAXDF,
+    "minhash_lsh": O_MINHASH_LSH,
+    "simhash": O_SIMHASH,
+    "embedding_dup_lsh": O_EMBEDDING_DUP_LSH,
+    "ann_lsh": O_ANN_LSH,
+    "ann_ivf": O_ANN_IVF,
+    "kgram_fingerprints": O_KGRAM_FINGERPRINTS,
     "ann_brute_force": O_ANN_BRUTE_FORCE,
     "embedding_dup": O_EMBEDDING_DUP,
     "lang_id_trigram": O_LANG_ID_TRIGRAM,
@@ -1719,12 +1909,6 @@ ORACLES: dict[str, str] = {
 NO_ORACLE: dict[str, str] = {
     "encrypt": "AES-CBC output has no DuckDB equivalent; determinism pytest-checked",
     "shard_hash": "xxhash64 is engine-internal; md5 twin is oracle-checked",
-    "minhash_lsh": "banded LSH join; exact-jaccard twin is oracle-checked",
-    "simhash": "bit-vote hashing; exact-jaccard twin is oracle-checked",
-    "ann_lsh": "hyperplane LSH; brute-force twin is oracle-checked",
-    "embedding_dup_lsh": "LSH recall<1 by design; exact twin is oracle-checked",
-    "ann_ivf": "IVF probe recall<1 by design; brute-force twin is oracle-checked",
-    "kgram_fingerprints": "md5 k-gram hashes have no DuckDB arithmetic form",
     "media_features": "Arrow mapInPandas kernel (no SQL form)",
     "media_frames": "Arrow mapInPandas frame kernel (no SQL form)",
 }
