@@ -109,6 +109,29 @@ class TestStreaming:
             (r["route"], r["n"]) for r in exp.collect()
         }
 
+    def test_tail_resumes_from_offsets(self, spark):
+        """input_file tail semantics (core/plugin/input/InputFile.h:45,
+        file-offset checkpoints): files arriving AFTER a run are picked up
+        by the next run from the streaming checkpoint, without
+        re-processing (or duplicating) the already-committed files."""
+        in_dir = "/tmp/ilogtail_spark_tail_in"
+        out_dir = "/tmp/ilogtail_spark_tail_out"
+        shutil.rmtree(in_dir, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t = gen_transcripts(spark, 30)
+        first, second = t.filter("turn_idx % 2 = 0"), t.filter("turn_idx % 2 = 1")
+        first.coalesce(2).write.parquet(in_dir)
+
+        run_stream_pipeline(spark, in_dir, out_dir, FLAGSHIP_SPEC, available_now=True)
+        n1 = spark.read.parquet(f"{out_dir}/routed").count()
+
+        second.coalesce(2).write.mode("append").parquet(in_dir)  # new files arrive
+        run_stream_pipeline(spark, in_dir, out_dir, FLAGSHIP_SPEC, available_now=True)
+        n2 = spark.read.parquet(f"{out_dir}/routed").count()
+
+        total = build_pipeline(spark.read.parquet(in_dir), FLAGSHIP_SPEC).count()
+        assert n1 == first.count() and n2 == total  # no loss, no duplication
+
     def test_replay_is_idempotent(self, spark):
         """A replayed micro-batch must not duplicate rows: the sink writes
         under batch_id partitions with dynamic overwrite, so re-processing
