@@ -92,8 +92,9 @@ def apsara_parse(
         F.substring(fileline, F.instr(fileline, ":") + 1, F.lit(2147483647)),
     )
 
+    # kv tail exists only when a tab directly follows the base-field run
     rest = F.when(
-        F.length(src) > F.length(head) + 1,
+        F.substring(src, F.length(head) + 1, F.lit(1)) == "\t",
         F.substring(src, F.length(head) + 2, F.lit(2147483647)),
     )
     kv = F.str_to_map(rest, F.lit("\t"), F.lit(":"))
