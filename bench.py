@@ -94,7 +94,8 @@ def main() -> None:
         "regex_parse", "grok_parse", "json_parse", "multiline_merge",
         "rate_limit", "pipeline_e2e", "spl_pipeline", "exact_dedup",
         "minhash_lsh", "ngram_jaccard", "ann_brute_force", "quality_score",
-        "fingerprint",
+        "fingerprint", "container_log_parse", "apsara_parse", "otel_metric",
+        "grok_apache",
     ):
         fn = QUERIES[name]
         best = None
