@@ -99,6 +99,7 @@ def extract_features(df: DataFrame, *, feature_dim: int = 8, fake: bool = True) 
             for payload in pdf["payload"]:
                 if not fake:
                     decode_image(payload)  # pragma: no cover
+                payload = payload if payload is not None else b""
                 arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
                 if len(arr) == 0:
                     arr = np.zeros(1, dtype=np.float32)
@@ -158,7 +159,7 @@ def resize_media(
             for payload, meta in zip(pdf["payload"], pdf["meta"]):
                 if not fake:
                     decode_image(payload)  # pragma: no cover
-                b = bytes(payload) or b"\x00"
+                b = (bytes(payload) if payload is not None else b"") or b"\x00"
                 tiled = (b * (target // len(b) + 1))[:target]
                 payloads.append(tiled)
                 m = dict(meta)
@@ -204,7 +205,7 @@ def sample_frames(
             for payload, ts in zip(pdf["payload"], pdf["frame_ts_ms"]):
                 if not fake:
                     decode_image(payload)  # pragma: no cover
-                b = bytes(payload) or b"\x00"
+                b = (bytes(payload) if payload is not None else b"") or b"\x00"
                 start = ts % max(len(b) - frame_bytes, 1)
                 frame = (b[start:] + b)[:frame_bytes]
                 frames.append(frame)

@@ -126,13 +126,22 @@ DEFAULT_PATTERNS: dict[str, str] = {
 _GROK_REF = re.compile(r"%\{(\w+)(?::([\w.\[\]]+))?(?::(\w+))?\}")
 
 
-def _neutralize(s: str) -> str:
+_NAMED_GROUP = re.compile(r"\(\?P?<([A-Za-z][A-Za-z0-9_]*)>")
+
+
+def _neutralize(s: str, on_named=None) -> str:
     """Rewrite every capturing ``(`` in a regex fragment to ``(?:``.
 
     Linear scan that is escape- and character-class-aware: ``\\(`` stays a
     literal, ``(`` inside ``[...]`` stays a class member (including the
     ``[]]`` / ``[^]]`` literal-bracket forms), and ``(?...)`` constructs
-    (non-capturing, lookaround, atomic, flags) pass through unchanged.
+    (non-capturing, lookaround, atomic, flags) pass through unchanged —
+    EXCEPT inline named groups ``(?<name>…)`` / ``(?P<name>…)`` (standard
+    grok syntax; the reference's regexp2 extracts them like aliases,
+    processor_grok.go:148): when ``on_named`` is given they are rewritten
+    to a plain capturing ``(`` and reported via ``on_named(name)`` so the
+    caller can assign them a field slot; lookbehinds ``(?<=``/``(?<!``
+    are not named groups and pass through.
     """
     out: list[str] = []
     i, n = 0, len(s)
@@ -162,10 +171,17 @@ def _neutralize(s: str) -> str:
             out.append(c)
             i += 1
             continue
-        if c == "(" and not (i + 1 < n and s[i + 1] == "?"):
-            out.append("(?:")
-            i += 1
-            continue
+        if c == "(":
+            if not (i + 1 < n and s[i + 1] == "?"):
+                out.append("(?:")
+                i += 1
+                continue
+            nm = _NAMED_GROUP.match(s, i)
+            if nm and on_named is not None:
+                on_named(nm.group(1))
+                out.append("(")
+                i = nm.end()
+                continue
         out.append(c)
         i += 1
     return "".join(out)
@@ -209,11 +225,15 @@ def compile_grok(
     # (alias, type) in opening-paren order; indices assigned at the end
     flat: list[tuple[str, str]] = []
 
+    def on_named(name: str) -> None:
+        # inline (?<name>…) named groups are extracted like aliases
+        flat.append((re.sub(r"\W", "_", name), "string"))
+
     def expand(s: str, stack: tuple[str, ...]) -> str:
         out: list[str] = []
         pos = 0
         for m in _GROK_REF.finditer(s):
-            out.append(_neutralize(s[pos : m.start()]))
+            out.append(_neutralize(s[pos : m.start()], on_named))
             name, alias, typ = m.group(1), m.group(2), m.group(3)
             if name in stack:
                 raise ValueError(
@@ -229,7 +249,7 @@ def compile_grok(
             else:
                 out.append("(?:" + expand(patterns[name], stack + (name,)) + ")")
             pos = m.end()
-        out.append(_neutralize(s[pos:]))
+        out.append(_neutralize(s[pos:], on_named))
         return "".join(out)
 
     regex = expand(expr, ())
@@ -280,8 +300,19 @@ def grok_parse(
         pat = "(?s)" + cg.regex
         m = (~F.col("__grok_done__")) & F.col(source_key).rlike(pat)
         cols = {}
-        for k, typ, gi in cg.fields:
-            val = F.regexp_extract(F.col(source_key), pat, gi)
+        # duplicate aliases across alternation branches (e.g.
+        # HTTPD_ERRORLOG's timestamp): first NON-EMPTY capture wins —
+        # only one branch participates in a match (processor_grok.go:148)
+        slots: dict[str, list[int]] = {}
+        for k, _typ, gi in cg.fields:
+            slots.setdefault(k, []).append(gi)
+        for k, idxs in slots.items():
+            val = F.regexp_extract(F.col(source_key), pat, idxs[0])
+            for gi in idxs[1:]:
+                val = F.coalesce(
+                    F.nullif(val, F.lit("")),
+                    F.regexp_extract(F.col(source_key), pat, gi),
+                )
             if k in cg.types:
                 val = val.cast(cg.types[k])
             prev = F.col(k) if ci > 0 and k in df.columns else F.lit(None)

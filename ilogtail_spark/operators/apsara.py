@@ -19,9 +19,12 @@ Semantics mirrored from the reference:
     ``__THREAD__`` (IsFieldThread:382-389), and the first containing
     ``/`` or ``.`` splits at its first colon into ``__FILE__`` /
     ``__LINE__`` (IsFieldFileLine:398-404, FindColonIndex:413-421) — the
-    three predicates are disjoint over non-empty fields, so independent
-    first-match scans reproduce the reference's claim-in-order bitmap
-    loop (ParseApsaraBaseFields:430-460);
+    three predicates are disjoint over non-empty fields, and an EMPTY
+    base field is claimed by the level predicate in both implementations
+    (IsFieldLevel's loop over an empty range returns true, hence the
+    deliberate ``^[A-Z]*$``), so independent first-match scans reproduce
+    the reference's claim-in-order bitmap loop
+    (ParseApsaraBaseFields:430-460);
   * the remainder parses as tab-separated pairs split at the first colon
     (:200-221), exposed as a ``fields`` map column (or as typed columns
     via ``kv_keys``);
@@ -97,7 +100,25 @@ def apsara_parse(
         F.substring(src, F.length(head) + 1, F.lit(1)) == "\t",
         F.substring(src, F.length(head) + 2, F.lit(2147483647)),
     )
-    kv = F.str_to_map(rest, F.lit("\t"), F.lit(":"))
+    # NOT str_to_map: ANSI map building throws DUPLICATED_MAP_KEY on a
+    # repeated key, where the reference's AddLog(overwritten=false)
+    # keeps the FIRST occurrence (:200-221) — dedup entries first
+    segs = F.filter(F.split(rest, "\t"), lambda s: s.contains(":"))
+    entries = F.transform(
+        segs,
+        lambda s: F.struct(
+            F.substring_index(s, ":", 1),
+            F.substring(s, F.instr(s, ":") + 1, F.lit(2147483647)),
+        ),
+    ).cast("array<struct<k:string,v:string>>")
+    first_wins = F.aggregate(
+        entries,
+        F.array().cast("array<struct<k:string,v:string>>"),
+        lambda acc, e: F.when(
+            F.exists(acc, lambda a: a["k"] == e["k"]), acc
+        ).otherwise(F.concat(acc, F.array(e))),
+    )
+    kv = F.map_from_entries(first_wins)
 
     cols: dict[str, Column] = {
         "microtime": F.when(valid, microtime),

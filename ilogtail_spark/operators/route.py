@@ -34,8 +34,16 @@ class RouteRule:
     # numeric alternative to `regex`: inclusive (lo, hi) range compiled to a
     # vectorizable integer compare instead of cast-to-string + regex — use
     # for numeric columns (e.g. 5xx status codes). Exactly one of
-    # regex / between must be set.
+    # regex / between must be set (validated in __post_init__).
     between: tuple[float, float] | None = None
+
+    def __post_init__(self) -> None:
+        if (self.regex is None) == (self.between is None):
+            raise ValueError(
+                f"RouteRule({self.source_key!r} → {self.sink!r}): exactly one "
+                f"of regex / between must be set, got regex={self.regex!r} "
+                f"between={self.between!r}"
+            )
 
     def condition(self) -> Column:
         if self.between is not None:

@@ -138,14 +138,18 @@ def string_replace(
         # Escaped backslashes are replaced FIRST (via a sentinel) so the
         # backslash they produce is never re-interpreted as starting a new
         # escape — input a\\nb must yield a\nb (backslash + 'n'), not a
-        # newline (Go strconv.Unquote semantics).
+        # newline (Go strconv.Unquote semantics). Pre-existing sentinel
+        # bytes in the input are escaped first so the sentinel cannot
+        # collide with literal NULs in the payload.
         stripped = F.regexp_replace(F.col(source_key), r'^"(.*)"$', "$1")
-        sent = "\x00"
-        out = F.regexp_replace(stripped, r"\\\\", sent)
+        nul, esc_nul, esc_bs = "\x00", "\x00z", "\x00b"
+        out = F.replace(stripped, F.lit(nul), F.lit(esc_nul))
+        out = F.regexp_replace(out, r"\\\\", esc_bs)
         out = F.regexp_replace(out, r'\\"', '"')
         out = F.regexp_replace(out, r"\\n", "\n")
         out = F.regexp_replace(out, r"\\t", "\t")
-        out = F.replace(out, F.lit(sent), F.lit("\\"))
+        out = F.replace(out, F.lit(esc_bs), F.lit("\\"))
+        out = F.replace(out, F.lit(esc_nul), F.lit(nul))
     else:
         raise ValueError(f"unknown method {method}")
     return df.withColumn(dest, out)
@@ -220,15 +224,19 @@ OTLP_METRICS_SCHEMA = (
 )
 
 
+_LBL_T = "array<struct<k:string,v:string>>"
+
+
 def _otlp_attr_strs(attrs: Column) -> Column:
-    """attributes → array of 'key#$#value' strings (anyValueToString,
+    """attributes → array of (k, v) structs (anyValueToString,
     pkg/protocol/decoder/opentelemetry/otlp_metric_parser.go:26-46)."""
+    # struct field aliases inside a lambda don't survive analysis — the
+    # positional cast to _LBL_T names the fields (k, v)
     return F.coalesce(
         F.transform(
             attrs,
-            lambda a: F.concat(
+            lambda a: F.struct(
                 a["key"],
-                F.lit("#$#"),
                 F.coalesce(
                     a["value"]["stringValue"],
                     a["value"]["intValue"],
@@ -237,22 +245,39 @@ def _otlp_attr_strs(attrs: Column) -> Column:
                     F.lit(""),
                 ),
             ),
-        ),
-        F.array().cast("array<string>"),
+        ).cast(_LBL_T),
+        F.array().cast(_LBL_T),
     )
+
+
+def _lbl(key: Column | str, value: Column) -> Column:
+    """One extra (k, v) label as a 1-element struct array."""
+    k = F.lit(key) if isinstance(key, str) else key
+    return F.array(F.struct(k.alias("k"), value.alias("v")))
 
 
 def _otlp_label_str(*parts: Column) -> Column:
     """Sorted 'k#$#v|k#$#v' serialization (helper MetricLabels.String,
-    pkg/helper/log_helper.go:209-228) — keys are unique, so sorting the
-    packed strings sorts by key."""
-    return F.array_join(F.array_sort(F.concat(*parts)), "|")
+    pkg/helper/log_helper.go:209-228): sorts by KEY (struct sort: k then
+    v) — sorting packed strings instead would mis-order keys containing
+    characters below '#'."""
+    sorted_kv = F.array_sort(F.concat(*parts))
+    return F.array_join(
+        F.transform(sorted_kv, lambda e: F.concat(e["k"], F.lit("#$#"), e["v"])),
+        "|",
+    )
 
 
 def _g_fmt(x: Column) -> Column:
-    """Go strconv.FormatFloat(x, 'g', -1, 64) for the simple range —
-    integral doubles print without '.0' (5.0 → '5', 2.5 → '2.5')."""
-    return F.regexp_replace(x.cast("string"), r"\.0$", "")
+    """Go strconv.FormatFloat(x, 'g', -1, 64) for the practical range:
+    fixed-point via a decimal cast (Spark's plain double cast flips to
+    scientific notation below 1e-3, e.g. 0.0005 → '5.0E-4'), trailing
+    zeros and dot stripped (5.0 → '5', 2.5 → '2.5', 0.0005 → '0.0005').
+    Bounds needing >38 digits or <1e-12 precision are out of scope."""
+    # decimal(38,12) string form always carries a '.', so stripping
+    # trailing zeros then a trailing dot is safe
+    fixed = x.cast("decimal(38,12)").cast("string")
+    return F.regexp_replace(F.regexp_replace(fixed, r"0+$", ""), r"\.$", "")
 
 
 def otel_metric_reshape(df: DataFrame, source_key: str = "text",
@@ -311,10 +336,10 @@ def otel_metric_reshape(df: DataFrame, source_key: str = "text",
     def num_rows(kind: str) -> Column:
         extra = None
         if kind == "sum":
-            extra = F.array(F.concat(
-                F.lit("otlp.metric.ismonotonic#$#"),
+            extra = _lbl(
+                "otlp.metric.ismonotonic",
                 F.coalesce(F.col("m.sum.isMonotonic"), F.lit(False)).cast("string"),
-            ))
+            )
         return F.coalesce(
             F.transform(
                 F.col(f"m.{kind}.dataPoints"),
@@ -342,8 +367,7 @@ def otel_metric_reshape(df: DataFrame, source_key: str = "text",
                 F.sequence(F.lit(1), nb),
                 lambda j: row(
                     F.concat(mn, F.lit("_bucket")),
-                    dp_labels(dp, F.array(
-                        F.concat(F.lit("le#$#"), F.element_at(bounds, j)))),
+                    dp_labels(dp, _lbl("le", F.element_at(bounds, j))),
                     tn,
                     F.aggregate(
                         F.slice(dp["bucketCounts"], F.lit(1), j), F.lit(0.0),
@@ -377,8 +401,7 @@ def otel_metric_reshape(df: DataFrame, source_key: str = "text",
                     dp["quantileValues"],
                     lambda q: row(
                         mn,
-                        dp_labels(dp, F.array(F.concat(
-                            F.lit("quantile#$#"), _g_fmt(q["quantile"])))),
+                        dp_labels(dp, _lbl("quantile", _g_fmt(q["quantile"]))),
                         tn, q["value"],
                     ),
                 ),
