@@ -134,6 +134,46 @@ def embedding_cosine_pairs_lsh(
     )
 
 
+def train_centroids(
+    df: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: int = 4096,
+    iters: int = 10,
+) -> list[tuple[int, list[float]]]:
+    """Driver-side Lloyd's k-means over a BOUNDED sample — the real
+    coarse quantizer for `ivf_topk(centroids=...)`. `take(sample_rows)`
+    reads only enough partitions (never a full corpus scan); at true
+    corpus scale you'd train once offline and reuse. Deterministic:
+    init picks are spread by md5(id) like the fallback sampler.
+    """
+    import hashlib
+
+    import numpy as np
+
+    rows = df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v")).take(
+        max(sample_rows, k)
+    )
+    rows = sorted(rows, key=lambda r: hashlib.md5(str(r["i"]).encode()).hexdigest())
+    x = np.array([[float(c) for c in r["v"]] for r in rows], dtype=np.float64)
+    # cosine k-means: operate on unit vectors, assign by max dot
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x / np.where(norms == 0, 1, norms)
+    cent = x[:k].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[j] = m / n
+    return [(j, cent[j].tolist()) for j in range(k)]
+
+
 def ivf_topk(
     df: DataFrame,
     queries: DataFrame,

@@ -75,6 +75,27 @@ class TestContainerdText:
         assert [r["content"] for r in m] == ["abcdef", "solo"]
         assert m[0]["is_partial"] is False and m[0]["first_line_no"] == 0
 
+    def test_reference_exception_stack_fixture(self, spark):
+        # mirrors core/unittest/processor/
+        # ProcessorParseContainerLogNativeUnittest.cpp:168-195 — P parts
+        # keep their leading spaces and concatenate with NO separator
+        lines = [
+            "2024-01-05T23:28:06.818486411+08:00 stdout P Exception",
+            "2024-01-05T23:28:07.818486411+08:00 stdout P  in thread",
+            "2024-01-05T23:28:08.818486411+08:00 stdout P   'main'",
+            "2024-01-05T23:28:09.818486411+08:00 stdout F  java.lang.NullPoinntterException",
+        ]
+        df = spark.createDataFrame(
+            [("c", i, ln) for i, ln in enumerate(lines)],
+            "conv_id string, turn_idx int, text string",
+        )
+        m = merge_partial_logs(container_log_parse(df, fmt="containerd_text")).first()
+        assert m["content"] == (
+            "Exception in thread  'main' java.lang.NullPoinntterException"
+        )
+        assert m["_time_"] == "2024-01-05T23:28:06.818486411+08:00"
+        assert m["is_partial"] is False
+
     def test_merge_unclosed_record_flagged(self, spark):
         df = spark.createDataFrame(
             [("c", 0, "t stdout F done"), ("c", 1, "t stdout P dangling")],

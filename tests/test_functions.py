@@ -225,6 +225,26 @@ class TestMultimodal:
         kinds = {r["media_id"]: r["kind"] for r in m.collect()}
         assert all(kinds[v] == "video" for v in vids)
 
+    def test_ivf_trained_centroids_recall(self, spark, dup_docs):
+        from ilogtail_spark.functions.similarity import (
+            brute_force_topk,
+            ivf_topk,
+            train_centroids,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        qs = emb.filter("vec_id < 3")
+        cents = train_centroids(emb, 8, sample_rows=512, iters=5)
+        assert len(cents) == 8
+        # deterministic
+        assert cents == train_centroids(emb, 8, sample_rows=512, iters=5)
+        exact = {(r["q_id"], r["n_id"]) for r in brute_force_topk(emb, qs, k=5).collect()}
+        got = {(r["q_id"], r["n_id"])
+               for r in ivf_topk(emb, qs, k=5, n_centroids=8, n_probes=3,
+                                 centroids=cents).collect()}
+        recall = len(exact & got) / len(exact)
+        assert recall >= 0.4  # probe-bounded ANN; trained coarse quantizer
+
     def test_resize_rewrites_payload_and_meta(self, spark):
         from ilogtail_spark.functions.multimodal import resize_media
 
