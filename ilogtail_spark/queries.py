@@ -1172,6 +1172,25 @@ GROUP BY 1
 """
 
 
+def q_desensitize_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_desensitize md5 mode (processor_desensitize.go:45-126) —
+    the one Arrow-path transform, oracle-checked on the single-occurrence
+    fixture (DuckDB rebuilds prefix + md5(matched secret))."""
+    from ilogtail_spark.operators.transform import desensitize_md5_arrow
+
+    t = _t(spark, sf_dir).filter(F.col("text").startswith("class="))
+    d = desensitize_md5_arrow(t, "text", "userid=", "[0-9]+")
+    return d.select("conv_id", "turn_idx", F.col("text").alias("masked"))
+
+
+O_DESENSITIZE_MD5 = f"""{_CTE}
+SELECT conv_id, turn_idx,
+  regexp_replace(text, 'userid=[0-9]+',
+    'userid=' || md5(regexp_extract(text, 'userid=([0-9]+)', 1))) AS masked
+FROM transcripts WHERE text LIKE 'class=%'
+"""
+
+
 def q_encrypt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """processor_encrypt: AES-CBC hex over a field — deterministic but
     engine-internal AES (no DuckDB oracle); rows-only check."""
@@ -1807,6 +1826,7 @@ QUERIES: dict[str, QueryFn] = {
     "shard_hash": q_shard_hash,
     "shard_hash_md5": q_shard_hash_md5,
     "desensitize": q_desensitize,
+    "desensitize_md5": q_desensitize_md5,
     "string_replace": q_string_replace,
     "base64_md5": q_base64_md5,
     "pack_json": q_pack_json,
@@ -1877,6 +1897,7 @@ ORACLES: dict[str, str] = {
     "lineage": O_LINEAGE,
     "shard_hash_md5": O_SHARD_HASH_MD5,
     "desensitize": O_DESENSITIZE,
+    "desensitize_md5": O_DESENSITIZE_MD5,
     "string_replace": O_STRING_REPLACE,
     "base64_md5": O_BASE64_MD5,
     "pack_json": O_PACK_JSON,
