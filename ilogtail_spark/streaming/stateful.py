@@ -91,6 +91,95 @@ def make_merge_fn(begin_regex: str, sep: str = "\n", timeout_ms: int = 60_000):
     return merge
 
 
+FLAG_MERGED_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("record_id", T.LongType()),
+        T.StructField("first_line_no", T.IntegerType()),
+        T.StructField("_time_", T.StringType()),
+        T.StructField("_source_", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("is_partial", T.BooleanType()),
+    ]
+)
+
+FLAG_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("next_rid", T.LongType()),
+        T.StructField("first_no", T.IntegerType()),
+        T.StructField("buf", T.StringType()),
+        T.StructField("t", T.StringType()),
+        T.StructField("src", T.StringType()),
+    ]
+)
+
+
+def make_flag_merge_fn(timeout_ms: int = 60_000):
+    """Flag-mode (container P/F) merge: parts concatenate with NO
+    separator; a record EMITS at its full (non-partial) line — unlike
+    begin-regex mode, which closes a record at the NEXT begin mark
+    (ProcessorMergeMultilineLogNative MergeType::BY_FLAG)."""
+
+    def merge(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        conv_id = key[0]
+        cols = ["conv_id", "record_id", "first_line_no", "_time_",
+                "_source_", "content", "is_partial"]
+        if state.hasTimedOut:
+            if state.exists:
+                rid, first_no, buf, t, srcv = state.get
+                state.remove()
+                if buf is not None:
+                    # never-closed record: flushed, flagged partial
+                    yield pd.DataFrame(
+                        [(conv_id, rid, first_no, t, srcv, buf, True)], columns=cols
+                    )
+            return
+
+        if state.exists:
+            rid, first_no, buf, t, srcv = state.get
+        else:
+            rid, first_no, buf, t, srcv = 0, None, None, None, None
+
+        out_rows: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("line_no")
+            for line_no, content, part, tt, ss in zip(
+                pdf["line_no"], pdf["content"], pdf["is_partial"],
+                pdf["_time_"], pdf["_source_"],
+            ):
+                if buf is None:
+                    buf, first_no, t, srcv = "", int(line_no), tt, ss
+                buf = buf + str(content)
+                if not part:
+                    out_rows.append((conv_id, rid, first_no, t, srcv, buf, False))
+                    rid += 1
+                    buf, first_no, t, srcv = None, None, None, None
+        state.update((rid, first_no, buf, t, srcv))
+        state.setTimeoutDuration(timeout_ms)
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=cols)
+
+    return merge
+
+
+def stream_merge_partial_logs(
+    parsed: DataFrame, *, timeout_ms: int = 60_000
+) -> DataFrame:
+    """Streaming flag-mode partial-log merge over container-parsed rows
+    (conv_id string, line_no int, content string, is_partial boolean,
+    _time_ string, _source_ string). A P-run whose F line arrives in a
+    LATER micro-batch still reassembles — the pending parts live in the
+    state store; idle timeout flushes a never-closed run (flagged
+    partial, the reference's flush-on-rotate)."""
+    return parsed.groupBy("conv_id").applyInPandasWithState(
+        make_flag_merge_fn(timeout_ms),
+        outputStructType=FLAG_MERGED_SCHEMA,
+        stateStructType=FLAG_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def stream_merge_multiline(
     lines: DataFrame,
     *,

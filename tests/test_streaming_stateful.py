@@ -76,3 +76,62 @@ class TestStreamMergeMultiline:
         # records with no following begin-mark flush via idle timeout
         assert ("c1", "2024-01-03 start C") in got
         assert ("c2", "2024-01-06 start E") in got
+
+
+class TestStreamMergePartialLogs:
+    IN2 = "/tmp/ilogtail_spark_flag_in"
+    CK2 = "/tmp/ilogtail_spark_flag_ckpt"
+
+    def test_flag_merge_across_micro_batches(self, spark):
+        import time as _time
+
+        from ilogtail_spark.streaming.stateful import stream_merge_partial_logs
+
+        shutil.rmtree(self.IN2, ignore_errors=True)
+        shutil.rmtree(self.CK2, ignore_errors=True)
+        # P-run split across two micro-batches; its F line arrives later;
+        # a final P with no F ever → idle-timeout flush, flagged partial
+        batches = [
+            [("c1", 0, "Exce", True, "t0", "stdout")],
+            [("c1", 1, "ption", True, "t1", "stdout"),
+             ("c1", 2, " in main", False, "t2", "stdout")],
+            [("c1", 3, "dangling", True, "t3", "stdout")],
+        ]
+        schema = ("conv_id string, line_no int, content string, "
+                  "is_partial boolean, _time_ string, _source_ string")
+        for rows_b in batches:
+            spark.createDataFrame(rows_b, schema).coalesce(1).write.mode(
+                "append").parquet(self.IN2)
+            _time.sleep(1.1)
+
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(self.IN2)
+        )
+        merged = stream_merge_partial_logs(src, timeout_ms=2000)
+        q = (
+            merged.writeStream.format("memory").queryName("flag_out")
+            .option("checkpointLocation", self.CK2)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+
+        def rows():
+            return {
+                (r["content"], r["is_partial"], r["_time_"])
+                for r in spark.sql("select * from flag_out").collect()
+            }
+
+        got = set()
+        for _ in range(60):
+            q.awaitTermination(2)
+            got = rows()
+            if any(c == "dangling" for c, _, _ in got):
+                break
+        q.stop()
+        q.awaitTermination(30)
+
+        # no separator; _time_ from the FIRST part; closed at the F line
+        assert ("Exception in main", False, "t0") in got
+        # never-closed run flushed by idle timeout, flagged partial
+        assert ("dangling", True, "t3") in got
