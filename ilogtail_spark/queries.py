@@ -183,21 +183,30 @@ FROM transcripts WHERE regexp_matches(text, '{_NGINX_RE}')
 # see identical bytes (same trick as TRANSCRIPTS_SQL_BODY)
 _SYSLOG_TEXT_SQL = (
     "concat('Jan ', cast(1 + turn_idx % 28 AS string), ' 12:00:', "
-    "lpad(cast(turn_idx % 60 AS string), 2, '0'), ' host-', "
+    "lpad(cast(turn_idx % 60 AS string), 2, '0'), ' ', "
+    # every 3rd line carries the optional <facility.priority> part —
+    # exercises SYSLOGBASE's optional group (and its inner aliases)
+    "CASE WHEN turn_idx % 3 = 0 THEN concat('<', cast(turn_idx % 24 AS string), "
+    "'.', cast(turn_idx % 8 AS string), '> ') ELSE '' END, 'host-', "
     "cast(turn_idx % 5 AS string), ' ', coalesce(tool, 'agentd'), '[', "
     "cast(10 + turn_idx % 90 AS string), ']: event from ', role)"
 )
 
-_SYSLOG_ORACLE_RE = r"^(\w+ +\d+ \d+:\d+:\d+) (\S+) ([^\[]+)\[(\d+)\]: (.*)$"
+_SYSLOG_ORACLE_RE = (
+    r"^(\w+ +\d+ \d+:\d+:\d+) (?:<(\d+)\.(\d+)> )?(\S+) ([^\[]+)\[(\d+)\]: (.*)$"
+)
 
 
 def q_grok_syslog(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """%{SYSLOGBASE}: timestamp/logsource/program/pid via the default
-    library's SYSLOG* family (processor_grok_default_patterns.go)."""
+    """%{SYSLOGBASE}: timestamp/facility/priority/logsource/program/pid
+    via the default library's SYSLOG* family
+    (processor_grok_default_patterns.go); the facility part is optional,
+    exercising non-participating capture groups."""
     t = _t(spark, sf_dir).withColumn("syslog", F.expr(_SYSLOG_TEXT_SQL))
     g = grok_parse(t, "%{SYSLOGBASE} %{GREEDYDATA:msg}", "syslog")
     return g.select(
-        "conv_id", "turn_idx", "timestamp", "logsource", "program",
+        "conv_id", "turn_idx", "timestamp", "facility", "priority",
+        "logsource", "program",
         F.col("pid").cast("int").alias("pid"), "msg",
     )
 
@@ -205,10 +214,12 @@ def q_grok_syslog(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_GROK_SYSLOG = f"""{_CTE}
 SELECT conv_id, turn_idx,
   regexp_extract({_SYSLOG_TEXT_SQL}, '{_SYSLOG_ORACLE_RE}', 1) AS "timestamp",
-  regexp_extract({_SYSLOG_TEXT_SQL}, '{_SYSLOG_ORACLE_RE}', 2) AS logsource,
-  regexp_extract({_SYSLOG_TEXT_SQL}, '{_SYSLOG_ORACLE_RE}', 3) AS program,
-  cast(regexp_extract({_SYSLOG_TEXT_SQL}, '{_SYSLOG_ORACLE_RE}', 4) AS int) AS pid,
-  regexp_extract({_SYSLOG_TEXT_SQL}, '{_SYSLOG_ORACLE_RE}', 5) AS msg
+  regexp_extract({_SYSLOG_TEXT_SQL}, '{_SYSLOG_ORACLE_RE}', 2) AS facility,
+  regexp_extract({_SYSLOG_TEXT_SQL}, '{_SYSLOG_ORACLE_RE}', 3) AS priority,
+  regexp_extract({_SYSLOG_TEXT_SQL}, '{_SYSLOG_ORACLE_RE}', 4) AS logsource,
+  regexp_extract({_SYSLOG_TEXT_SQL}, '{_SYSLOG_ORACLE_RE}', 5) AS program,
+  cast(regexp_extract({_SYSLOG_TEXT_SQL}, '{_SYSLOG_ORACLE_RE}', 6) AS int) AS pid,
+  regexp_extract({_SYSLOG_TEXT_SQL}, '{_SYSLOG_ORACLE_RE}', 7) AS msg
 FROM transcripts
 """
 
