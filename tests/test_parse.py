@@ -77,6 +77,24 @@ class TestRegexParse:
         key = lambda r: tuple(str(r[k]) for k in APSARA_KEYS + ["text"])  # noqa: E731
         assert sorted(map(key, jvm.collect())) == sorted(map(key, arrow.collect()))
 
+    def test_all_three_modes_agree_on_mixed_corpus(self, spark):
+        # the physical mode is a pure execution detail — all three must
+        # produce identical rows over the full 5-format transcript corpus
+        from ilogtail_spark.plans.pipeline import NGINX_KEYS, NGINX_PATTERN
+        from ilogtail_spark.sources.transcripts import transcripts_df
+
+        t = transcripts_df(spark, "/root/testdata/sf0.001")
+        outs = []
+        for mode in ("jvm", "jvm_perkey", "arrow"):
+            p = regex_parse(t, NGINX_PATTERN, NGINX_KEYS, "text",
+                            keep_source=True, mode=mode,
+                            types={"response_code": "int", "bytes": "long"})
+            outs.append(sorted(
+                tuple(str(r[k]) for k in ["conv_id", "turn_idx", *NGINX_KEYS])
+                for r in p.collect()
+            ))
+        assert outs[0] == outs[1] == outs[2]
+
 
 class TestJsonParse:
     def test_nested_expand_connector(self, spark):
