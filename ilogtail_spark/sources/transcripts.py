@@ -83,8 +83,25 @@ def transcripts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     window shuffle partitions by user_id (the future conv_id), which is
     exactly the partitioning the downstream per-conversation ordering
     window reuses — one shuffle, not two.
+
+    The window's shuffle is issued as an EXPLICIT hash repartition on
+    user_id sized to the session's parallelism (the window's required
+    ClusteredDistribution is satisfied by it, so the plan still has
+    exactly one Exchange). Without this, AQE coalesces the exchange by
+    *shuffle bytes* — but the wide `text` payload is GENERATED after the
+    shuffle, so byte-based coalescing collapses the whole parse stage to
+    1 task (measured 10x slowdown at sf0.1: every downstream regex ran
+    on one core). Parse parallelism must scale with CORES, not with the
+    pre-projection shuffle size; the same trap exists at 100 TB whenever
+    a narrow key shuffle feeds a row-expanding projection.
     """
-    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
+    n = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+    )
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+        n, "user_id"
+    ).createOrReplaceTempView("events")
     return spark.sql(TRANSCRIPTS_SQL_BODY)
 
 
