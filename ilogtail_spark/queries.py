@@ -1950,3 +1950,48 @@ assert set(NO_ORACLE) == set(QUERIES) - set(ORACLES), (
     sorted(set(QUERIES) - set(ORACLES) - set(NO_ORACLE)),
     sorted(set(NO_ORACLE) - (set(QUERIES) - set(ORACLES))),
 )
+
+
+def _last_green_rounds() -> dict[str, int]:
+    """Highest round number in which each query had a driver-green row
+    (hash_match true in CORRECTNESS_r{N}.json at the repo root)."""
+    import glob
+    import json
+    import os
+    import re
+
+    out: dict[str, int] = {}
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r0*(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if isinstance(row, dict) and row.get("hash_match"):
+                out[name] = max(out.get(name, -1), rnd)
+    return out
+
+
+def ordered_queries() -> dict[str, QueryFn]:
+    """The registry, rotated for the driver's bounded correctness window.
+
+    The correctness harness verifies a PREFIX of the queries() dict, so a
+    static order starves the tail: in round 2 the 19 training-data queries
+    sat past position 50 and got no driver-green row despite passing
+    locally. Order by (has an oracle first, least-recently driver-green
+    first, registry order as tiebreak) so every family cycles through the
+    verified window across rounds; rows-only queries go last since a
+    window slot spent on them can never produce a green row.
+    """
+    last = _last_green_rounds()
+    names = list(QUERIES)
+    order = sorted(
+        names, key=lambda nm: (nm in NO_ORACLE, last.get(nm, -1), names.index(nm))
+    )
+    return {nm: QUERIES[nm] for nm in order}
