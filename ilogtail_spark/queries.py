@@ -518,6 +518,109 @@ FROM transcripts
 
 
 # =====================================================================
+# §2.2 prometheus exposition parse + relabel
+# =====================================================================
+
+_PROM_TEXT_SQL = (
+    "CASE WHEN turn_idx % 19 = 0 THEN concat('# HELP http_requests_total ', role) "
+    "WHEN turn_idx % 23 = 1 THEN '   ' "
+    "ELSE concat('http_requests_total{method=\"', "
+    "CASE WHEN turn_idx % 2 = 0 THEN 'get' ELSE 'post' END, "
+    "'\",code=\"', CASE WHEN turn_idx % 10 = 0 THEN '500' ELSE '200' END, "
+    "'\",instance=\"host-', cast(turn_idx % 5 AS string), ':9100\"} ', "
+    "cast(turn_idx % 97 AS string), '.25', "
+    "CASE WHEN turn_idx % 3 = 0 THEN concat(' ', cast(1715829785083 + turn_idx AS string)) "
+    "WHEN turn_idx % 3 = 1 THEN concat(' ', cast(1715829000 + turn_idx % 600 AS string)) "
+    "ELSE '' END) END"
+)
+
+_PROM_LABELS_ORACLE = (
+    "concat('__name__#$#http_requests_total|code#$#', "
+    "CASE WHEN turn_idx % 10 = 0 THEN '500' ELSE '200' END, "
+    "'|instance#$#host-', cast(turn_idx % 5 AS string), ':9100', "
+    "'|method#$#', CASE WHEN turn_idx % 2 = 0 THEN 'get' ELSE 'post' END)"
+)
+
+
+def q_prom_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus text-exposition parser
+    (core/prometheus/labels/TextParser.cpp, driven by
+    ProcessorPromParseMetricNative): comment/blank lines dropped,
+    ms-vs-seconds timestamp scaling, scrape-default timestamp fill."""
+    from ilogtail_spark.operators.prom import labels_str, prom_parse
+
+    t = _t(spark, sf_dir).withColumn("pl", F.expr(_PROM_TEXT_SQL))
+    p = prom_parse(t, "pl", default_ts=1700000000, default_ns=0)
+    return p.select(
+        "conv_id", "turn_idx", "__name__",
+        labels_str(F.col("labels")).alias("__labels__"),
+        "__value__", "__time__", "__time_ns__",
+    )
+
+
+O_PROM_PARSE = f"""{_CTE}
+SELECT conv_id, turn_idx, 'http_requests_total' AS __name__,
+  {_PROM_LABELS_ORACLE} AS __labels__,
+  cast((turn_idx % 97) + 0.25 AS double) AS __value__,
+  CASE WHEN turn_idx % 3 = 0 THEN cast((1715829785083 + turn_idx) // 1000 AS bigint)
+       WHEN turn_idx % 3 = 1 THEN cast(1715829000 + turn_idx % 600 AS bigint)
+       ELSE cast(1700000000 AS bigint) END AS __time__,
+  CASE WHEN turn_idx % 3 = 0 THEN cast(((1715829785083 + turn_idx) % 1000) * 1000000 AS bigint)
+       ELSE cast(0 AS bigint) END AS __time_ns__
+FROM transcripts WHERE turn_idx % 19 <> 0 AND turn_idx % 23 <> 1
+"""
+
+
+def q_prom_relabel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus relabel rule chain (core/prometheus/labels/Relabel.cpp,
+    ProcessorPromRelabelMetricNative): keep filter, first-only replace,
+    md5-tail hashmod, a rule READING a __-prefixed target before the
+    deferred end-of-chain deletion, uppercase, labeldrop."""
+    from ilogtail_spark.operators.prom import (
+        RelabelRule,
+        labels_str,
+        prom_parse,
+        prom_relabel,
+    )
+
+    t = _t(spark, sf_dir).withColumn("pl", F.expr(_PROM_TEXT_SQL))
+    p = prom_parse(t, "pl", default_ts=1700000000, default_ns=0)
+    rules = [
+        RelabelRule(action="keep", source_labels=("__name__",), regex="http_.*"),
+        RelabelRule(action="replace", source_labels=("instance",),
+                    regex="([^:]+):([0-9]+)", target_label="host",
+                    replacement="$1"),
+        RelabelRule(action="hashmod", source_labels=("instance",),
+                    target_label="__tmp_shard", modulus=16),
+        RelabelRule(action="replace", source_labels=("__tmp_shard",),
+                    regex="(.*)", target_label="shard", replacement="$1"),
+        RelabelRule(action="uppercase", source_labels=("method",),
+                    target_label="method"),
+        RelabelRule(action="labeldrop", regex="code"),
+    ]
+    r = prom_relabel(p, rules)
+    return r.select(
+        "conv_id", "turn_idx", "__name__",
+        labels_str(F.col("labels")).alias("__labels__"),
+        "__value__",
+    )
+
+
+O_PROM_RELABEL = f"""{_CTE}
+SELECT conv_id, turn_idx, 'http_requests_total' AS __name__,
+  concat('__name__#$#http_requests_total',
+    '|host#$#host-', cast(turn_idx % 5 AS string),
+    '|instance#$#host-', cast(turn_idx % 5 AS string), ':9100',
+    '|method#$#', CASE WHEN turn_idx % 2 = 0 THEN 'GET' ELSE 'POST' END,
+    '|shard#$#', cast(cast(('0x' || substring(
+        md5(concat('host-', cast(turn_idx % 5 AS string), ':9100')),
+        17, 16)) AS UBIGINT) % 16 AS string)) AS __labels__,
+  cast((turn_idx % 97) + 0.25 AS double) AS __value__
+FROM transcripts WHERE turn_idx % 19 <> 0 AND turn_idx % 23 <> 1
+"""
+
+
+# =====================================================================
 # previously pytest-only ops — driver-oracle rows
 # =====================================================================
 
@@ -1091,6 +1194,69 @@ SELECT 'app_code' AS __name__,
   cast(regexp_extract(text, '{_APP_RE}', 5) AS double) AS __value__,
   epoch_us(ts) * 1000 AS __time_nano__
 FROM transcripts WHERE regexp_matches(text, '{_APP_RE}')
+"""
+
+
+def q_influxdb_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Influxdb line-protocol converter
+    (pkg/protocol/converter/influxdb_metric.go:32-86) over SLS metric
+    rows, exercising the ':field' metric-name suffix strip
+    (converter_sls_metric.go:93-99), label re-sort, and nano timestamp."""
+    from ilogtail_spark.operators.convert import influxdb_line
+
+    t = _t(spark, sf_dir)
+    p = regex_parse(t, _APP_RE, ["ts_str", "pid", "thread", "level", "code"],
+                    "text", keep_source=True, dotall=False)
+    p = p.filter(F.col("level").isNotNull())
+    m = log_to_metric(p, "app_code", "code", ["role", "level"], time_col="ts")
+    m = m.withColumn("__name__", F.concat(F.col("__name__"), F.lit(":code")))
+    m = m.withColumn("__field__", F.lit("code"))
+    out = influxdb_line(m, field_col="__field__")
+    return out.select("line")
+
+
+O_INFLUXDB_LINE = f"""{_CTE}
+SELECT concat('app_code,level=', regexp_extract(text, '{_APP_RE}', 4),
+              ',role=', role,
+              ' code=', cast(cast(regexp_extract(text, '{_APP_RE}', 5) AS int) AS string),
+              ' ', cast(epoch_us(ts) * 1000 AS string)) AS line
+FROM transcripts WHERE regexp_matches(text, '{_APP_RE}')
+"""
+
+
+def q_otlp_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP v1 log-record converter (ConvertToOtlpResourseLogs,
+    pkg/protocol/converter/otlp.go:43-103): contents+tags → string
+    attributes, content → body, level → severityText, seconds → nanos."""
+    from ilogtail_spark.operators.convert import otlp_log_records
+
+    t = _t(spark, sf_dir).withColumns(
+        {
+            "content": F.col("text"),
+            "level": F.when(F.col("turn_idx") % 11 == 0, F.lit("ERROR")).otherwise(
+                F.lit("INFO")
+            ),
+        }
+    )
+    r = otlp_log_records(
+        t, body_key="content", level_key="level",
+        attr_cols=("role", "tool"), time_col="ts",
+    )
+    return r.select(
+        "conv_id", "turn_idx", "timeUnixNano", "severityText", "body",
+        F.to_json(F.col("attributes")).alias("attributes_json"),
+    )
+
+
+O_OTLP_LOG = f"""{_CTE}
+SELECT conv_id, turn_idx,
+  cast((epoch_us(ts) // 1000000) * 1000000000 AS bigint) AS timeUnixNano,
+  CASE WHEN turn_idx % 11 = 0 THEN 'ERROR' ELSE 'INFO' END AS severityText,
+  text AS body,
+  concat('[{{"key":"role","value":{{"stringValue":"', role, '"}}}},',
+         '{{"key":"tool","value":{{"stringValue":"', coalesce(tool, ''),
+         '"}}}}]') AS attributes_json
+FROM transcripts
 """
 
 
@@ -1806,6 +1972,8 @@ QUERIES: dict[str, QueryFn] = {
     "docker_json_parse": q_docker_json_parse,
     "apsara_parse": q_apsara_parse,
     "otel_metric": q_otel_metric,
+    "prom_parse": q_prom_parse,
+    "prom_relabel": q_prom_relabel,
     "split_char": q_split_char,
     "gotime": q_gotime,
     "timestamp_native_drop": q_timestamp_native_drop,
@@ -1842,6 +2010,8 @@ QUERIES: dict[str, QueryFn] = {
     "base64_md5": q_base64_md5,
     "pack_json": q_pack_json,
     "log_to_metric": q_log_to_metric,
+    "influxdb_line": q_influxdb_line,
+    "otlp_log": q_otlp_log,
     "pipeline_e2e": q_pipeline_e2e,
     "container_pipeline": q_container_pipeline,
     "spl_pipeline": q_spl_pipeline,
@@ -1878,6 +2048,8 @@ ORACLES: dict[str, str] = {
     "docker_json_parse": O_DOCKER_JSON_PARSE,
     "apsara_parse": O_APSARA_PARSE,
     "otel_metric": O_OTEL_METRIC,
+    "prom_parse": O_PROM_PARSE,
+    "prom_relabel": O_PROM_RELABEL,
     "split_char": O_SPLIT_CHAR,
     "gotime": O_GOTIME,
     "timestamp_native_drop": O_TIMESTAMP_NATIVE_DROP,
@@ -1913,6 +2085,8 @@ ORACLES: dict[str, str] = {
     "base64_md5": O_BASE64_MD5,
     "pack_json": O_PACK_JSON,
     "log_to_metric": O_LOG_TO_METRIC,
+    "influxdb_line": O_INFLUXDB_LINE,
+    "otlp_log": O_OTLP_LOG,
     "pipeline_e2e": O_PIPELINE_E2E,
     "container_pipeline": O_CONTAINER_PIPELINE,
     "spl_pipeline": O_SPL_PIPELINE,

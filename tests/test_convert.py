@@ -1,0 +1,108 @@
+"""Influxdb line-protocol + OTLP v1 log converters.
+
+Vectors mirror pkg/protocol/converter/influxdb_metric_test.go and
+otlp_test.go.
+"""
+
+import json
+
+from pyspark.sql import functions as F
+
+from ilogtail_spark.operators.convert import influxdb_line, otlp_log_records
+
+_METRIC_SCHEMA = (
+    "__name__ string, __labels__ string, __value__ double, __time_nano__ long"
+)
+
+
+def _lines(spark, rows, schema=_METRIC_SCHEMA, **kw):
+    df = spark.createDataFrame(rows, schema)
+    return [r["line"] for r in influxdb_line(df, **kw).collect()]
+
+
+def test_influxdb_basic_vectors(spark):
+    # influxdb_metric_test.go:64: no labels / labels / with timestamp
+    out = _lines(
+        spark,
+        [
+            ("metric", "", 1.0, None),
+            ("metric", "aa#$#bb", 1.0, None),
+            ("metric", "", 1.0, 1667615389000000000),
+        ],
+    )
+    assert out == [
+        "metric field=1".replace("field", "value"),
+        "metric,aa=bb value=1",
+        "metric value=1 1667615389000000000",
+    ]
+
+
+def test_influxdb_label_sort_and_multi(spark):
+    # cpu1,k1=v1,k2=v2 value=1 <ts> — labels re-sorted by key
+    out = _lines(
+        spark,
+        [("cpu1", "k2#$#v2|k1#$#v1", 1.0, 1000)],
+    )
+    assert out == ["cpu1,k1=v1,k2=v2 value=1 1000"]
+
+
+def test_influxdb_field_name_suffix_strip(spark):
+    # metricReader.readNames (converter_sls_metric.go:93-99): name
+    # 'cpu1:f1' with field 'f1' emits measurement cpu1, field f1
+    rows = [("cpu1:f1", "k1#$#v1", 3.0, 10, "f1"), ("cpu2", "k1#$#v1", 1.0, 10, "")]
+    df = spark.createDataFrame(rows, _METRIC_SCHEMA + ", __field__ string")
+    out = [r["line"] for r in influxdb_line(df, field_col="__field__").collect()]
+    assert out == ["cpu1,k1=v1 f1=3 10", "cpu2,k1=v1 value=1 10"]
+
+
+def test_influxdb_escaping_and_float_fmt(spark):
+    out = _lines(
+        spark,
+        [
+            ("my metric", "host name#$#a,b=c", 2.5, None),
+            ("m", "k#$#v", 0.0005, None),
+        ],
+    )
+    assert out == [
+        r"my\ metric,host\ name=a\,b\=c value=2.5",
+        "m,k=v value=0.0005",
+    ]
+
+
+def test_otlp_log_records(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:05", "hello", "ERROR", "assistant", None)],
+        "ts string, content string, level string, role string, tool string",
+    )
+    r = (
+        otlp_log_records(
+            df, body_key="content", level_key="level",
+            attr_cols=("tool", "role"), time_col="ts",
+        )
+        .select(
+            "timeUnixNano", "body", "severityText",
+            F.to_json(F.col("attributes")).alias("aj"),
+        )
+        .first()
+    )
+    assert r["timeUnixNano"] == 1704067205 * 1_000_000_000
+    assert r["body"] == "hello"
+    assert r["severityText"] == "ERROR"
+    attrs = json.loads(r["aj"])
+    # sorted by key; null attr coalesced to '' (PutStr of missing tag)
+    assert attrs == [
+        {"key": "role", "value": {"stringValue": "assistant"}},
+        {"key": "tool", "value": {"stringValue": ""}},
+    ]
+
+
+def test_otlp_nano_col(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:05", 123456, "x")],
+        "ts string, ns long, content string",
+    )
+    r = otlp_log_records(
+        df, body_key="content", level_key=None, time_col="ts", nano_col="ns"
+    ).first()
+    # EnableTimestampNanosecond branch (otlp.go:86-87)
+    assert r["timeUnixNano"] == 1704067205 * 1_000_000_000 + 123456
