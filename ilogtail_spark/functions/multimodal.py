@@ -79,6 +79,29 @@ def decode_image(payload: bytes) -> object:
     raise NotImplementedError("image codec libraries not available in this environment")
 
 
+def codecs_available() -> bool:
+    """True when a real media codec stack is importable on the driver."""
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _require_codecs(op: str) -> None:
+    """fake=False plan-build gate: fail on the DRIVER at plan time
+    instead of inside the Arrow batch iterator on an executor — a
+    worker-side NotImplementedError surfaces as an opaque task failure
+    after the job is already running."""
+    if not codecs_available():
+        raise NotImplementedError(
+            f"{op}(fake=False) needs real media codec libraries (PIL/libvips), "
+            "which are not available on this driver; use fake=True for the "
+            "deterministic plumbing kernel"
+        )
+
+
 def extract_features(df: DataFrame, *, feature_dim: int = 8, fake: bool = True) -> DataFrame:
     """Feature extraction over Arrow batches via mapInPandas.
 
@@ -88,6 +111,8 @@ def extract_features(df: DataFrame, *, feature_dim: int = 8, fake: bool = True) 
     and partitioning are exactly what a real kernel would use; swap the
     body for the codec call on a real cluster.
     """
+    if not fake:
+        _require_codecs("extract_features")
 
     def _batch(it: Iterator) -> Iterator:
         import numpy as np
@@ -148,6 +173,8 @@ def resize_media(
     deterministic `width*height`-byte payload by tiling/truncating the
     source bytes — same I/O shape, schema, and batch handling as a real
     PIL/libvips resize; swap the body on a real cluster."""
+    if not fake:
+        _require_codecs("resize_media")
 
     def _batch(it: Iterator) -> Iterator:
         import pandas as pd
@@ -193,6 +220,8 @@ def sample_frames(
     fake per-frame extraction — each frame is a deterministic slice of the
     source payload keyed by its timestamp. Real decoder would seek/decode
     at frame_ts_ms; the explode + mapInPandas shape is identical."""
+    if not fake:
+        _require_codecs("sample_frames")
     plan = frame_sample_plan(df, every_ms).join(
         df.select("media_id", "payload"), "media_id"
     )

@@ -109,7 +109,9 @@ DEFAULT_PATTERNS: dict[str, str] = {
     "UNIXPATH": r"(?:/[\w_%!$@:.,+~-]+)+",
     "WINPATH": r"(?:[A-Za-z]+:|\\)(?:\\[^\\?*]*)+",
     "PATH": r"(?:%{UNIXPATH}|%{WINPATH})",
-    "URIPROTO": r"[A-Za-z](?:[A-Za-z0-9+\-.]+)+",
+    # equivalent to the classic [A-Za-z](?:[A-Za-z0-9+\-.]+)+ but without
+    # the (X+)+ nesting that the backtracking lint (rightly) rejects
+    "URIPROTO": r"[A-Za-z][A-Za-z0-9+\-.]+",
     "URIHOST": r"%{IPORHOST}(?::%{POSINT:port})?",
     "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%&_\-]*)+",
     "URIQUERY": r"[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\-\[\]<>]*",
@@ -203,6 +205,119 @@ class CompiledGrok:
         return {a: m[t] for a, t, _ in self.fields if t in m}
 
 
+_UNBOUNDED_Q = re.compile(r"^(\*|\+|\{\d+,\})")
+
+
+def _group_spans(regex: str) -> list[tuple[int, int]]:
+    """(open, close) index pairs of every paren group, char-class aware."""
+    stack: list[int] = []
+    out: list[tuple[int, int]] = []
+    i, in_class = 0, False
+    while i < len(regex):
+        c = regex[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_class:
+            in_class = c != "]"
+        elif c == "[":
+            in_class = True
+        elif c == "(":
+            stack.append(i)
+        elif c == ")" and stack:
+            out.append((stack.pop(), i))
+        i += 1
+    return out
+
+
+def _leading_atom_unbounded(body: str) -> bool:
+    """True when the body's FIRST atom (of the body or of any top-level
+    alternation branch) carries an unbounded quantifier — the shape that
+    makes each outer-loop iteration start ambiguous."""
+    # split top-level alternation branches
+    branches: list[str] = []
+    depth, in_class, start, i = 0, False, 0, 0
+    while i < len(body):
+        c = body[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_class:
+            in_class = c != "]"
+        elif c == "[":
+            in_class = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "|" and depth == 0:
+            branches.append(body[start:i])
+            start = i + 1
+        i += 1
+    branches.append(body[start:])
+
+    for br in branches:
+        if not br:
+            continue
+        # find the end of the first atom
+        if br[0] == "(":
+            spans = _group_spans(br)
+            close = next((e for s, e in spans if s == 0), None)
+            end = (close + 1) if close is not None else 1
+        elif br[0] == "[":
+            j, esc = 1, False
+            while j < len(br) and (esc or br[j] != "]"):
+                esc = not esc and br[j] == "\\"
+                j += 1
+            end = j + 1
+        elif br[0] == "\\":
+            end = 2
+        else:
+            end = 1
+        m = _UNBOUNDED_Q.match(br[end:])
+        # a possessive quantifier (X++ / X*+) never backtracks
+        if m and not br[end + len(m.group(1)) :].startswith("+"):
+            return True
+    return False
+
+
+def lint_backtracking(regex: str) -> list[str]:
+    """Compile-time complexity lint standing in for the reference's
+    regexp2 MatchTimeout (processor_grok.go:322-333): a user pattern that
+    can backtrack catastrophically would stall an executor mid-task at
+    100 TB, where a wall-clock timeout cannot be expressed in a codegen'd
+    JVM regex. Returns the offending constructs.
+
+    Flags an unbounded-quantified group whose iteration START is
+    ambiguous — the body (or a top-level alternation branch of it) leads
+    with an unbounded-quantified atom, i.e. the ``(X+)+`` /
+    ``(?:a+|b+)*`` family. Separator-anchored loops like
+    ``(?:/[^/]+)+`` are deterministic and pass. Atomic groups ``(?>…)``
+    and possessive quantifiers never backtrack and pass."""
+    bad: list[str] = []
+    for s, e in _group_spans(regex):
+        m = _UNBOUNDED_Q.match(regex[e + 1 :])
+        if not m:
+            continue
+        q = m.group(1)
+        if regex[e + 1 + len(q) : e + 2 + len(q)] == "+":
+            continue  # possessive outer quantifier
+        body = regex[s + 1 : e]
+        if body.startswith("?>"):
+            continue  # atomic group
+        if body.startswith("?:"):
+            body = body[2:]
+        elif body.startswith(("?<=", "?<!", "?=", "?!")):
+            continue  # lookaround: not an iterating loop body
+        elif body.startswith(("?<", "?P<")):
+            body = body[body.index(">") + 1 :]
+        elif body.startswith("?"):
+            continue  # inline flags group
+        if _leading_atom_unbounded(body):
+            bad.append(regex[s : e + 1 + len(q)])
+    return bad
+
+
 def compile_grok(
     expr: str, custom_patterns: dict[str, str] | None = None
 ) -> CompiledGrok:
@@ -254,6 +369,13 @@ def compile_grok(
 
     regex = expand(expr, ())
     re.compile(regex)  # validate eagerly, driver-side
+    bad = lint_backtracking(regex)
+    if bad:
+        raise ValueError(
+            "grok pattern can backtrack catastrophically (ambiguous nested "
+            f"unbounded quantifiers): {bad} — rewrite the inner loop, make "
+            "it possessive (X++), or use an atomic group (?>X+)"
+        )
     fields = [(a, t, i + 1) for i, (a, t) in enumerate(flat)]
     return CompiledGrok(regex=regex, fields=fields)
 

@@ -93,8 +93,9 @@ def desensitize_md5_arrow(
 def encrypt_fields(
     df: DataFrame,
     source_keys: list[str],
-    key: str,
+    key: str | None = None,
     *,
+    key_file_path: str | None = None,
     iv_hex: str | None = None,
     keep_source_value_if_error: bool = False,
 ) -> DataFrame:
@@ -102,13 +103,36 @@ def encrypt_fields(
     AES-CBC encrypt listed fields, hex output. Spark's aes_encrypt runs
     JVM-side; a fixed IV (the reference reads key+IV from config) keeps
     output deterministic for tests. Null/error ⇒ empty value unless
-    `keep_source_value_if_error` (the reference's flag)."""
+    `keep_source_value_if_error` (the reference's flag).
+
+    ``key_file_path`` mirrors EncryptionInfo.KeyFilePath
+    (processor_encrypt.go:41-53, parseKey:153-182): the file is a JSON
+    object whose ``Key`` (hex, required) and ``IV`` (hex, optional)
+    fields fill the parameters; like the reference, the material is
+    read once at plugin init — here driver-side at plan build, so the
+    key bytes travel to executors as plan literals, never re-read on
+    the data path. One of ``key`` / ``key_file_path`` is required."""
+    if key is None and key_file_path is None:
+        raise ValueError("encrypt_fields requires key or key_file_path")
+    if key_file_path is not None:
+        import json
+
+        with open(key_file_path) as f:
+            params = json.load(f)
+        key_hex = params.get("Key", "")
+        if not key_hex:
+            raise ValueError(f"key file {key_file_path!r} has no 'Key' field")
+        key_col = F.unhex(F.lit(key_hex))
+        if iv_hex is None:
+            iv_hex = params.get("IV") or None
+    else:
+        key_col = F.lit(key)
     iv = F.unhex(F.lit(iv_hex)) if iv_hex else F.unhex(F.lit("00" * 16))
     cols = {}
     for k in source_keys:
         enc = F.hex(
             F.aes_encrypt(
-                F.col(k).cast("binary"), F.lit(key), F.lit("CBC"), F.lit("PKCS"), iv
+                F.col(k).cast("binary"), key_col, F.lit("CBC"), F.lit("PKCS"), iv
             )
         )
         fallback = F.col(k) if keep_source_value_if_error else F.lit("")

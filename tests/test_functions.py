@@ -265,3 +265,24 @@ class TestMultimodal:
         assert f1 == f2 and len(f1) > 0
         one = sample_frames(m, every_ms=5000).first()
         assert len(one["frame"]) == 64
+
+
+class TestCodecPlanTimeGuard:
+    def test_fake_false_fails_at_plan_build(self, spark):
+        """fake=False must raise on the DRIVER at plan time, not inside
+        the Arrow batch iterator on an executor (multimodal kernels)."""
+        import pytest
+
+        from ilogtail_spark.functions.multimodal import (
+            resize_media,
+            sample_frames,
+            synthetic_media,
+        )
+
+        m = synthetic_media(spark, 4)
+        with pytest.raises(NotImplementedError, match="plan|codec|fake=True"):
+            extract_features(m, fake=False)
+        with pytest.raises(NotImplementedError, match="codec"):
+            resize_media(m, 8, 8, fake=False)
+        with pytest.raises(NotImplementedError, match="codec"):
+            sample_frames(m, every_ms=1000, fake=False)

@@ -169,3 +169,30 @@ class TestGrokParse:
         df = spark.createDataFrame([("status 500 bytes 1234",)], "text string")
         out = grok_parse(df, r"status %{INT:st:int} bytes %{INT:b:long}").first()
         assert out["st"] == 500 and out["b"] == 1234
+
+
+class TestBacktrackingLint:
+    """Compile-time stand-in for the reference's regexp2 MatchTimeout
+    (processor_grok.go:322-333)."""
+
+    def test_pathological_patterns_rejected(self):
+        import pytest
+
+        from ilogtail_spark.grok import compile_grok
+
+        for pat in [r"(a+)+b", r"([\w ]*)*x", r"(?:\d+|\w+)*!"]:
+            with pytest.raises(ValueError, match="backtrack"):
+                compile_grok(pat, custom_patterns={})
+
+    def test_separator_loops_and_possessive_pass(self):
+        from ilogtail_spark.grok import lint_backtracking
+
+        assert lint_backtracking(r"(?:/[^/]+)+") == []
+        assert lint_backtracking(r"(?>a+)+") == []
+        assert lint_backtracking(r"(?:a+)++") == []
+
+    def test_library_is_lint_clean(self):
+        from ilogtail_spark.grok import DEFAULT_PATTERNS, compile_grok
+
+        for name in DEFAULT_PATTERNS:
+            compile_grok("%{" + name + ":x}")

@@ -35,6 +35,45 @@ class TestEncryptKnownAnswer:
             "d2481b96528f14a61453cdd799d67e4f"
         )
 
+    def test_key_from_file(self, spark, tmp_path):
+        # EncryptionInfo.KeyFilePath (processor_encrypt.go:41-53,
+        # parseKey:153-182): JSON file with hex Key (+ optional IV);
+        # must produce the same ciphertext as the literal-key path
+        import json
+
+        kf = tmp_path / "aes_key.json"
+        kf.write_text(
+            json.dumps(
+                {
+                    "Key": self.KEY.encode().hex(),
+                    "IV": "000102030405060708090a0b0c0d0e0f",
+                }
+            )
+        )
+        df = spark.createDataFrame([("sensitive-data",)], "text string")
+        out = encrypt_fields(df, ["text"], key_file_path=str(kf)).first()
+        assert out["text"].lower() == (
+            "000102030405060708090a0b0c0d0e0f"
+            "d2481b96528f14a61453cdd799d67e4f"
+        )
+        # explicit iv_hex overrides the file's IV
+        out2 = encrypt_fields(
+            df, ["text"], key_file_path=str(kf), iv_hex="00" * 16
+        ).first()
+        out3 = encrypt_fields(df, ["text"], self.KEY).first()
+        assert out2["text"] == out3["text"]
+
+    def test_key_file_errors(self, spark, tmp_path):
+        import json
+
+        df = spark.createDataFrame([("x",)], "text string")
+        with pytest.raises(ValueError, match="key or key_file_path"):
+            encrypt_fields(df, ["text"])
+        kf = tmp_path / "nokey.json"
+        kf.write_text(json.dumps({"IV": "00" * 16}))
+        with pytest.raises(ValueError, match="no 'Key'"):
+            encrypt_fields(df, ["text"], key_file_path=str(kf))
+
 
 class TestUnquoteEscapeOrder:
     def test_escaped_backslash_not_reinterpreted(self, spark):
