@@ -30,6 +30,12 @@ CHECKS = {
     # geoip is a broadcast NON-equi join — must not fall back to a
     # cartesian/sort-merge strategy
     "geoip": (["BroadcastNestedLoopJoin"], ["SortMergeJoin", "CartesianProduct"]),
+    # round 3: prom parse is one anchored-regex projection; relabel rules
+    # fuse into the same projection (no join, no extra shuffle)
+    "prom_parse": (["ReadSchema"], ["SortMergeJoin", "Join"]),
+    "prom_relabel": (["ReadSchema"], ["SortMergeJoin", "Join"]),
+    "influxdb_line": (["ReadSchema"], ["SortMergeJoin", "Join"]),
+    "otlp_log": (["ReadSchema"], ["SortMergeJoin", "Join", "Generate"]),
 }
 
 # single-pass claims: at most N parquet scans in the physical plan
@@ -39,6 +45,17 @@ SCAN_LIMIT = {
     "apsara_parse": 1,
     "grok_apache": 1,
     "pipeline_e2e": 1,
+    "prom_parse": 1,
+    "prom_relabel": 1,      # 6-rule chain fuses into the parse projection
+    "influxdb_line": 1,
+    "otlp_log": 1,
+}
+
+# single-materialization claims: expensive expressions that must appear
+# exactly once in the final plan (VERDICT r2 asked for the otel one)
+EXPR_ONCE = {
+    "otel_metric": "from_json",  # the deep OTLP schema is parsed ONCE,
+                                 # shared by all four metric-kind branches
 }
 
 
@@ -71,12 +88,21 @@ def main() -> None:
         scans = len(set(_re.findall(r"\((\d+)\) Scan parquet", plan)))
         limit = SCAN_LIMIT.get(name)
         over = limit is not None and scans > limit
-        status = "OK" if not missing and not present and not over else "FAIL"
+        once = EXPR_ONCE.get(name)
+        # formatted explain shows the expression in the node detail only,
+        # so count in the final-plan detail text
+        n_expr = plan.count(once) if once else None
+        expr_bad = once is not None and n_expr != 1
+        status = (
+            "OK" if not missing and not present and not over and not expr_bad
+            else "FAIL"
+        )
         if status == "FAIL":
             failures.append((name, missing, present))
         print(f"{status:4} {name}: need={need} forbid={forbid} "
               f"missing={missing} unexpected={present}"
-              + (f" scans={scans}/{limit}" if limit is not None else ""))
+              + (f" scans={scans}/{limit}" if limit is not None else "")
+              + (f" {once}x{n_expr}" if once else ""))
         sections.append(f"## {name} — {status}\n\n```\n{plan.strip()}\n```\n")
 
     with open("/root/repo/BENCH/PLANS.md", "w") as f:
