@@ -282,3 +282,59 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    *,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Near-dup CLUSTERS from a candidate-pair graph: (node, cluster_id)
+    where cluster_id = min node id in the connected component — the step
+    that turns pairwise near-dup hits (MinHash/SimHash/embedding LSH)
+    into keep-one-per-cluster dedup decisions.
+
+    Iterative min-label propagation: each round every node takes the min
+    label among itself and its neighbors; converges in O(diameter)
+    rounds (near-dup components are cliques or short chains, so
+    typically 2-3). Each round is one shuffle join on the node key plus
+    a map-side-combinable min-aggregate; labels are localCheckpoint'ed
+    so plan lineage stays O(1) instead of growing per round. At 10^9+
+    edges swap in the large-star/small-star optimization
+    (Kiveris et al., "Connected Components in MapReduce", SOCC'14) —
+    same driver-loop shape, fewer rounds on high-diameter graphs.
+    """
+    a, b = F.col(a_col), F.col(b_col)
+    edges = (
+        pairs.select(a.alias("src"), b.alias("dst"))
+        .unionAll(pairs.select(b.alias("src"), a.alias("dst")))
+        .distinct()
+    )
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), F.col("label"))
+            .unionAll(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        new_labels = neighbor_min.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))

@@ -165,3 +165,104 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         (F.sum("piece") % 1000000007).alias("fingerprint"),
         F.count(F.lit(1)).alias("n_tokens"),
     )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document (the
+    repetition filters of Rae et al. 2021 §A1.1, standard in
+    training-data pipelines): fraction of words in the most common word,
+    fraction in the most common word-bigram, and the duplicate-word
+    fraction.
+
+    Scale shape: explode → two hash aggregations keyed by doc (and
+    doc+gram) — both shuffles partition on the document key, fully
+    map-side-combinable, linear in corpus size. Deliberately NOT a
+    higher-order-function fold: per-doc mode via array exists() is
+    O(words²) per row, while the explode plan is O(words).
+    """
+    words = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != "")
+    base = df.select(F.col(id_col), words.alias("__w"))
+
+    uni = base.select(id_col, F.explode("__w").alias("g"))
+    uni_stats = (
+        uni.groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.max("c").alias("top_word_n"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+    )
+
+    bi = base.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.size("__w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__w") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("__w", i), F.element_at("__w", i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    bi_stats = (
+        bi.groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_bigram_n"), F.sum("c").alias("n_bigrams"))
+    )
+
+    out = uni_stats.join(bi_stats, id_col, "left")
+    return out.select(
+        id_col,
+        F.col("n_words").cast("int").alias("n_words"),
+        (F.col("top_word_n") / F.col("n_words")).cast("double").alias("top_word_frac"),
+        F.coalesce(
+            (F.col("top_bigram_n") / F.col("n_bigrams")).cast("double"), F.lit(0.0)
+        ).alias("top_bigram_frac"),
+        ((F.col("n_words") - F.col("n_distinct")) / F.col("n_words"))
+        .cast("double")
+        .alias("dup_word_frac"),
+    )
+
+
+# PII patterns: the practical scrub set of a training-data pipeline.
+# Same regex text must run in Spark (Java) and DuckDB (RE2) oracles, so
+# only the shared-syntax subset is used (no lookbehind).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d{3}[- .]\d{3,4}[- .]\d{4}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+}
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    kinds: tuple[str, ...] = ("email", "phone", "ipv4"),
+    out_col: str | None = None,
+) -> DataFrame:
+    """Redact PII spans with '<KIND>' placeholders and count matches per
+    kind — the doc-level analog of processor_desensitize
+    (plugins/processor/desensitize/processor_desensitize.go), applied in
+    the order given (earlier kinds consume their spans first, so an
+    email's digits can't double-count as a phone).
+
+    Pure codegen'd regexp_replace chain + match counts; one map stage.
+    """
+    out = F.col(text_col)
+    counts: dict[str, Column] = {}
+    for kind in kinds:
+        pat = PII_PATTERNS[kind]
+        counts[f"n_{kind}"] = F.size(
+            F.regexp_extract_all(out, F.lit(f"({pat})"), 1)
+        ).cast("int")
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return df.withColumns({**counts, (out_col or text_col): out})

@@ -1941,6 +1941,106 @@ FROM documents d LEFT JOIN fp USING (doc_id)
 """
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (top-word fraction,
+    top-bigram fraction, duplicate-word fraction) per document —
+    explode + two doc-keyed hash aggregations, linear in corpus size."""
+    from ilogtail_spark.functions.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+O_REPETITION = """
+WITH wl AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS t
+  FROM documents),
+words AS (SELECT doc_id, unnest(t) AS g FROM wl),
+uni AS (SELECT doc_id, g, count(*) AS c FROM words GROUP BY 1, 2),
+us AS (
+  SELECT doc_id, sum(c) AS n_words, max(c) AS top_word_n,
+         count(*) AS n_distinct
+  FROM uni GROUP BY 1),
+bi AS (
+  SELECT doc_id, concat(t[i], ' ', t[i+1]) AS g
+  FROM wl, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) AS x
+  WHERE len(t) >= 2),
+bc AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2),
+bs AS (SELECT doc_id, max(c) AS top_bigram_n, sum(c) AS n_bigrams
+       FROM bc GROUP BY 1)
+SELECT us.doc_id, cast(n_words AS int) AS n_words,
+  cast(top_word_n AS double) / n_words AS top_word_frac,
+  coalesce(cast(top_bigram_n AS double) / n_bigrams, 0.0) AS top_bigram_frac,
+  cast(n_words - n_distinct AS double) / n_words AS dup_word_frac
+FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id
+"""
+
+
+_PII_TEXT_SQL = (
+    "concat('contact u', cast(turn_idx AS string), '@example.com or +', "
+    "cast(100 + turn_idx % 900 AS string), '-555-', "
+    "lpad(cast(turn_idx % 10000 AS string), 4, '0'), ' from 10.0.', "
+    "cast(turn_idx % 256 AS string), '.7 ', role)"
+)
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (email/phone/IPv4 → placeholders + per-kind counts)
+    — the doc-level desensitize a training-data pipeline runs before
+    tokenization. Pure regexp_replace chain, one map stage."""
+    from ilogtail_spark.functions.textstats import pii_scrub
+
+    t = _t(spark, sf_dir).withColumn("pii", F.expr(_PII_TEXT_SQL))
+    s = pii_scrub(t, "pii")
+    return s.select(
+        "conv_id", "turn_idx", F.col("pii").alias("scrubbed"),
+        "n_email", "n_phone", "n_ipv4",
+    )
+
+
+O_PII_SCRUB = f"""{_CTE}
+SELECT conv_id, turn_idx,
+  concat('contact <EMAIL> or <PHONE> from <IPV4> ', role) AS scrubbed,
+  1 AS n_email, 1 AS n_phone, 1 AS n_ipv4
+FROM transcripts
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair graph → connected components (cluster_id = min doc
+    in component): the keep-one-per-cluster dedup decision over the
+    MinHash-LSH candidate pairs. Iterative min-label propagation; the
+    DuckDB oracle computes the same components via a recursive
+    transitive closure."""
+    from ilogtail_spark.functions.dedup import connected_components
+
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.3)
+    cc = connected_components(pairs, "id_a", "id_b")
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+_MINHASH_FINAL = "SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.3"
+assert O_MINHASH_LSH.strip().endswith(_MINHASH_FINAL)
+O_DEDUP_CLUSTERS = (
+    O_MINHASH_LSH.strip()[: -len(_MINHASH_FINAL)].replace(
+        "WITH toks", "WITH RECURSIVE toks", 1
+    )
+    + """,
+pairs AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.3),
+edges AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION SELECT id_b AS s, id_a AS t FROM pairs),
+reach(s, t) AS (
+  SELECT s, t FROM edges
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+nodes AS (SELECT DISTINCT s AS node FROM edges)
+SELECT n.node AS doc_id, least(n.node, min(r.t)) AS cluster_id
+FROM nodes n JOIN reach r ON r.s = n.node
+GROUP BY n.node
+"""
+)
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: Arrow-batched mapInPandas feature extraction
     over binary payloads (deterministic fake kernel) — rows-only check."""
@@ -2035,6 +2135,9 @@ QUERIES: dict[str, QueryFn] = {
     "ann_ivf": q_ann_ivf,
     "lang_id_trigram": q_lang_id_trigram,
     "kgram_fingerprints": q_kgram_fingerprints,
+    "repetition": q_repetition,
+    "pii_scrub": q_pii_scrub,
+    "dedup_clusters": q_dedup_clusters,
     "media_features": q_media_features,
     "media_frames": q_media_frames,
 }
@@ -2106,6 +2209,9 @@ ORACLES: dict[str, str] = {
     "ann_lsh": O_ANN_LSH,
     "ann_ivf": O_ANN_IVF,
     "kgram_fingerprints": O_KGRAM_FINGERPRINTS,
+    "repetition": O_REPETITION,
+    "pii_scrub": O_PII_SCRUB,
+    "dedup_clusters": O_DEDUP_CLUSTERS,
     "ann_brute_force": O_ANN_BRUTE_FORCE,
     "embedding_dup": O_EMBEDDING_DUP,
     "lang_id_trigram": O_LANG_ID_TRIGRAM,

@@ -286,3 +286,78 @@ class TestCodecPlanTimeGuard:
             resize_media(m, 8, 8, fake=False)
         with pytest.raises(NotImplementedError, match="codec"):
             sample_frames(m, every_ms=1000, fake=False)
+
+
+class TestRepetitionStats:
+    def test_hand_values(self, spark):
+        from ilogtail_spark.functions.textstats import repetition_stats
+
+        df = spark.createDataFrame(
+            [
+                (1, "a a a b"),          # top word a: 3/4; bigram 'a a': 2/3
+                (2, "x y z"),            # no repetition
+                (3, "w"),                # single word: no bigrams
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+        r1 = out[1]
+        assert r1["n_words"] == 4
+        assert r1["top_word_frac"] == 3 / 4
+        assert r1["top_bigram_frac"] == 2 / 3
+        assert r1["dup_word_frac"] == (4 - 2) / 4
+        r2 = out[2]
+        assert r2["top_word_frac"] == 1 / 3 and r2["dup_word_frac"] == 0.0
+        r3 = out[3]
+        assert r3["n_words"] == 1 and r3["top_bigram_frac"] == 0.0
+
+    def test_empty_doc_dropped(self, spark):
+        from ilogtail_spark.functions.textstats import repetition_stats
+
+        df = spark.createDataFrame([(1, ""), (2, "a b")], "doc_id long, text string")
+        assert [r["doc_id"] for r in repetition_stats(df).collect()] == [2]
+
+
+class TestPiiScrub:
+    def test_kinds_and_order(self, spark):
+        from ilogtail_spark.functions.textstats import pii_scrub
+
+        df = spark.createDataFrame(
+            [("mail bob.smith+x@corp.example.org call 212-555-0187 at 192.168.1.20",)],
+            "text string",
+        )
+        r = pii_scrub(df, "text").first()
+        assert r["text"] == "mail <EMAIL> call <PHONE> at <IPV4>"
+        assert (r["n_email"], r["n_phone"], r["n_ipv4"]) == (1, 1, 1)
+
+    def test_email_consumed_before_phone(self, spark):
+        from ilogtail_spark.functions.textstats import pii_scrub
+
+        # digits inside an email must not double-count as a phone
+        df = spark.createDataFrame([("a 123-456-7890@x.io b",)], "text string")
+        r = pii_scrub(df, "text").first()
+        assert r["n_email"] == 1 and r["n_phone"] == 0
+        assert r["text"] == "a <EMAIL> b"
+
+
+class TestConnectedComponents:
+    def test_chain_and_islands(self, spark):
+        from ilogtail_spark.functions.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+            "id_a long, id_b long",
+        )
+        out = {r["node"]: r["cluster_id"]
+               for r in connected_components(pairs).collect()}
+        assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    def test_long_path_converges(self, spark):
+        from ilogtail_spark.functions.dedup import connected_components
+
+        # a 30-node path needs multiple propagation rounds
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+        )
+        out = connected_components(pairs).collect()
+        assert all(r["cluster_id"] == 0 for r in out) and len(out) == 31
