@@ -135,13 +135,19 @@ def merge_partial_logs(
     A record ENDS at each non-partial row, so a row's record id is the
     count of non-partial rows strictly before it within the partition.
     """
+    from ilogtail_spark.partitioning import cores_repartition
+
     w_prev = (
         Window.partitionBy(partition_col)
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     end_mark = (~F.col(partial_col)).cast("int")
-    with_rec = df.withColumn(
+    # explicit cores-sized shuffle — the window and the groupBy below
+    # both cluster on partition_col (subset rule covers the composite
+    # group key), so this stays the stage's ONLY exchange while keeping
+    # the reassembly parallel (see ilogtail_spark/partitioning.py)
+    with_rec = cores_repartition(df, partition_col).withColumn(
         "record_id", F.coalesce(F.sum(end_mark).over(w_prev), F.lit(0))
     )
     return (

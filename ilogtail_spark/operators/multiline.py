@@ -44,13 +44,20 @@ def merge_multiline(
     forced by sorting the collected (line_no, line) structs, never by
     arrival order (collect_list alone is NOT order-stable in Spark).
     """
+    from ilogtail_spark.partitioning import cores_repartition
+
     is_begin = F.col(line_col).rlike(begin_regex).cast("int")
     w = (
         Window.partitionBy(partition_col)
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    with_rec = df.withColumn(record_col, F.sum(is_begin).over(w))
+    # explicit cores-sized shuffle: the window + string reassembly after
+    # it are CPU-heavy, and AQE's byte-based coalescing otherwise folds
+    # this stage to 1 task (see ilogtail_spark/partitioning.py)
+    with_rec = cores_repartition(df, partition_col).withColumn(
+        record_col, F.sum(is_begin).over(w)
+    )
     merged = (
         with_rec.groupBy(partition_col, record_col)
         .agg(

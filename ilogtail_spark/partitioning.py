@@ -1,0 +1,35 @@
+"""Explicit, cores-sized shuffles for row-expanding / CPU-heavy stages.
+
+AQE coalesces exchanges by SHUFFLE BYTES. When the work after a shuffle
+is dominated by expressions that expand rows (format synthesis, regex
+parse, string_agg reassembly), byte-based coalescing collapses the
+stage to a handful of tasks — measured 10x at sf0.1 when the transcripts
+window fed the parsers from a single task. Operators whose required
+distribution is a key these helpers can name should issue that shuffle
+as an explicit hash repartition: the plan keeps exactly one Exchange
+(the explicit partitioning satisfies the window/aggregate distribution,
+including the subset rule for composite group keys), AQE honors the
+explicit partition count, and stage parallelism scales with CORES, not
+with the pre-projection byte size. The same rule holds at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def session_parallelism(df: DataFrame) -> int:
+    """max(cores, shuffle.partitions) of the owning session."""
+    spark = df.sparkSession
+    shuffle = spark.conf.get("spark.sql.shuffle.partitions", "32")
+    return max(
+        spark.sparkContext.defaultParallelism,
+        int(shuffle) if str(shuffle).isdigit() else 32,
+    )
+
+
+def cores_repartition(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-repartition on ``cols`` with an explicit cores-sized count —
+    the shuffle the downstream window/aggregate needs anyway, pinned so
+    AQE cannot coalesce the following CPU-heavy stage to 1 task."""
+    return df.repartition(session_parallelism(df), *cols)
