@@ -920,6 +920,41 @@ GROUP BY role
 """
 
 
+def q_filter_key_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_filter_key_regex
+    (plugins/processor/filter/keyregex/processor_filter_key_regex.go:28-73),
+    dynamic-map mode: keep a row iff EVERY key matches include and NO key
+    matches exclude. Planted bad keys: every 7th kv row gains an 'X9' key
+    (fails include), every 7th+1 a 'debugflag' key (hits exclude)."""
+    from ilogtail_spark.operators.filters import filter_key_regex_map
+
+    t = _t(spark, sf_dir).filter(F.col("text").startswith("class="))
+    m = F.str_to_map(F.col("text"), F.lit("&"), F.lit("="))
+    m2 = (
+        F.when(F.col("turn_idx") % 7 == 0,
+               F.map_concat(m, F.create_map(F.lit("X9"), F.lit("1"))))
+        .when(F.col("turn_idx") % 7 == 1,
+              F.map_concat(m, F.create_map(F.lit("debugflag"), F.lit("1"))))
+        .otherwise(m)
+    )
+    t = t.withColumn("kv", m2)
+    kept = filter_key_regex_map(t, "kv", include="[a-z]+", exclude="debug.*")
+    return kept.select(
+        "conv_id", "turn_idx",
+        F.try_element_at(F.col("kv"), F.lit("method")).alias("method"),
+        F.try_element_at(F.col("kv"), F.lit("userid")).alias("userid"),
+    )
+
+
+O_FILTER_KEY_REGEX = f"""{_CTE}
+SELECT conv_id, turn_idx,
+  regexp_extract(text, 'method=([a-z]+)', 1) AS method,
+  regexp_extract(text, 'userid=([0-9]+)', 1) AS userid
+FROM transcripts
+WHERE text LIKE 'class=%' AND turn_idx % 7 NOT IN (0, 1)
+"""
+
+
 def q_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """processor_rate_limit: ≤2 rows per (role, second), deterministic rank."""
     t = _t(spark, sf_dir)
@@ -2093,6 +2128,7 @@ QUERIES: dict[str, QueryFn] = {
     "strptime": q_strptime,
     "filter_regex": q_filter_regex,
     "filter_expr": q_filter_expr,
+    "filter_key_regex": q_filter_key_regex,
     "rate_limit": q_rate_limit,
     "dict_map": q_dict_map,
     "dict_map_join": q_dict_map_join,
@@ -2172,6 +2208,7 @@ ORACLES: dict[str, str] = {
     "strptime": O_STRPTIME,
     "filter_regex": O_FILTER_REGEX,
     "filter_expr": O_FILTER_EXPR,
+    "filter_key_regex": O_FILTER_KEY_REGEX,
     "rate_limit": O_RATE_LIMIT,
     "dict_map": O_DICT_MAP,
     "dict_map_join": O_DICT_MAP_JOIN,

@@ -95,12 +95,10 @@ def transcripts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-projection shuffle size; the same trap exists at 100 TB whenever
     a narrow key shuffle feeds a row-expanding projection.
     """
-    n = max(
-        spark.sparkContext.defaultParallelism,
-        int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
-    )
-    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
-        n, "user_id"
+    from ilogtail_spark.partitioning import cores_repartition
+
+    cores_repartition(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), "user_id"
     ).createOrReplaceTempView("events")
     return spark.sql(TRANSCRIPTS_SQL_BODY)
 
