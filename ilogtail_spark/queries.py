@@ -87,11 +87,24 @@ def _t(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # cores-sized spread: the table is a single small parquet file (one
+    # input split), but every consumer EXPANDS it — shingle explode +
+    # 64-permutation MinHash etc. ran on 1 task without this. The
+    # repartition key matches the downstream per-doc aggregations, so
+    # most plans reuse the exchange (ilogtail_spark/partitioning.py).
+    from ilogtail_spark.partitioning import cores_repartition
+
+    return cores_repartition(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id"
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from ilogtail_spark.partitioning import cores_repartition
+
+    return cores_repartition(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id"
+    )
 
 
 # =====================================================================
