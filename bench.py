@@ -95,7 +95,7 @@ def main() -> None:
         "rate_limit", "pipeline_e2e", "spl_pipeline", "exact_dedup",
         "minhash_lsh", "ngram_jaccard", "ann_brute_force", "quality_score",
         "fingerprint", "container_log_parse", "apsara_parse", "otel_metric",
-        "grok_apache",
+        "grok_apache", "prom_parse", "prom_relabel", "repetition", "pii_scrub",
     ):
         fn = QUERIES[name]
         best = None
