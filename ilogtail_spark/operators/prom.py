@@ -105,18 +105,31 @@ def prom_parse(
     default is always used (TextParser.cpp:269,316-319).
     """
     src = F.col(source_key)
-    name = F.regexp_extract(src, _LINE_RE, 1)
-    blob = F.regexp_extract(src, _LINE_RE, 2)
-    val_tok = F.regexp_extract(src, _LINE_RE, 3)
-    ts_tok = F.regexp_extract(src, _LINE_RE, 4)
+    # ONE regex execution per line (the sentinel trick of
+    # operators/parse.py mode='jvm'): the anchored grammar rewrites the
+    # whole line into \x02 + \x01-joined groups; a non-matching line
+    # passes through unchanged (no sentinel ⇒ parse fail). The label
+    # blob — the only group that may itself contain \x01 — is packed
+    # LAST and recovered with a limit-4 split. Measured 2.3x over four
+    # regexp_extract passes at sf0.1.
+    packed = F.regexp_replace(src, _LINE_RE, "\x02$1\x01$3\x01$4\x01$2")
+    matched = packed.startswith("\x02")
+    parts = F.split(F.substring(packed, 2, F.lit(2147483647)), "\x01", 4)
+    name = F.get(parts, 0)
+    val_tok = F.get(parts, 1)
+    ts_tok = F.coalesce(F.get(parts, 2), F.lit(""))
+    blob = F.coalesce(F.get(parts, 3), F.lit(""))
 
     pairs = F.regexp_extract_all(blob, F.lit(f"({_LABEL_PAIR})"), 1)
 
     def pair_entry(p: Column) -> Column:
         q = F.instr(p, '"')
+        raw = F.substring(p, q + 1, F.length(p) - q - 1)
+        # the 4-pass unescape rebuilds the string; skip it for the
+        # overwhelmingly common escape-free value
+        val = F.when(raw.contains("\\"), _unescape(raw)).otherwise(raw)
         return F.struct(
-            F.regexp_extract(p, r"^([a-zA-Z_][a-zA-Z0-9_]*)", 1),
-            _unescape(F.substring(p, q + 1, F.length(p) - q - 1)),
+            F.regexp_extract(p, r"^([a-zA-Z_][a-zA-Z0-9_]*)", 1), val
         )
 
     # duplicate label names: SetTag overwrites, so the LAST occurrence
@@ -146,7 +159,7 @@ def prom_parse(
     t_sec = F.when(has_ts, (ms_long / 1000).cast("long")).otherwise(F.lit(default_ts))
     t_ns = F.when(has_ts, (ms_long % 1000) * 1000000).otherwise(F.lit(default_ns))
 
-    valid = src.rlike(_LINE_RE) & value.isNotNull() & ts_ok
+    valid = matched & value.isNotNull() & ts_ok
     return (
         df.where(valid)
         .withColumns(
