@@ -266,3 +266,33 @@ def pii_scrub(
         ).cast("int")
         out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
     return df.withColumns({**counts, (out_col or text_col): out})
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the corpus-mixing step of a
+    training-data pipeline (e.g. downsample one language/source to a
+    target ratio). Unlike ``DataFrame.sampleBy`` the decision is a pure
+    hash of (salt, id): reproducible across runs/partitions/retries, no
+    RNG state, and the SAME rows are kept when the job re-runs — which
+    is what makes downstream dedup/packing stages resumable.
+
+    Keep rule: first 15 hex digits of md5(salt || ':' || id) as a
+    uniform draw in [0, 1); keep when draw < fraction[stratum]. One map
+    stage, no shuffle.
+    """
+    draw = (
+        F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col))), 1, 15), 16, 10)
+        .cast("double") / F.lit(float(16**15))
+    )
+    frac = F.lit(default_fraction)
+    for k, v in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(frac)
+    return df.where(draw < frac)

@@ -2089,6 +2089,29 @@ GROUP BY n.node
 )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum (language) downsampling — corpus mixing
+    for training-data curation. Keep decision is md5(salt:doc_id)-based,
+    so it is reproducible across runs/retries and oracle-checkable."""
+    from ilogtail_spark.functions.textstats import stratified_sample
+
+    s = stratified_sample(
+        _docs(spark, sf_dir), "lang",
+        {"en": 0.5, "de": 1.0, "zh": 0.25}, default_fraction=0.1,
+    )
+    return s.select("doc_id", "lang", "source")
+
+
+O_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang, source
+FROM documents
+WHERE cast(('0x' || substring(md5(concat('strat:', cast(doc_id AS string))), 1, 15))
+           AS BIGINT) / power(16, 15)
+      < (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
+                   WHEN 'zh' THEN 0.25 ELSE 0.1 END)
+"""
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: Arrow-batched mapInPandas feature extraction
     over binary payloads (deterministic fake kernel) — rows-only check."""
@@ -2187,6 +2210,7 @@ QUERIES: dict[str, QueryFn] = {
     "repetition": q_repetition,
     "pii_scrub": q_pii_scrub,
     "dedup_clusters": q_dedup_clusters,
+    "stratified_sample": q_stratified_sample,
     "media_features": q_media_features,
     "media_frames": q_media_frames,
 }
@@ -2262,6 +2286,7 @@ ORACLES: dict[str, str] = {
     "repetition": O_REPETITION,
     "pii_scrub": O_PII_SCRUB,
     "dedup_clusters": O_DEDUP_CLUSTERS,
+    "stratified_sample": O_STRATIFIED_SAMPLE,
     "ann_brute_force": O_ANN_BRUTE_FORCE,
     "embedding_dup": O_EMBEDDING_DUP,
     "lang_id_trigram": O_LANG_ID_TRIGRAM,

@@ -361,3 +361,38 @@ class TestConnectedComponents:
         )
         out = connected_components(pairs).collect()
         assert all(r["cluster_id"] == 0 for r in out) and len(out) == 31
+
+
+class TestStratifiedSample:
+    def test_fractions_and_determinism(self, spark):
+        import hashlib
+
+        from ilogtail_spark.functions.textstats import stratified_sample
+
+        df = spark.createDataFrame(
+            [(i, "en" if i % 2 == 0 else "de") for i in range(2000)],
+            "doc_id long, lang string",
+        )
+        out = stratified_sample(df, "lang", {"en": 0.25, "de": 0.75})
+        rows = out.collect()
+        kept = {r["doc_id"] for r in rows}
+        # exact per-row check against the md5 rule (no sampling slack)
+        for i in range(2000):
+            draw = int(
+                hashlib.md5(f"strat:{i}".encode()).hexdigest()[:15], 16
+            ) / 16**15
+            frac = 0.25 if i % 2 == 0 else 0.75
+            assert (i in kept) == (draw < frac), i
+        # deterministic: second run identical
+        again = {r["doc_id"] for r in stratified_sample(
+            df, "lang", {"en": 0.25, "de": 0.75}).collect()}
+        assert again == kept
+
+    def test_default_fraction_zero_drops_unlisted(self, spark):
+        from ilogtail_spark.functions.textstats import stratified_sample
+
+        df = spark.createDataFrame(
+            [(1, "xx"), (2, "en")], "doc_id long, lang string"
+        )
+        out = stratified_sample(df, "lang", {"en": 1.0}).collect()
+        assert [r["doc_id"] for r in out] == [2]
