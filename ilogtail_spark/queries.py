@@ -2112,6 +2112,43 @@ WHERE cast(('0x' || substring(md5(concat('strat:', cast(doc_id AS string))), 1, 
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget sequence packing per source — parallel across
+    groups, sequential inside a group (Arrow applyInPandas with
+    two-integer state). Full oracle: DuckDB replays the identical greedy
+    walk via a recursive CTE."""
+    from ilogtail_spark.functions.packing import pack_greedy
+    from ilogtail_spark.functions.textstats import token_count
+
+    d = token_count(_docs(spark, sf_dir))
+    p = pack_greedy(
+        d, group_col="source", order_col="doc_id",
+        token_col="n_tokens", max_tokens=512,
+    )
+    return p.select("source", "doc_id", "n_tokens", "bin_id", "bin_fill")
+
+
+O_PACK_SEQUENCES = r"""
+WITH RECURSIVE d AS (
+  SELECT source, doc_id,
+    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents),
+pack(source, rn, doc_id, n_tokens, bin_id, acc) AS (
+  SELECT source, rn, doc_id, n_tokens, 0, cast(n_tokens AS bigint)
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.source, d.rn, d.doc_id, d.n_tokens,
+    CASE WHEN p.acc + d.n_tokens > 512 THEN p.bin_id + 1 ELSE p.bin_id END,
+    CASE WHEN p.acc + d.n_tokens > 512 THEN cast(d.n_tokens AS bigint)
+         ELSE p.acc + d.n_tokens END
+  FROM pack p JOIN d ON d.source = p.source AND d.rn = p.rn + 1)
+SELECT source, doc_id, n_tokens, cast(bin_id AS int) AS bin_id,
+  acc AS bin_fill
+FROM pack
+"""
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: Arrow-batched mapInPandas feature extraction
     over binary payloads (deterministic fake kernel) — rows-only check."""
@@ -2211,6 +2248,7 @@ QUERIES: dict[str, QueryFn] = {
     "pii_scrub": q_pii_scrub,
     "dedup_clusters": q_dedup_clusters,
     "stratified_sample": q_stratified_sample,
+    "pack_sequences": q_pack_sequences,
     "media_features": q_media_features,
     "media_frames": q_media_frames,
 }
@@ -2287,6 +2325,7 @@ ORACLES: dict[str, str] = {
     "pii_scrub": O_PII_SCRUB,
     "dedup_clusters": O_DEDUP_CLUSTERS,
     "stratified_sample": O_STRATIFIED_SAMPLE,
+    "pack_sequences": O_PACK_SEQUENCES,
     "ann_brute_force": O_ANN_BRUTE_FORCE,
     "embedding_dup": O_EMBEDDING_DUP,
     "lang_id_trigram": O_LANG_ID_TRIGRAM,

@@ -396,3 +396,48 @@ class TestStratifiedSample:
         )
         out = stratified_sample(df, "lang", {"en": 1.0}).collect()
         assert [r["doc_id"] for r in out] == [2]
+
+
+class TestPackGreedy:
+    def test_hand_case(self, spark):
+        from ilogtail_spark.functions.packing import pack_greedy
+
+        rows = [
+            ("s", 1, 300), ("s", 2, 200),   # 300+200=500 -> bin 0
+            ("s", 3, 20),                   # 520 > 512 -> bin 1
+            ("s", 4, 600),                  # oversized -> own bin 2
+            ("s", 5, 10),                   # after overflow bin -> bin 3
+            ("t", 9, 512),                  # exactly max -> bin 0
+            ("t", 10, 1),                   # overflow -> bin 1
+        ]
+        df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+        out = {(r["source"], r["doc_id"]): (r["bin_id"], r["bin_fill"])
+               for r in pack_greedy(df, max_tokens=512).collect()}
+        assert out == {
+            ("s", 1): (0, 300), ("s", 2): (0, 500), ("s", 3): (1, 20),
+            ("s", 4): (2, 600), ("s", 5): (3, 10),
+            ("t", 9): (0, 512), ("t", 10): (1, 1),
+        }
+
+    def test_invariants_random(self, spark):
+        import random
+
+        from ilogtail_spark.functions.packing import pack_greedy
+
+        rng = random.Random(7)
+        rows = [
+            (f"g{i % 5}", i, rng.randint(1, 700)) for i in range(300)
+        ]
+        df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+        out = pack_greedy(df, max_tokens=512).collect()
+        by_group_bin: dict = {}
+        for r in out:
+            by_group_bin.setdefault((r["source"], r["bin_id"]), []).append(r)
+        for (g, b), docs in by_group_bin.items():
+            total = sum(d["n_tokens"] for d in docs)
+            # a bin over budget must be a single oversized doc
+            assert total <= 512 or (len(docs) == 1 and docs[0]["n_tokens"] > 512)
+        # bins dense 0..k per group
+        for g in {r["source"] for r in out}:
+            bins = sorted({r["bin_id"] for r in out if r["source"] == g})
+            assert bins == list(range(len(bins)))
