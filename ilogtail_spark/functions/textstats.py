@@ -296,3 +296,46 @@ def stratified_sample(
     for k, v in sorted(fractions.items()):
         frac = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(frac)
     return df.where(draw < frac)
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    out_col: str | None = None,
+    strip_punct: bool = True,
+) -> DataFrame:
+    """Dedup-preprocessing normalization (the C4/CCNet-style canonical
+    form hashed by exact dedup): lowercase, optionally strip
+    punctuation, collapse whitespace runs, trim. Pure codegen'd
+    expressions; unicode NFC is out of scope (needs ICU, not present
+    JVM-side as a builtin)."""
+    out = F.lower(F.col(text_col))
+    if strip_punct:
+        out = F.regexp_replace(out, r"[^a-z0-9\s]", " ")
+    out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return df.withColumn(out_col or text_col, out)
+
+
+_URL_RE = r"https?://[A-Za-z0-9.-]+(?::\d+)?(?:/[^\s\"']*)?"
+
+
+def url_stats(
+    df: DataFrame, text_col: str = "text", *, id_col: str = "doc_id"
+) -> DataFrame:
+    """URL extraction + registered-domain rollup — the provenance /
+    domain-mix accounting of a web-corpus pipeline. Explode the per-doc
+    URL list, take the hostname, and aggregate (domain → docs, urls):
+    one explode + one domain-keyed hash aggregation, map-side
+    combinable."""
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(f"({_URL_RE})"), 1)
+    host = F.regexp_extract(F.col("url"), r"^https?://([^/:]+)", 1)
+    return (
+        df.select(F.col(id_col), F.explode(urls).alias("url"))
+        .select(id_col, F.lower(host).alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_urls"),
+        )
+    )

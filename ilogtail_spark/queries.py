@@ -2149,6 +2149,66 @@ FROM pack
 """
 
 
+def q_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup: canonical form (lowercase,
+    punctuation stripped, whitespace collapsed) hashed per doc — groups
+    that differ only in case/punct/spacing collapse to one key."""
+    from ilogtail_spark.functions.textstats import normalize_text
+
+    d = normalize_text(_docs(spark, sf_dir), "text", out_col="norm")
+    return (
+        d.groupBy(F.md5(F.col("norm")).alias("norm_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+O_NORMALIZE_DEDUP = r"""
+WITH n AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                        '\s+', ' ', 'g')) AS norm
+  FROM documents)
+SELECT md5(norm) AS norm_hash, count(*) AS n_docs,
+  min(doc_id) AS keep_doc_id
+FROM n GROUP BY 1
+"""
+
+
+_URL_TEXT_SQL = (
+    "concat('see https://', CASE WHEN turn_idx % 3 = 0 THEN 'docs.example.org' "
+    "WHEN turn_idx % 3 = 1 THEN 'Data.Example.com' "
+    "ELSE concat('cdn-', cast(turn_idx % 7 AS string), '.example.net') END, "
+    "'/p/', cast(turn_idx AS string), ' and http://mirror.example.io:8080/x ', role)"
+)
+
+
+def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction + domain rollup (provenance accounting): explode
+    per-row URL lists, lowercase the hostname, aggregate docs/urls per
+    domain."""
+    from ilogtail_spark.functions.textstats import url_stats
+
+    t = _t(spark, sf_dir).withColumn("u", F.expr(_URL_TEXT_SQL))
+    # transcripts rows play the documents role here: id = (conv, turn)
+    t = t.withColumn("doc_id", F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")))
+    return url_stats(t, "u", id_col="doc_id")
+
+
+O_URL_STATS = f"""{_CTE},
+w AS (
+  SELECT concat(conv_id, '#', cast(turn_idx AS string)) AS doc_id,
+    unnest(regexp_extract_all({_URL_TEXT_SQL},
+      '(https?://[A-Za-z0-9.-]+(?::\\d+)?(?:/[^\\s"'']*)?)', 1)) AS url
+  FROM transcripts)
+SELECT lower(regexp_extract(url, '^https?://([^/:]+)', 1)) AS domain,
+  count(DISTINCT doc_id) AS n_docs, count(*) AS n_urls
+FROM w GROUP BY 1
+"""
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: Arrow-batched mapInPandas feature extraction
     over binary payloads (deterministic fake kernel) — rows-only check."""
@@ -2249,6 +2309,8 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_clusters": q_dedup_clusters,
     "stratified_sample": q_stratified_sample,
     "pack_sequences": q_pack_sequences,
+    "normalize_dedup": q_normalize_dedup,
+    "url_stats": q_url_stats,
     "media_features": q_media_features,
     "media_frames": q_media_frames,
 }
@@ -2326,6 +2388,8 @@ ORACLES: dict[str, str] = {
     "dedup_clusters": O_DEDUP_CLUSTERS,
     "stratified_sample": O_STRATIFIED_SAMPLE,
     "pack_sequences": O_PACK_SEQUENCES,
+    "normalize_dedup": O_NORMALIZE_DEDUP,
+    "url_stats": O_URL_STATS,
     "ann_brute_force": O_ANN_BRUTE_FORCE,
     "embedding_dup": O_EMBEDDING_DUP,
     "lang_id_trigram": O_LANG_ID_TRIGRAM,

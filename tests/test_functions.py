@@ -441,3 +441,32 @@ class TestPackGreedy:
         for g in {r["source"] for r in out}:
             bins = sorted({r["bin_id"] for r in out if r["source"] == g})
             assert bins == list(range(len(bins)))
+
+
+class TestNormalizeAndUrls:
+    def test_normalize_text(self, spark):
+        from ilogtail_spark.functions.textstats import normalize_text
+
+        df = spark.createDataFrame(
+            [("  Hello,   WORLD!! (x)  ",), ("a\tb\nc",)], "text string"
+        )
+        out = [r["text"] for r in normalize_text(df).collect()]
+        assert out == ["hello world x", "a b c"]
+        keep = [r["text"] for r in normalize_text(df, strip_punct=False).collect()]
+        assert keep == ["hello, world!! (x)", "a b c"]
+
+    def test_url_stats(self, spark):
+        from ilogtail_spark.functions.textstats import url_stats
+
+        df = spark.createDataFrame(
+            [
+                (1, "x https://A.example.com/p http://a.example.com/q y"),
+                (2, "see https://b.example.org:8080/r"),
+                (3, "no urls here"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["domain"]: (r["n_docs"], r["n_urls"])
+               for r in url_stats(df).collect()}
+        # hostnames lowercase; ports excluded from the domain
+        assert out == {"a.example.com": (1, 2), "b.example.org": (1, 1)}
