@@ -1,1 +1,7 @@
-from ilogtail_spark.functions import dedup, multimodal, similarity, textstats  # noqa: F401
+from ilogtail_spark.functions import (  # noqa: F401
+    dedup,
+    multimodal,
+    packing,
+    similarity,
+    textstats,
+)
