@@ -36,6 +36,15 @@ CHECKS = {
     "prom_relabel": (["ReadSchema"], ["SortMergeJoin", "Join"]),
     "influxdb_line": (["ReadSchema"], ["SortMergeJoin", "Join"]),
     "otlp_log": (["ReadSchema"], ["SortMergeJoin", "Join", "Generate"]),
+    # training-data additions: explode + doc-keyed partial aggs, no joins
+    "repetition": (["HashAggregate", "partial_"], ["SortMergeJoin"]),
+    "pii_scrub": (["ReadSchema"], ["SortMergeJoin", "Join", "Generate"]),
+    # zero-shuffle map-stage sample: no exchange beyond the scan spread
+    "stratified_sample": (["ReadSchema"], ["Join", "HashAggregate"]),
+    # sequential-in-group Arrow kernel, parallel across groups
+    "pack_sequences": (["FlatMapGroupsInPandas"], ["SortMergeJoin"]),
+    "url_stats": (["HashAggregate", "partial_"], ["SortMergeJoin"]),
+    "normalize_dedup": (["HashAggregate", "partial_"], ["SortMergeJoin"]),
 }
 
 # single-pass claims: at most N parquet scans in the physical plan
