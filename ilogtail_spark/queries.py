@@ -2209,6 +2209,46 @@ FROM w GROUP BY 1
 """
 
 
+def q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized brute-force top-5 (4x corpus memory/IO vs float;
+    re-rank survivors with floats when exactness matters). Quantization
+    rule: per-vector scale = max|x|/127, half-up rounding — reproduced
+    bit-for-bit by the oracle."""
+    from ilogtail_spark.functions.similarity import brute_force_topk_int8
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") < 3)
+    return brute_force_topk_int8(emb, qs, k=5)
+
+
+O_ANN_INT8 = """
+WITH qz AS (
+  SELECT vec_id,
+    list_transform(embedding, x ->
+      cast(round(x::DOUBLE /
+        (CASE WHEN list_max(list_transform(embedding, y -> abs(y::DOUBLE))) > 0
+              THEN list_max(list_transform(embedding, y -> abs(y::DOUBLE))) / 127.0
+              ELSE 1.0 END)) AS int)) AS qcode
+  FROM embeddings),
+q AS (SELECT vec_id AS q_id, qcode AS q_code FROM qz WHERE vec_id < 3),
+scored AS (
+  SELECT q.q_id, c.vec_id AS n_id,
+    round(
+      list_dot_product(list_transform(q.q_code, x -> x::DOUBLE),
+                       list_transform(c.qcode, x -> x::DOUBLE))
+      / (sqrt(list_dot_product(list_transform(q.q_code, x -> x::DOUBLE),
+                               list_transform(q.q_code, x -> x::DOUBLE)))
+       * sqrt(list_dot_product(list_transform(c.qcode, x -> x::DOUBLE),
+                               list_transform(c.qcode, x -> x::DOUBLE)))), 6) AS score
+  FROM qz c, q WHERE c.vec_id <> q.q_id),
+ranked AS (
+  SELECT q_id, n_id, score,
+    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS rk
+  FROM scored)
+SELECT q_id, n_id, score, cast(rk AS int) AS rk FROM ranked WHERE rk <= 5
+"""
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: Arrow-batched mapInPandas feature extraction
     over binary payloads (deterministic fake kernel) — rows-only check."""
@@ -2311,6 +2351,7 @@ QUERIES: dict[str, QueryFn] = {
     "pack_sequences": q_pack_sequences,
     "normalize_dedup": q_normalize_dedup,
     "url_stats": q_url_stats,
+    "ann_int8": q_ann_int8,
     "media_features": q_media_features,
     "media_frames": q_media_frames,
 }
@@ -2390,6 +2431,7 @@ ORACLES: dict[str, str] = {
     "pack_sequences": O_PACK_SEQUENCES,
     "normalize_dedup": O_NORMALIZE_DEDUP,
     "url_stats": O_URL_STATS,
+    "ann_int8": O_ANN_INT8,
     "ann_brute_force": O_ANN_BRUTE_FORCE,
     "embedding_dup": O_EMBEDDING_DUP,
     "lang_id_trigram": O_LANG_ID_TRIGRAM,

@@ -470,3 +470,39 @@ class TestNormalizeAndUrls:
                for r in url_stats(df).collect()}
         # hostnames lowercase; ports excluded from the domain
         assert out == {"a.example.com": (1, 2), "b.example.org": (1, 1)}
+
+
+class TestInt8Quantization:
+    def test_codes_bounded_and_scale(self, spark):
+        from ilogtail_spark.functions.similarity import quantize_embeddings
+
+        df = spark.createDataFrame(
+            [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+        out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+        assert out[1]["qcode"] == [64, -127, 32]  # scale = 1.0/127
+        assert abs(out[1]["qscale"] - 1.0 / 127) < 1e-12
+        assert out[2]["qcode"] == [0, 0, 0] and out[2]["qscale"] == 1.0
+
+    def test_recall_vs_float(self, spark):
+        from ilogtail_spark.functions.similarity import (
+            brute_force_topk,
+            brute_force_topk_int8,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        qs = emb.where("vec_id < 5")
+        exact = brute_force_topk(emb, qs, k=10).collect()
+        quant = brute_force_topk_int8(emb, qs, k=10).collect()
+        by_q_exact: dict = {}
+        for r in exact:
+            by_q_exact.setdefault(r["q_id"], set()).add(r["n_id"])
+        by_q_quant: dict = {}
+        for r in quant:
+            by_q_quant.setdefault(r["q_id"], set()).add(r["n_id"])
+        recalls = [
+            len(by_q_exact[q] & by_q_quant[q]) / 10 for q in by_q_exact
+        ]
+        # int8 scalar quantization keeps cosine ranks nearly intact
+        assert sum(recalls) / len(recalls) >= 0.8, recalls
