@@ -203,3 +203,109 @@ def stream_merge_multiline(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# --- token-bucket rate limit ------------------------------------------
+
+RATE_KEPT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("ord", T.LongType()),
+        T.StructField("ts", T.DoubleType()),
+    ]
+)
+
+RATE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("tokens", T.DoubleType()),
+        T.StructField("last_ts", T.DoubleType()),
+    ]
+)
+
+
+def token_bucket_walk(
+    ts_seq: list[float], limit: float, per_seconds: float,
+    tokens: float | None = None, last_ts: float | None = None,
+) -> tuple[list[bool], float, float]:
+    """The reference token bucket on EVENT time
+    (plugins/processor/ratelimit/token_bucket.go:84-140): a fresh key
+    starts with a full bucket (getBucket's LoadOrStore initial value =
+    limit), each event withdraws one token, elapsed event-time replenishes
+    at limit/per_seconds up to the cap. Event time (not wall clock) keeps
+    replays deterministic. Returns (kept flags, tokens, last_ts)."""
+    rate = limit / per_seconds
+    kept: list[bool] = []
+    for ts in ts_seq:
+        ts = float(ts)
+        if tokens is None:
+            tokens, last_ts = float(limit), ts
+        else:
+            tokens = min(float(limit), tokens + rate * max(0.0, ts - last_ts))
+            last_ts = max(last_ts, ts)
+        if tokens >= 1.0:
+            tokens -= 1.0
+            kept.append(True)
+        else:
+            kept.append(False)
+    return kept, tokens, last_ts
+
+
+def rate_limit_token_bucket(
+    df: DataFrame, *, limit: float, per_seconds: float
+) -> DataFrame:
+    """Batch twin of :func:`stream_rate_limit` — same walk via plain
+    applyInPandas over (key string, ord long, ts double)."""
+
+    def _one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "ord"]).reset_index(drop=True)
+        kept, _, _ = token_bucket_walk(list(pdf["ts"]), limit, per_seconds)
+        return pdf.loc[kept, ["key", "ord", "ts"]]
+
+    return (
+        df.select("key", "ord", "ts")
+        .groupBy("key")
+        .applyInPandas(_one, RATE_KEPT_SCHEMA)
+    )
+
+
+def make_rate_limit_fn(limit: float, per_seconds: float):
+    def fn(key: tuple, pdfs, state: GroupState):
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        tokens, last_ts = (state.get if state.exists else (None, None))
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "ord"])
+            kept, tokens, last_ts = token_bucket_walk(
+                list(pdf["ts"]), limit, per_seconds, tokens, last_ts
+            )
+            sel = pdf.loc[kept]
+            rows.append(sel)
+        if tokens is not None:
+            state.update((float(tokens), float(last_ts)))
+        out = pd.concat(rows) if rows else pd.DataFrame(columns=["key", "ord", "ts"])
+        yield pd.DataFrame(
+            {"key": out["key"], "ord": out["ord"], "ts": out["ts"]}
+        )
+
+    return fn
+
+
+def stream_rate_limit(
+    events: DataFrame, *, limit: float, per_seconds: float
+) -> DataFrame:
+    """Streaming processor_rate_limit: cross-micro-batch token buckets
+    keyed by `key` over (key string, ord long, ts double) — the bucket
+    map the reference keeps in memory (token_bucket.go buckets sync.Map)
+    becomes per-key GroupState, so a key's budget survives batch
+    boundaries and restarts. Event-time replenishment assumes per-key
+    event-time-ordered arrival (the tail-a-file model), like the
+    streaming merges above."""
+    return events.groupBy("key").applyInPandasWithState(
+        make_rate_limit_fn(limit, per_seconds),
+        outputStructType=RATE_KEPT_SCHEMA,
+        stateStructType=RATE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -135,3 +135,69 @@ class TestStreamMergePartialLogs:
         assert ("Exception in main", False, "t0") in got
         # never-closed run flushed by idle timeout, flagged partial
         assert ("dangling", True, "t3") in got
+
+
+class TestStreamRateLimit:
+    IN_DIR = "/tmp/ilogtail_spark_test_ratelimit_in"
+    CKPT = "/tmp/ilogtail_spark_test_ratelimit_ckpt"
+
+    def test_token_bucket_walk(self):
+        from ilogtail_spark.streaming.stateful import token_bucket_walk
+
+        # limit 2/s: full bucket of 2, +2 tokens per second elapsed
+        kept, tokens, last = token_bucket_walk(
+            [0.0, 0.0, 0.0, 0.5, 1.0], limit=2, per_seconds=1
+        )
+        # t=0: 2->1 keep; 2nd: 1->0 keep; 3rd: 0 drop;
+        # t=0.5: +1 token -> keep; t=1.0: +1 -> keep
+        assert kept == [True, True, False, True, True]
+
+    def test_cross_batch_budget(self, spark):
+        import shutil
+        import time as _time
+
+        from ilogtail_spark.streaming.stateful import (
+            rate_limit_token_bucket,
+            stream_rate_limit,
+        )
+
+        shutil.rmtree(self.IN_DIR, ignore_errors=True)
+        shutil.rmtree(self.CKPT, ignore_errors=True)
+
+        # key 'a' bursts 4 events at t=0 split ACROSS two batches: with
+        # limit 2/s only the first two survive, proving the bucket state
+        # crosses the batch boundary (a per-batch limiter would pass 3)
+        batches = [
+            [("a", 0, 0.0), ("a", 1, 0.0), ("b", 0, 0.0)],
+            [("a", 2, 0.0), ("a", 3, 0.5), ("b", 1, 10.0)],
+        ]
+        for rows in batches:
+            spark.createDataFrame(rows, "key string, ord long, ts double") \
+                .coalesce(1).write.mode("append").parquet(self.IN_DIR)
+            _time.sleep(1.1)
+
+        src = (
+            spark.readStream.schema("key string, ord long, ts double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(self.IN_DIR)
+        )
+        q = (
+            stream_rate_limit(src, limit=2, per_seconds=1)
+            .writeStream.format("memory").queryName("rate_out")
+            .option("checkpointLocation", self.CKPT)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = {(r["key"], r["ord"])
+               for r in spark.sql("select * from rate_out").collect()}
+        # a: ord 0,1 keep (bucket 2->0), ord 2 at t=0 drop, ord 3 at
+        # t=0.5 (+1 token) keep; b: both keep
+        assert got == {("a", 0), ("a", 1), ("a", 3), ("b", 0), ("b", 1)}
+
+        # batch twin sees the same data in one pass -> identical output
+        flat = [r for rows in batches for r in rows]
+        bdf = spark.createDataFrame(flat, "key string, ord long, ts double")
+        batch_got = {(r["key"], r["ord"])
+                     for r in rate_limit_token_bucket(
+                         bdf, limit=2, per_seconds=1).collect()}
+        assert batch_got == got
