@@ -990,6 +990,42 @@ SELECT conv_id, turn_idx, role FROM ranked WHERE rn <= 2
 # §2.5 enrich
 # =====================================================================
 
+def q_rate_limit_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """processor_rate_limit token-bucket semantics
+    (plugins/processor/ratelimit/token_bucket.go:84-140) on EVENT time:
+    per-conversation bucket, limit 2/s against a 4-events/s fixture.
+    All bucket arithmetic is integer-valued doubles (quarter-exact ts),
+    so the Python walk and the DuckDB recursive-CTE replay agree
+    bit-for-bit."""
+    from ilogtail_spark.streaming.stateful import rate_limit_token_bucket
+
+    t = _t(spark, sf_dir).select(
+        F.col("conv_id").alias("key"),
+        F.col("turn_idx").cast("long").alias("ord"),
+        F.expr("cast((turn_idx - turn_idx % 4) / 4 AS double)").alias("ts"),
+    )
+    return rate_limit_token_bucket(t, limit=2, per_seconds=1)
+
+
+O_RATE_LIMIT_BUCKET = f"""{_CTE.replace("WITH ", "WITH RECURSIVE ", 1)},
+e AS (
+  SELECT conv_id AS key, cast(turn_idx AS bigint) AS ord,
+    cast((turn_idx - turn_idx % 4) / 4 AS double) AS ts,
+    row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+  FROM transcripts),
+walk(key, ord, ts, rn, tokens, kept) AS (
+  SELECT key, ord, ts, rn, 1.0, true FROM e WHERE rn = 1
+  UNION ALL
+  SELECT e.key, e.ord, e.ts, e.rn,
+    CASE WHEN least(2.0, w.tokens + 2.0 * (e.ts - w.ts)) >= 1
+         THEN least(2.0, w.tokens + 2.0 * (e.ts - w.ts)) - 1
+         ELSE least(2.0, w.tokens + 2.0 * (e.ts - w.ts)) END,
+    least(2.0, w.tokens + 2.0 * (e.ts - w.ts)) >= 1
+  FROM walk w JOIN e ON e.key = w.key AND e.rn = w.rn + 1)
+SELECT key, ord, ts FROM walk WHERE kept
+"""
+
+
 def q_dict_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """processor_dict_map (literal-map compile): role → role_group."""
     t = _t(spark, sf_dir)
@@ -2303,6 +2339,7 @@ QUERIES: dict[str, QueryFn] = {
     "filter_expr": q_filter_expr,
     "filter_key_regex": q_filter_key_regex,
     "rate_limit": q_rate_limit,
+    "rate_limit_bucket": q_rate_limit_bucket,
     "dict_map": q_dict_map,
     "dict_map_join": q_dict_map_join,
     "route_exclusive": q_route_exclusive,
@@ -2388,6 +2425,7 @@ ORACLES: dict[str, str] = {
     "filter_expr": O_FILTER_EXPR,
     "filter_key_regex": O_FILTER_KEY_REGEX,
     "rate_limit": O_RATE_LIMIT,
+    "rate_limit_bucket": O_RATE_LIMIT_BUCKET,
     "dict_map": O_DICT_MAP,
     "dict_map_join": O_DICT_MAP_JOIN,
     "route_exclusive": O_ROUTE_EXCLUSIVE,
