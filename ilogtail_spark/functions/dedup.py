@@ -319,6 +319,11 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    # labels start at node id and only ever DECREASE (min-propagation),
+    # so the label sum is strictly decreasing until the fixpoint — a
+    # cheap scalar aggregate detects convergence without the per-round
+    # old-vs-new join a changed-count would need
+    prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["src"] == labels["node"])
@@ -327,14 +332,9 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("label").alias("label"))
         )
-        new_labels = neighbor_min.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = neighbor_min.localCheckpoint(eager=True)
+        new_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
