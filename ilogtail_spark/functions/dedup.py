@@ -75,6 +75,9 @@ def ngram_jaccard_pairs(
     stay consistent, so it remains a true Jaccard, of the informative
     shingles only).
     """
+    from ilogtail_spark.partitioning import spread_for_expansion
+
+    df = spread_for_expansion(df, id_col)
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(_shingles(F.col(text_col), n)).alias("sh")
     )
@@ -117,6 +120,9 @@ def minhash_signatures(
     the shuffle carries one 64-slot row per doc per task. (A pure
     array-expression variant re-evaluated the md5 per permutation —
     64× the hash cost; measured 30× slower.)"""
+    from ilogtail_spark.partitioning import spread_for_expansion
+
+    df = spread_for_expansion(df, id_col)
     sh = df.select(
         F.col(id_col), F.explode(_shingles(F.col(text_col), n)).alias("sh")
     ).withColumn("h", _hash32(F.col("sh")))
@@ -199,6 +205,9 @@ def simhash(
     """SimHash over tokens: per bit, sum(+1/-1 by token-hash bit),
     sign → bit. Array-expression implementation (no explode, no Python);
     32 bits keeps every intermediate in signed-long range."""
+    from ilogtail_spark.partitioning import spread_for_expansion
+
+    df = spread_for_expansion(df, id_col)
     pows = F.array(*[F.lit(2**i).cast("long") for i in range(bits)])
     tok_hashes = F.transform(tokens(F.col(text_col)), _hash32)
     bit_votes = F.transform(
@@ -289,7 +298,7 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     *,
-    max_iter: int = 30,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Near-dup CLUSTERS from a candidate-pair graph: (node, cluster_id)
     where cluster_id = min node id in the connected component — the step
@@ -322,8 +331,22 @@ def connected_components(
     # labels start at node id and only ever DECREASE (min-propagation),
     # so the label sum is strictly decreasing until the fixpoint — a
     # cheap scalar aggregate detects convergence without the per-round
-    # old-vs-new join a changed-count would need
-    prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+    # old-vs-new join a changed-count would need. For NON-numeric node
+    # ids (string/hash) the decimal cast yields NULL: there the check
+    # falls back to an explicit changed-count join per round — one more
+    # shuffle, but correct for any orderable label type (a NULL==NULL
+    # compare would otherwise exit after one round, silently
+    # under-merged). try_cast, not cast: under ANSI (Spark 4 default) a
+    # plain cast of a string label THROWS instead of yielding NULL.
+    # Detecting the fixpoint costs one confirming round, so convergence
+    # needs diameter+1 iterations — max_iter is sized accordingly.
+    def label_sum(lb: DataFrame):
+        return lb.agg(F.sum(F.col("label").try_cast("decimal(38,0)"))).first()[0]
+
+    prev = labels
+    prev_sum = label_sum(labels)
+    numeric = prev_sum is not None or labels.isEmpty()
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["src"] == labels["node"])
@@ -333,8 +356,24 @@ def connected_components(
             .agg(F.min("label").alias("label"))
         )
         labels = neighbor_min.localCheckpoint(eager=True)
-        new_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
-        if new_sum == prev_sum:
+        if numeric:
+            new_sum = label_sum(labels)
+            converged = new_sum == prev_sum
+            prev_sum = new_sum
+        else:
+            converged = (
+                labels.alias("n")
+                .join(prev.alias("p"), "node")
+                .filter(F.col("n.label") != F.col("p.label"))
+                .isEmpty()
+            )
+        prev = labels
+        if converged:
             break
-        prev_sum = new_sum
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds — raise max_iter (component diameter exceeds it) or use "
+            "the large-star/small-star variant for high-diameter graphs"
+        )
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))

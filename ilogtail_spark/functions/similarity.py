@@ -103,6 +103,9 @@ def embedding_cosine_pairs_lsh(
     form only within a bucket (shuffle O(n), compute O(Σ bucket²)), then
     exact cosine verifies. High-cosine pairs land in the same bucket with
     probability (1 - θ/π)^n_planes — recall tunable via n_planes."""
+    from ilogtail_spark.partitioning import spread_for_expansion
+
+    df = spread_for_expansion(df, id_col)
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     planes = [_hyperplane(dim, p) for p in range(n_planes)]
@@ -223,6 +226,9 @@ def ivf_topk(
         ]
         return F.reverse(F.array_sort(F.array(*cells)))
 
+    from ilogtail_spark.partitioning import spread_for_expansion
+
+    df = spread_for_expansion(df, id_col)
     corpus = df.select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("c_vec"),
@@ -273,6 +279,9 @@ def lsh_bucket_topk(
     signature; candidates are corpus vectors sharing a query's bucket;
     exact cosine re-ranks within bucket. Recall < 1 by design — the
     scale/efficiency trade the brute-force tier anchors."""
+    from ilogtail_spark.partitioning import spread_for_expansion
+
+    df = spread_for_expansion(df, id_col)
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     planes = [_hyperplane(dim, p) for p in range(n_planes)]
@@ -378,13 +387,18 @@ def brute_force_topk_int8(
     scored = c.join(F.broadcast(q), F.col("q_id") != F.col(id_col)).select(
         "q_id",
         F.col(id_col).alias("n_id"),
-        dequantized_cosine(
-            F.col("q_code"), F.lit(1.0), F.col("qcode"), F.lit(1.0)
+        # round BEFORE ranking (like every other top-k tier here) so the
+        # sort key is identical to the one a 6-decimal oracle uses —
+        # ranking on the raw double lets sub-1e-6 score differences flip
+        # top-k membership across engines
+        F.round(
+            dequantized_cosine(F.col("q_code"), F.lit(1.0), F.col("qcode"), F.lit(1.0)),
+            6,
         ).alias("score"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("n_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
-        .select("q_id", "n_id", F.round("score", 6).alias("score"), "rk")
+        .select("q_id", "n_id", "score", "rk")
     )

@@ -182,6 +182,9 @@ def repetition_stats(
     higher-order-function fold: per-doc mode via array exists() is
     O(words²) per row, while the explode plan is O(words).
     """
+    from ilogtail_spark.partitioning import spread_for_expansion
+
+    df = spread_for_expansion(df, id_col)
     words = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != "")
     base = df.select(F.col(id_col), words.alias("__w"))
 

@@ -111,7 +111,12 @@ def encrypt_fields(
     fields fill the parameters; like the reference, the material is
     read once at plugin init — here driver-side at plan build, so the
     key bytes travel to executors as plan literals, never re-read on
-    the data path. One of ``key`` / ``key_file_path`` is required."""
+    the data path. One of ``key`` / ``key_file_path`` is required.
+
+    ``key`` is HEX-ENCODED on both supply paths — parseKey:174 runs
+    ``hex.DecodeString(Key)`` unconditionally, whether the Key came
+    inline or from the file, so the same hex material yields the same
+    ciphertext either way (pinned by the file-vs-inline equality test)."""
     if key is None and key_file_path is None:
         raise ValueError("encrypt_fields requires key or key_file_path")
     if key_file_path is not None:
@@ -122,11 +127,11 @@ def encrypt_fields(
         key_hex = params.get("Key", "")
         if not key_hex:
             raise ValueError(f"key file {key_file_path!r} has no 'Key' field")
-        key_col = F.unhex(F.lit(key_hex))
         if iv_hex is None:
             iv_hex = params.get("IV") or None
     else:
-        key_col = F.lit(key)
+        key_hex = key
+    key_col = F.unhex(F.lit(key_hex))
     iv = F.unhex(F.lit(iv_hex)) if iv_hex else F.unhex(F.lit("00" * 16))
     cols = {}
     for k in source_keys:

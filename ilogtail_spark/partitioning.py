@@ -33,3 +33,23 @@ def cores_repartition(df: DataFrame, *cols: str) -> DataFrame:
     the shuffle the downstream window/aggregate needs anyway, pinned so
     AQE cannot coalesce the following CPU-heavy stage to 1 task."""
     return df.repartition(session_parallelism(df), *cols)
+
+
+def spread_for_expansion(df: DataFrame, *cols: str) -> DataFrame:
+    """Spread a NARROW scan before row-expanding, key-aggregated work
+    (shingle explode, 64-permutation MinHash, hyperplane projection) —
+    but ONLY when the scan genuinely has fewer splits than the session
+    parallelism. `repartition(n, col)` always inserts an Exchange, so an
+    unconditional spread is a full-data shuffle at 100 TB where the scan
+    already has thousands of splits; the gate makes it a true no-op
+    there (no Exchange node at all), while a single-file local fixture
+    still fans out to all cores. Callers are the operators whose
+    downstream aggregation keys match ``cols`` — the one inserted
+    exchange is then reused by the aggregate (ClusteredDistribution is
+    satisfied), never wasted. `getNumPartitions()` is plan-time only
+    (file-split enumeration), no job runs.
+    """
+    n = session_parallelism(df)
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, *cols) if cols else df.repartition(n)

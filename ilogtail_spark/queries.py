@@ -87,24 +87,18 @@ def _t(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # cores-sized spread: the table is a single small parquet file (one
-    # input split), but every consumer EXPANDS it — shingle explode +
-    # 64-permutation MinHash etc. ran on 1 task without this. The
-    # repartition key matches the downstream per-doc aggregations, so
-    # most plans reuse the exchange (ilogtail_spark/partitioning.py).
-    from ilogtail_spark.partitioning import cores_repartition
-
-    return cores_repartition(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id"
-    )
+    # Plain scan — NO unconditional repartition. The row-expanding,
+    # doc-keyed operators (shingle explode, 64-permutation MinHash,
+    # hyperplane projection, repetition) spread the scan THEMSELVES via
+    # partitioning.spread_for_expansion, gated on actual split count, so
+    # per-doc projections (token_count, fingerprint, stratified_sample)
+    # and hash-keyed aggs (exact_dedup keys on md5(text), not doc_id)
+    # never pay a non-reusable full-data shuffle.
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ilogtail_spark.partitioning import cores_repartition
-
-    return cores_repartition(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id"
-    )
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 # =====================================================================
@@ -1458,7 +1452,8 @@ def q_encrypt(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ilogtail_spark.operators.transform import encrypt_fields
 
     t = _t(spark, sf_dir).filter(F.col("text").startswith("class="))
-    e = encrypt_fields(t, ["text"], "0123456789abcdef")
+    # hex key material (parseKey:174 hex-decodes on every supply path)
+    e = encrypt_fields(t, ["text"], "0123456789abcdef".encode().hex())
     return e.select("conv_id", "turn_idx", F.col("text").alias("encrypted"))
 
 

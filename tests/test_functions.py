@@ -362,6 +362,32 @@ class TestConnectedComponents:
         out = connected_components(pairs).collect()
         assert all(r["cluster_id"] == 0 for r in out) and len(out) == 31
 
+    def test_string_node_ids(self, spark):
+        # non-numeric node ids: the decimal label-sum convergence check
+        # yields NULL — the changed-count fallback must still fully merge
+        # a multi-round chain (ADVICE r3: the NULL==NULL compare used to
+        # exit after one round, silently under-merged)
+        from ilogtail_spark.functions.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(f"d{i:02d}", f"d{i + 1:02d}") for i in range(8)]
+            + [("x1", "x2")],
+            "id_a string, id_b string",
+        )
+        out = {r["node"]: r["cluster_id"]
+               for r in connected_components(pairs).collect()}
+        assert {out[f"d{i:02d}"] for i in range(9)} == {"d00"}
+        assert out["x1"] == out["x2"] == "x1"
+
+    def test_non_convergence_raises(self, spark):
+        from ilogtail_spark.functions.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(pairs, max_iter=2)
+
 
 class TestStratifiedSample:
     def test_fractions_and_determinism(self, spark):

@@ -97,7 +97,7 @@ class TestSpl:
 class TestEncrypt:
     def test_aes_cbc_hex_deterministic(self, spark):
         df = spark.createDataFrame([("secret",), (None,)], "v string")
-        key = "0123456789abcdef"  # 16-byte AES-128 key
+        key = "00112233445566778899aabbccddeeff"  # hex → 16-byte AES-128 key
         out = encrypt_fields(df, ["v"], key).collect()
         vals = [r["v"] for r in out]
         hexv = [v for v in vals if v][0]

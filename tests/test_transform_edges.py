@@ -16,7 +16,11 @@ class TestEncryptKnownAnswer:
     # same parameters as plugins/processor/encrypt/processor_encrypt.go) —
     # this anchors the op to a real AES implementation, not just to its
     # own determinism.
-    KEY = "0123456789abcdef"  # raw ASCII key, hex 303132...6566
+    # HEX key material (16 bytes = AES-128): parseKey:174 hex-decodes
+    # the Key on BOTH supply paths (inline and KeyFilePath), so the
+    # operator takes hex everywhere. These are the bytes of the ASCII
+    # string "0123456789abcdef" — same key the openssl vectors used.
+    KEY = "0123456789abcdef".encode().hex()
 
     def test_zero_iv_vector(self, spark):
         # Spark's aes_encrypt emits IV || ciphertext; the ciphertext body
@@ -45,7 +49,7 @@ class TestEncryptKnownAnswer:
         kf.write_text(
             json.dumps(
                 {
-                    "Key": self.KEY.encode().hex(),
+                    "Key": self.KEY,
                     "IV": "000102030405060708090a0b0c0d0e0f",
                 }
             )

@@ -39,8 +39,13 @@ CHECKS = {
     # training-data additions: explode + doc-keyed partial aggs, no joins
     "repetition": (["HashAggregate", "partial_"], ["SortMergeJoin"]),
     "pii_scrub": (["ReadSchema"], ["SortMergeJoin", "Join", "Generate"]),
-    # zero-shuffle map-stage sample: no exchange beyond the scan spread
-    "stratified_sample": (["ReadSchema"], ["Join", "HashAggregate"]),
+    # pure map-stage sample over the raw scan: ZERO exchanges (r3's
+    # unconditional _docs spread regressed this — now plan-asserted)
+    "stratified_sample": (["ReadSchema"], ["Join", "HashAggregate", "Exchange"]),
+    # per-doc projections: no distribution requirement, no Exchange
+    "token_count": (["ReadSchema"], ["Join", "Exchange"]),
+    "quality_score": (["ReadSchema"], ["Join", "Exchange"]),
+    "kgram_fingerprints": (["ReadSchema"], ["Join", "Exchange"]),
     # sequential-in-group Arrow kernel, parallel across groups
     "pack_sequences": (["FlatMapGroupsInPandas"], ["SortMergeJoin"]),
     "url_stats": (["HashAggregate", "partial_"], ["SortMergeJoin"]),
@@ -65,6 +70,29 @@ SCAN_LIMIT = {
 EXPR_ONCE = {
     "otel_metric": "from_json",  # the deep OTLP schema is parsed ONCE,
                                  # shared by all four metric-kind branches
+}
+
+# shuffle-count ceilings: at most N Exchange nodes in the physical plan.
+# The forbid-list can't see repartitions (they are legal operators), so
+# scale hygiene is asserted as a count: a plan that grows an extra
+# exchange (e.g. a spread the aggregate cannot reuse) fails the audit.
+EXCHANGE_LIMIT = {
+    "exact_dedup": 1,        # the md5(text) groupBy — nothing else
+    "fingerprint": 1,        # posexplode feeds ONE doc-keyed agg exchange
+    "repetition": 3,         # gated doc_id spread reused by the (doc,gram)
+                             # and doc aggs (subset rule) + bigram branch
+    "url_stats": 3,          # transcripts window + the two-phase exact
+                             # countDistinct (partial per (domain,doc) +
+                             # final domain agg) — the correct plan for
+                             # exact distinct counting, not a stray shuffle
+    "normalize_dedup": 2,    # transcripts window + norm-key agg
+    "pii_scrub": 1,          # transcripts window only — scrub is pure map
+    "regex_parse": 1,        # transcripts turn_idx window only
+    "prom_parse": 1,
+    "prom_relabel": 1,
+    "influxdb_line": 1,
+    "otlp_log": 1,
+    "pipeline_e2e": 2,       # transcripts window + O(groups) sink agg
 }
 
 
@@ -97,20 +125,24 @@ def main() -> None:
         scans = len(set(_re.findall(r"\((\d+)\) Scan parquet", plan)))
         limit = SCAN_LIMIT.get(name)
         over = limit is not None and scans > limit
+        exchanges = len(set(_re.findall(r"\((\d+)\) Exchange", plan)))
+        xlimit = EXCHANGE_LIMIT.get(name)
+        xover = xlimit is not None and exchanges > xlimit
         once = EXPR_ONCE.get(name)
         # formatted explain shows the expression in the node detail only,
         # so count in the final-plan detail text
         n_expr = plan.count(once) if once else None
         expr_bad = once is not None and n_expr != 1
         status = (
-            "OK" if not missing and not present and not over and not expr_bad
-            else "FAIL"
+            "OK" if not missing and not present and not over and not xover
+            and not expr_bad else "FAIL"
         )
         if status == "FAIL":
             failures.append((name, missing, present))
         print(f"{status:4} {name}: need={need} forbid={forbid} "
               f"missing={missing} unexpected={present}"
               + (f" scans={scans}/{limit}" if limit is not None else "")
+              + (f" exchanges={exchanges}/{xlimit}" if xlimit is not None else "")
               + (f" {once}x{n_expr}" if once else ""))
         sections.append(f"## {name} — {status}\n\n```\n{plan.strip()}\n```\n")
 
