@@ -1,18 +1,24 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary columns.
+"""Multimodal columns: image/audio/video as binary columns + typed meta.
 
-The decode/resize/frame-sample kernels require codec libraries not present
-in this container, so the *kernels* are stubbed (deterministic fake or
-NotImplementedError), but the Spark-side plumbing is real and tested:
-typed schema, Arrow-batched `mapInPandas` signatures, batch-shape
-handling, and partition sizing — the parts that matter at 100 TB.
+Image decode/encode/resize are REAL for BMP (24-bit uncompressed BI_RGB
+— fixed 54-byte header + raw pixel rows, implemented here in pure
+Python/numpy, no codec library needed): `synthetic_media` generates
+genuine BMP payloads, `extract_features(fake=False)` and
+`resize_media(fake=False)` decode them for real, and the BMP round-trip
+plus hand-built known-answer bytes are pytest-pinned. Compressed formats
+(PNG/JPEG) and audio/video codecs need libraries absent from this
+container, so those paths stay behind `codecs_available()` (PIL or
+pyvips) with a plan-time gate; `fake=True` keeps the deterministic
+byte-statistics kernels for plumbing tests.
 
 Pattern: binary payload + typed metadata struct travel together;
-feature extraction is a `mapInPandas` over Arrow batches so each Python
-worker touches a whole column chunk at once (never row-at-a-time).
+kernels are `mapInPandas` over Arrow batches so each Python worker
+touches a whole column chunk at once (never row-at-a-time).
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -48,25 +54,131 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+# ---------------------------------------------------------------------
+# Pure-Python BMP codec (24-bit uncompressed BI_RGB). BMP's fixed
+# 54-byte header + raw bottom-up BGR pixel rows (4-byte-aligned) make it
+# decodable without any codec library — which turns the image kernels
+# from stubs into real, testable decoders in this container.
+# ---------------------------------------------------------------------
+
+_BMP_HEADER_SIZE = 54  # BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40)
+
+
+def _bmp_row_size(width: int) -> int:
+    """Bytes per stored pixel row: 3*width padded up to 4-byte alignment."""
+    return (3 * width + 3) & ~3
+
+
+def encode_bmp(pixels) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit BI_RGB BMP
+    (bottom-up rows, zero padding) — byte-layout per the public
+    BITMAPFILEHEADER/BITMAPINFOHEADER format."""
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"encode_bmp expects (h, w, 3) RGB, got {arr.shape}")
+    h, w = arr.shape[:2]
+    row = _bmp_row_size(w)
+    size = _BMP_HEADER_SIZE + row * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", size, 0, 0, _BMP_HEADER_SIZE
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, row * h, 2835, 2835, 0, 0
+    )
+    body = np.zeros((h, row), dtype=np.uint8)
+    body[:, : 3 * w] = arr[::-1, :, ::-1].reshape(h, 3 * w)  # bottom-up, BGR
+    return header + body.tobytes()
+
+
+def decode_bmp(payload: bytes):
+    """Decode a 24-bit uncompressed BMP into an (h, w, 3) uint8 RGB
+    array. Handles bottom-up (positive height) and top-down (negative
+    height) row order and per-row 4-byte padding; rejects anything that
+    is not plain BI_RGB 24bpp."""
+    import numpy as np
+
+    if payload is None or len(payload) < _BMP_HEADER_SIZE or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h_signed = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP variant (bpp={bpp}, compression={compression}); "
+            "only 24-bit uncompressed BI_RGB is implemented"
+        )
+    top_down = h_signed < 0
+    h = -h_signed if top_down else h_signed
+    row = _bmp_row_size(w)
+    need = data_offset + row * h
+    if len(payload) < need:
+        raise ValueError(f"truncated BMP: {len(payload)} bytes, need {need}")
+    body = np.frombuffer(payload, dtype=np.uint8, count=row * h, offset=data_offset)
+    rows = body.reshape(h, row)[:, : 3 * w].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def _solid_rgb(media_id: int) -> tuple[int, int, int]:
+    """The deterministic per-image fill color of `synthetic_media` —
+    distinct per channel so a BGR/RGB swap or row-padding misalignment
+    corrupts the per-channel means the DuckDB oracle recomputes."""
+    return (media_id * 37 % 256, media_id * 59 % 256, media_id * 83 % 256)
+
+
 def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
-    """Deterministic fake media table: payload bytes derived from the id
-    (sha2 of the id string repeated), metadata from modular arithmetic."""
+    """Deterministic media table. Image rows (id % 3 == 0) carry REAL
+    24-bit BMP payloads (solid fill from `_solid_rgb`, small dims chosen
+    so some rows need 4-byte padding); audio/video payloads stay opaque
+    deterministic bytes (sha2 of the id, repeated). All metadata is
+    modular arithmetic on the id, so an oracle can recompute it."""
+
+    @F.pandas_udf(T.BinaryType())
+    def gen_bmp(media_id, width, height):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        for mid, w, h in zip(media_id, width, height):
+            arr = np.empty((int(h), int(w), 3), dtype=np.uint8)
+            arr[:, :] = _solid_rgb(int(mid))
+            out.append(encode_bmp(arr))
+        return pd.Series(out)
+
+    # image dims: (id div 3) % 3 offsets make a third of the widths
+    # non-multiples of 4 — every decode exercises row padding
+    img_w = ((F.col("id") % 16 + 1) * 4 + F.expr("id div 3") % 3).cast("int")
+    img_h = ((F.col("id") % 9 + 1) * 4 + F.expr("id div 5") % 4).cast("int")
+    is_image = F.col("id") % 3 == 0
     df = spark.range(n).select(
         F.col("id").alias("media_id"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
             (F.col("id") % 3 + 1).cast("int"),
         ).alias("kind"),
-        F.to_binary(
-            F.repeat(F.sha2(F.col("id").cast("string"), 256), ((F.col("id") % 7) + 1).cast("int")),
-            F.lit("utf-8"),
-        ).alias("payload"),
+        F.when(is_image, gen_bmp(F.col("id"), img_w, img_h))
+        .otherwise(
+            F.to_binary(
+                F.repeat(
+                    F.sha2(F.col("id").cast("string"), 256),
+                    ((F.col("id") % 7) + 1).cast("int"),
+                ),
+                F.lit("utf-8"),
+            )
+        )
+        .alias("payload"),
         F.struct(
-            ((F.col("id") % 16 + 1) * 64).cast("int").alias("width"),
-            ((F.col("id") % 9 + 1) * 64).cast("int").alias("height"),
+            F.when(is_image, img_w)
+            .otherwise(((F.col("id") % 16 + 1) * 64).cast("int"))
+            .alias("width"),
+            F.when(is_image, img_h)
+            .otherwise(((F.col("id") % 9 + 1) * 64).cast("int"))
+            .alias("height"),
             ((F.col("id") % 30 + 1) * 1000).cast("int").alias("duration_ms"),
             F.element_at(
-                F.array(F.lit("png"), F.lit("opus"), F.lit("h264")),
+                F.array(F.lit("bmp"), F.lit("opus"), F.lit("h264")),
                 (F.col("id") % 3 + 1).cast("int"),
             ).alias("codec"),
         ).alias("meta"),
@@ -74,45 +186,79 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
     return df
 
 
-def decode_image(payload: bytes) -> object:
-    """Real decoder stub — would use PIL/libvips; not in this container."""
-    raise NotImplementedError("image codec libraries not available in this environment")
+def decode_image(payload: bytes):
+    """Decode an image payload to an (h, w, 3) uint8 RGB array.
+    BMP decodes natively (pure Python, always available); PNG/JPEG
+    dispatch to PIL when importable. Unknown formats raise ValueError."""
+    if payload is not None and len(payload) >= 2 and bytes(payload[:2]) == b"BM":
+        return decode_bmp(payload)
+    if payload is not None and (
+        bytes(payload[:4]) == b"\x89PNG" or bytes(payload[:2]) == b"\xff\xd8"
+    ):
+        if not codecs_available():
+            raise ValueError(
+                "PNG/JPEG payload needs PIL or pyvips, neither is importable"
+            )
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(bytes(payload))).convert("RGB"))
+    raise ValueError("unrecognized image payload (not BMP/PNG/JPEG)")
 
 
 def codecs_available() -> bool:
-    """True when a real media codec stack is importable on the driver."""
-    try:
-        import PIL  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
+    """True when a compressed-format codec stack (PIL or pyvips) is
+    importable on the driver. NOT required for BMP — that codec is
+    implemented here in pure Python."""
+    for mod in ("PIL", "pyvips"):
+        try:
+            __import__(mod)
+            return True
+        except ImportError:
+            continue
+    return False
 
 
 def _require_codecs(op: str) -> None:
-    """fake=False plan-build gate: fail on the DRIVER at plan time
-    instead of inside the Arrow batch iterator on an executor — a
-    worker-side NotImplementedError surfaces as an opaque task failure
-    after the job is already running."""
+    """Plan-build gate for kernels that need a real compressed-format
+    codec (video frame decode): fail on the DRIVER at plan time instead
+    of inside the Arrow batch iterator on an executor — a worker-side
+    error surfaces as an opaque task failure after the job is already
+    running."""
     if not codecs_available():
         raise NotImplementedError(
-            f"{op}(fake=False) needs real media codec libraries (PIL/libvips), "
-            "which are not available on this driver; use fake=True for the "
+            f"{op}(fake=False) needs media codec libraries (PIL or pyvips), "
+            "neither importable on this driver; use fake=True for the "
             "deterministic plumbing kernel"
         )
 
 
-def extract_features(df: DataFrame, *, feature_dim: int = 8, fake: bool = True) -> DataFrame:
+def extract_features(df: DataFrame, *, feature_dim: int = 8, fake: bool = False) -> DataFrame:
     """Feature extraction over Arrow batches via mapInPandas.
 
-    With `fake=True` (default here): a deterministic byte-statistics
-    "feature" (mean/std/quantiles of payload byte values) standing in for
-    a decoded-image embedding — the UDF signature, batch shape, schema,
-    and partitioning are exactly what a real kernel would use; swap the
-    body for the codec call on a real cluster.
+    `fake=False` (default): image payloads are REALLY decoded
+    (`decode_image` — BMP natively, PNG/JPEG via PIL when present) and
+    the feature is [width, height, mean_r, mean_g, mean_b, std_lum,
+    min_lum, max_lum] (padded/truncated to `feature_dim`). Audio/video
+    payloads get deterministic byte statistics — their codecs are not in
+    this container, and that fallback is documented, not hidden.
+
+    `fake=True`: byte statistics for every kind — the plumbing kernel
+    (UDF signature, batch shape, schema, partitioning all identical).
     """
-    if not fake:
-        _require_codecs("extract_features")
+
+    def _byte_stats(payload, np):
+        arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+        if len(arr) == 0:
+            arr = np.zeros(1, dtype=np.float32)
+        qs = np.quantile(arr, np.linspace(0, 1, feature_dim - 2))
+        return np.concatenate([[arr.mean(), arr.std()], qs]).astype(np.float32).tolist()
+
+    def _fit(vals):
+        vals = list(vals)[:feature_dim]
+        return vals + [0.0] * (feature_dim - len(vals))
 
     def _batch(it: Iterator) -> Iterator:
         import numpy as np
@@ -121,17 +267,28 @@ def extract_features(df: DataFrame, *, feature_dim: int = 8, fake: bool = True) 
         for pdf in it:
             feats = []
             nbytes = []
-            for payload in pdf["payload"]:
-                if not fake:
-                    decode_image(payload)  # pragma: no cover
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 payload = payload if payload is not None else b""
-                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
-                if len(arr) == 0:
-                    arr = np.zeros(1, dtype=np.float32)
-                qs = np.quantile(arr, np.linspace(0, 1, feature_dim - 2))
-                feats.append(
-                    np.concatenate([[arr.mean(), arr.std()], qs]).astype(np.float32).tolist()
-                )
+                if not fake and kind == "image" and len(payload) > 0:
+                    px = decode_image(payload).astype(np.float64)
+                    h, w = px.shape[:2]
+                    lum = px.mean(axis=2)
+                    feats.append(
+                        _fit(
+                            [
+                                float(w),
+                                float(h),
+                                float(px[:, :, 0].mean()),
+                                float(px[:, :, 1].mean()),
+                                float(px[:, :, 2].mean()),
+                                float(lum.std()),
+                                float(lum.min()),
+                                float(lum.max()),
+                            ]
+                        )
+                    )
+                else:
+                    feats.append(_byte_stats(payload, np))
                 nbytes.append(len(payload))
             yield pd.DataFrame(
                 {
@@ -168,29 +325,43 @@ RESIZED_SCHEMA = T.StructType(
 def resize_media(
     df: DataFrame, width: int, height: int, *, fake: bool = True
 ) -> DataFrame:
-    """Resize kernel plumbing: binary in → binary out with rewritten meta,
-    Arrow-batched via mapInPandas. The fake kernel produces a
-    deterministic `width*height`-byte payload by tiling/truncating the
-    source bytes — same I/O shape, schema, and batch handling as a real
-    PIL/libvips resize; swap the body on a real cluster."""
-    if not fake:
-        _require_codecs("resize_media")
+    """Resize via mapInPandas: binary in → binary out with rewritten meta.
+
+    `fake=False`: image payloads are REALLY resized — decode
+    (`decode_image`), nearest-neighbor sample to (height, width) with
+    numpy index arithmetic, re-encode as BMP. Non-image rows pass
+    through unchanged (resize is an image op; their meta is untouched).
+
+    `fake=True` (default): deterministic `width*height`-byte payload by
+    tiling/truncating the source bytes for EVERY kind — same I/O shape,
+    schema, and batch handling, for plumbing tests and non-decodable
+    payloads."""
 
     def _batch(it: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
         target = width * height
         for pdf in it:
             payloads = []
             metas = []
-            for payload, meta in zip(pdf["payload"], pdf["meta"]):
-                if not fake:
-                    decode_image(payload)  # pragma: no cover
-                b = (bytes(payload) if payload is not None else b"") or b"\x00"
-                tiled = (b * (target // len(b) + 1))[:target]
-                payloads.append(tiled)
+            for payload, meta, kind in zip(pdf["payload"], pdf["meta"], pdf["kind"]):
                 m = dict(meta)
-                m["width"], m["height"] = width, height
+                if not fake:
+                    if kind == "image" and payload is not None and len(payload) > 0:
+                        px = decode_image(payload)
+                        ys = (np.arange(height) * px.shape[0]) // height
+                        xs = (np.arange(width) * px.shape[1]) // width
+                        payloads.append(encode_bmp(px[ys][:, xs]))
+                        m["width"], m["height"] = width, height
+                    else:
+                        payloads.append(
+                            bytes(payload) if payload is not None else None
+                        )
+                else:
+                    b = (bytes(payload) if payload is not None else b"") or b"\x00"
+                    payloads.append((b * (target // len(b) + 1))[:target])
+                    m["width"], m["height"] = width, height
                 metas.append(m)
             yield pd.DataFrame(
                 {

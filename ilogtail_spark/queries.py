@@ -2281,11 +2281,42 @@ SELECT q_id, n_id, score, cast(rk AS int) AS rk FROM ranked WHERE rk <= 5
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: Arrow-batched mapInPandas feature extraction
-    over binary payloads (deterministic fake kernel) — rows-only check."""
-    m = synthetic_media(spark, 64)
-    f = extract_features(m)
-    return f.select("media_id", "kind", "n_bytes")
+    """Multimodal image decode — REAL: synthetic_media emits genuine
+    24-bit BMP payloads, the Arrow kernel decodes them (pure-Python BMP
+    codec, functions/multimodal.py), and the oracle recomputes every
+    output column from the generator's closed-form arithmetic: decoded
+    dimensions, exact BMP byte size (incl. 4-byte row padding), and
+    per-channel means of the solid fill. A BGR swap, padding slip, or
+    header misread breaks the hash match."""
+    m = synthetic_media(spark, 64).filter(F.col("kind") == "image")
+    f = extract_features(m, fake=False)
+    return f.select(
+        "media_id",
+        "n_bytes",
+        F.element_at("feature", 1).cast("int").alias("width_px"),
+        F.element_at("feature", 2).cast("int").alias("height_px"),
+        F.element_at("feature", 3).cast("double").alias("mean_r"),
+        F.element_at("feature", 4).cast("double").alias("mean_g"),
+        F.element_at("feature", 5).cast("double").alias("mean_b"),
+    )
+
+
+O_MEDIA_FEATURES = """
+WITH ids AS (SELECT range AS id FROM range(0, 64) WHERE range % 3 = 0),
+dims AS (
+  SELECT id,
+    (id % 16 + 1) * 4 + (id // 3) % 3 AS w,
+    (id % 9 + 1) * 4 + (id // 5) % 4 AS h
+  FROM ids)
+SELECT id AS media_id,
+  CAST(54 + ((3 * w + 3) // 4) * 4 * h AS int) AS n_bytes,
+  CAST(w AS int) AS width_px,
+  CAST(h AS int) AS height_px,
+  CAST(id * 37 % 256 AS double) AS mean_r,
+  CAST(id * 59 % 256 AS double) AS mean_g,
+  CAST(id * 83 % 256 AS double) AS mean_b
+FROM dims
+"""
 
 
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2468,13 +2499,13 @@ ORACLES: dict[str, str] = {
     "ann_brute_force": O_ANN_BRUTE_FORCE,
     "embedding_dup": O_EMBEDDING_DUP,
     "lang_id_trigram": O_LANG_ID_TRIGRAM,
+    "media_features": O_MEDIA_FEATURES,
 }
 
 # queries intentionally without oracle (non-SQL-expressible internals):
 NO_ORACLE: dict[str, str] = {
     "encrypt": "AES-CBC output has no DuckDB equivalent; determinism pytest-checked",
     "shard_hash": "xxhash64 is engine-internal; md5 twin is oracle-checked",
-    "media_features": "Arrow mapInPandas kernel (no SQL form)",
     "media_frames": "Arrow mapInPandas frame kernel (no SQL form)",
 }
 

@@ -254,7 +254,7 @@ class TestMultimodal:
         for r in out:
             assert len(r["payload"]) == 32 * 16
             assert r["meta"]["width"] == 32 and r["meta"]["height"] == 16
-            assert r["meta"]["codec"] in ("png", "opus", "h264")  # preserved
+            assert r["meta"]["codec"] in ("bmp", "opus", "h264")  # preserved
 
     def test_sample_frames_deterministic_slices(self, spark):
         from ilogtail_spark.functions.multimodal import sample_frames
@@ -268,24 +268,131 @@ class TestMultimodal:
 
 
 class TestCodecPlanTimeGuard:
-    def test_fake_false_fails_at_plan_build(self, spark):
-        """fake=False must raise on the DRIVER at plan time, not inside
-        the Arrow batch iterator on an executor (multimodal kernels)."""
+    def test_fake_false_video_fails_at_plan_build(self, spark):
+        """Video frame decode genuinely needs codec libraries absent
+        here — fake=False must raise on the DRIVER at plan time, not
+        inside the Arrow batch iterator on an executor. (Image decode
+        no longer gates: BMP is implemented natively.)"""
         import pytest
 
         from ilogtail_spark.functions.multimodal import (
-            resize_media,
             sample_frames,
             synthetic_media,
         )
 
         m = synthetic_media(spark, 4)
-        with pytest.raises(NotImplementedError, match="plan|codec|fake=True"):
-            extract_features(m, fake=False)
-        with pytest.raises(NotImplementedError, match="codec"):
-            resize_media(m, 8, 8, fake=False)
         with pytest.raises(NotImplementedError, match="codec"):
             sample_frames(m, every_ms=1000, fake=False)
+
+
+class TestBmpCodec:
+    """The real image path: pure-Python BMP encode/decode, pinned by
+    hand-built bytes (independent of encode_bmp) and round-trips."""
+
+    def test_round_trip(self):
+        import numpy as np
+
+        from ilogtail_spark.functions.multimodal import decode_bmp, encode_bmp
+
+        rng = np.random.RandomState(7)
+        # widths 5 and 6: row sizes 15→16 and 18→20, both padded
+        for h, w in [(1, 1), (3, 5), (4, 6), (7, 4)]:
+            px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            out = decode_bmp(encode_bmp(px))
+            assert (out == px).all(), (h, w)
+
+    def test_hand_built_known_answer(self):
+        """2x2 BMP assembled by hand with struct.pack — decoding it must
+        give exactly the intended RGB pixels (validates magic, offsets,
+        bottom-up row order, BGR channel order, and row padding)."""
+        import struct
+
+        import numpy as np
+
+        from ilogtail_spark.functions.multimodal import decode_bmp, encode_bmp
+
+        w = h = 2
+        row = 8  # 3*2=6 padded to 8
+        header = struct.pack("<2sIHHI", b"BM", 54 + row * h, 0, 0, 54)
+        header += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, row * h, 0, 0, 0, 0)
+        # rows stored bottom-up, BGR: file row 0 = image BOTTOM row
+        bottom = bytes([255, 0, 0, 0, 255, 0, 0, 0])   # blue px, green px, pad
+        top = bytes([0, 0, 255, 255, 255, 255, 0, 0])  # red px, white px, pad
+        px = decode_bmp(header + bottom + top)
+        expect = np.array(
+            [[[255, 0, 0], [255, 255, 255]],   # top row: red, white
+             [[0, 0, 255], [0, 255, 0]]],      # bottom row: blue, green
+            dtype=np.uint8,
+        )
+        assert (px == expect).all()
+        # encode_bmp must reproduce the same file layout byte-for-byte
+        assert encode_bmp(expect)[54:] == bottom + top
+
+    def test_top_down_negative_height(self):
+        import struct
+
+        import numpy as np
+
+        from ilogtail_spark.functions.multimodal import decode_bmp
+
+        w, h, row = 1, 2, 4
+        header = struct.pack("<2sIHHI", b"BM", 54 + row * h, 0, 0, 54)
+        header += struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 24, 0, row * h, 0, 0, 0, 0)
+        body = bytes([1, 2, 3, 0]) + bytes([4, 5, 6, 0])  # stored TOP first
+        px = decode_bmp(header + body)
+        assert (px == np.array([[[3, 2, 1]], [[6, 5, 4]]], dtype=np.uint8)).all()
+
+    def test_rejects_non_bmp(self):
+        import pytest
+
+        from ilogtail_spark.functions.multimodal import decode_bmp
+
+        with pytest.raises(ValueError, match="magic"):
+            decode_bmp(b"\x89PNG....")
+
+    def test_extract_features_real_decode(self, spark):
+        """fake=False really decodes the synthetic BMPs: width/height and
+        per-channel means must equal the generator's closed forms."""
+        m = synthetic_media(spark, 12).filter("kind = 'image'")
+        rows = {r["media_id"]: r for r in extract_features(m, fake=False).collect()}
+        assert rows  # ids 0,3,6,9
+        for mid, r in rows.items():
+            w = (mid % 16 + 1) * 4 + (mid // 3) % 3
+            h = (mid % 9 + 1) * 4 + (mid // 5) % 4
+            f = r["feature"]
+            assert (f[0], f[1]) == (w, h)
+            assert f[2] == mid * 37 % 256  # mean_r of the solid fill
+            assert f[3] == mid * 59 % 256
+            assert f[4] == mid * 83 % 256
+            assert r["n_bytes"] == 54 + ((3 * w + 3) // 4) * 4 * h
+
+    def test_resize_real_nearest_neighbor(self, spark):
+        import numpy as np
+
+        from ilogtail_spark.functions.multimodal import (
+            decode_bmp,
+            encode_bmp,
+            resize_media,
+        )
+
+        px = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+        df = spark.createDataFrame(
+            [(1, "image", bytearray(encode_bmp(px)), (4, 4, 0, "bmp"))],
+            "media_id long, kind string, payload binary, "
+            "meta struct<width:int,height:int,duration_ms:int,codec:string>",
+        )
+        out = resize_media(df, 2, 2, fake=False).first()
+        got = decode_bmp(bytes(out["payload"]))
+        # nearest-neighbor with index arithmetic: rows/cols 0 and 2
+        assert (got == px[[0, 2]][:, [0, 2]]).all()
+        assert out["meta"]["width"] == 2 and out["meta"]["height"] == 2
+        # non-image rows pass through untouched under fake=False
+        adf = spark.createDataFrame(
+            [(2, "audio", bytearray(b"xyz"), (0, 0, 5, "opus"))],
+            df.schema,
+        )
+        a = resize_media(adf, 2, 2, fake=False).first()
+        assert bytes(a["payload"]) == b"xyz" and a["meta"]["duration_ms"] == 5
 
 
 class TestRepetitionStats:
