@@ -230,11 +230,8 @@ def _group_spans(regex: str) -> list[tuple[int, int]]:
     return out
 
 
-def _leading_atom_unbounded(body: str) -> bool:
-    """True when the body's FIRST atom (of the body or of any top-level
-    alternation branch) carries an unbounded quantifier — the shape that
-    makes each outer-loop iteration start ambiguous."""
-    # split top-level alternation branches
+def _split_branches(body: str) -> list[str]:
+    """Top-level alternation branches of a regex body (class/group aware)."""
     branches: list[str] = []
     depth, in_class, start, i = 0, False, 0, 0
     while i < len(body):
@@ -255,8 +252,132 @@ def _leading_atom_unbounded(body: str) -> bool:
             start = i + 1
         i += 1
     branches.append(body[start:])
+    return branches
 
-    for br in branches:
+
+# character universe for first-set analysis: 7-bit ASCII plus one
+# surrogate token standing for every non-ASCII codepoint
+_UNIVERSE = frozenset(chr(i) for i in range(128)) | {"￿"}
+_ESC_SETS = {
+    "d": frozenset("0123456789"),
+    "w": frozenset(
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_"
+    ),
+    "s": frozenset(" \t\n\r\f\v"),
+}
+
+
+def _atom_span(s: str) -> int:
+    """Length of the first atom of s (group, class, escape, or char)."""
+    if not s:
+        return 0
+    if s[0] == "(":
+        close = next((e for a, e in _group_spans(s) if a == 0), None)
+        return (close + 1) if close is not None else 1
+    if s[0] == "[":
+        j, esc = 1, False
+        if j < len(s) and s[j] == "^":
+            j += 1
+        if j < len(s) and s[j] == "]":  # literal ] first
+            j += 1
+        while j < len(s) and (esc or s[j] != "]"):
+            esc = not esc and s[j] == "\\"
+            j += 1
+        return j + 1
+    if s[0] == "\\":
+        return 2
+    return 1
+
+
+def _class_set(cls: str) -> frozenset | None:
+    """Approximate member set of a [...] class body; None = unknown."""
+    out: set[str] = set()
+    neg = cls.startswith("^")
+    if neg:
+        cls = cls[1:]
+    i = 0
+    while i < len(cls):
+        c = cls[i]
+        if c == "\\" and i + 1 < len(cls):
+            e = cls[i + 1]
+            if e.lower() in _ESC_SETS:
+                base = _ESC_SETS[e.lower()]
+                out |= (_UNIVERSE - base) if e.isupper() else base
+            else:
+                out.add({"n": "\n", "t": "\t", "r": "\r"}.get(e, e))
+            i += 2
+            continue
+        if i + 2 < len(cls) and cls[i + 1] == "-" and cls[i + 2] != "]":
+            lo, hi = ord(c), ord(cls[i + 2])
+            out |= {chr(x) for x in range(lo, hi + 1)}
+            out.add("￿")  # ranges may extend past ASCII
+            i += 3
+            continue
+        out.add(c)
+        i += 1
+    return frozenset(_UNIVERSE - out) if neg else frozenset(out)
+
+
+def _first_set(s: str, depth: int = 0) -> frozenset | None:
+    """Approximate set of characters that can BEGIN a match of regex
+    fragment s. None = unknown (callers treat unknown as non-overlapping
+    — the lint stays a no-false-positive heuristic)."""
+    if depth > 8 or not s:
+        return None
+    first = s[: _atom_span(s)]
+    rest = s[_atom_span(s) :]
+    if first.startswith("("):
+        body = first[1:-1] if first.endswith(")") else first[1:]
+        for pfx in ("?:", "?>", "?="):
+            if body.startswith(pfx):
+                body = body[len(pfx) :]
+                break
+        else:
+            if body.startswith(("?<=", "?<!", "?!")):
+                return None
+            if body.startswith(("?<", "?P<")) and ">" in body:
+                body = body[body.index(">") + 1 :]
+            elif body.startswith("?"):
+                return None
+        sets = [_first_set(b, depth + 1) for b in _split_branches(body)]
+        if any(x is None for x in sets):
+            return None
+        out: frozenset = frozenset()
+        for x in sets:
+            out |= x
+    elif first.startswith("["):
+        out = _class_set(first[1:-1])
+    elif first.startswith("\\"):
+        e = first[1]
+        if e.lower() in _ESC_SETS:
+            base = _ESC_SETS[e.lower()]
+            out = frozenset(_UNIVERSE - base) if e.isupper() else base
+        elif e in "AbBZz":  # zero-width assertions
+            return _first_set(rest, depth + 1)
+        else:
+            out = frozenset({"n": "\n", "t": "\t", "r": "\r"}.get(e, e))
+    elif first == ".":
+        out = frozenset(_UNIVERSE - {"\n"})
+    elif first in "^$":
+        return _first_set(rest, depth + 1)
+    else:
+        out = frozenset(first)
+    # if the first atom is optional (?, *, {0,n}), what follows can also
+    # begin the match
+    m = re.match(r"^(\?|\*|\{0,\d*\})", rest)
+    if m:
+        tail = _first_set(rest[m.end() :].lstrip("+?"), depth + 1)
+        if tail is None:
+            return None
+        out = out | tail
+    return out
+
+
+def _leading_atom_unbounded(body: str) -> bool:
+    """True when the body's FIRST atom (of the body or of any top-level
+    alternation branch) carries an unbounded quantifier — the shape that
+    makes each outer-loop iteration start ambiguous."""
+    for br in _split_branches(body):
         if not br:
             continue
         # find the end of the first atom
@@ -288,12 +409,27 @@ def lint_backtracking(regex: str) -> list[str]:
     100 TB, where a wall-clock timeout cannot be expressed in a codegen'd
     JVM regex. Returns the offending constructs.
 
-    Flags an unbounded-quantified group whose iteration START is
-    ambiguous — the body (or a top-level alternation branch of it) leads
-    with an unbounded-quantified atom, i.e. the ``(X+)+`` /
-    ``(?:a+|b+)*`` family. Separator-anchored loops like
-    ``(?:/[^/]+)+`` are deterministic and pass. Atomic groups ``(?>…)``
-    and possessive quantifiers never backtrack and pass."""
+    Three detectors, all scoped to unbounded-quantified groups (atomic
+    groups ``(?>…)`` and possessive quantifiers never backtrack and
+    always pass):
+
+    1. ambiguous iteration START — the body (or a top-level alternation
+       branch) leads with an unbounded-quantified atom: ``(X+)+``,
+       ``(?:a+|b+)*``.
+    2. overlapping alternation — two top-level branches can begin with
+       the same character, so one prefix splits into exponentially many
+       parses: ``(a|aa)+``, ``(ab|a)*c``.
+    3. ambiguous iteration BOUNDARY — a branch ENDS with a non-possessive
+       unbounded atom whose character set overlaps the characters that
+       can begin the next iteration: ``(?:a[ab]+)+``. Separator-anchored
+       loops like ``(?:/[^/]+)+`` pass ('/' ∉ [^/]).
+
+    This is a HEURISTIC, not a decision procedure (that would require
+    full NFA ambiguity analysis): first-character sets are approximate
+    and unknown sets are treated as non-overlapping, so exotic shapes
+    can still slip through — the trade is zero false positives on the
+    grok pattern library. The reference's runtime timeout remains the
+    only complete answer; it has no JVM-codegen equivalent."""
     bad: list[str] = []
     for s, e in _group_spans(regex):
         m = _UNBOUNDED_Q.match(regex[e + 1 :])
@@ -313,9 +449,64 @@ def lint_backtracking(regex: str) -> list[str]:
             body = body[body.index(">") + 1 :]
         elif body.startswith("?"):
             continue  # inline flags group
+        construct = regex[s : e + 1 + len(q)]
         if _leading_atom_unbounded(body):
-            bad.append(regex[s : e + 1 + len(q)])
+            bad.append(construct)
+            continue
+        branches = _split_branches(body)
+        if len(branches) > 1 and _branches_overlap(branches):
+            bad.append(construct)
+            continue
+        if _trailing_atom_restarts(branches, body):
+            bad.append(construct)
     return bad
+
+
+def _branches_overlap(branches: list[str]) -> bool:
+    """True when two top-level alternation branches can begin with the
+    same character (approximate; unknown sets never overlap)."""
+    sets = [_first_set(br) for br in branches if br]
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            if sets[i] is not None and sets[j] is not None and sets[i] & sets[j]:
+                return True
+    return False
+
+
+def _trailing_atom_restarts(branches: list[str], body: str) -> bool:
+    """True when some branch ends with a non-possessive unbounded atom
+    whose character set overlaps the first-set of the loop body — the
+    trailing atom and the next iteration then compete for the same
+    characters."""
+    body_first = _first_set(body)
+    if body_first is None:
+        return False
+    for br in branches:
+        # walk atoms to find the trailing one + its quantifier
+        i = 0
+        last_atom, last_q = "", ""
+        while i < len(br):
+            n = _atom_span(br[i:])
+            if n == 0:
+                break
+            atom = br[i : i + n]
+            i += n
+            qm = re.match(r"^(\*\+|\+\+|\*\?|\+\?|\*|\+|\?|\{\d+,?\d*\}\+?)", br[i:])
+            qq = qm.group(1) if qm else ""
+            i += len(qq)
+            last_atom, last_q = atom, qq
+        unbounded = last_q.startswith(("*", "+")) or (
+            last_q.startswith("{") and re.match(r"^\{\d+,\}", last_q)
+        )
+        possessive = last_q in ("*+", "++") or (
+            last_q.startswith("{") and last_q.endswith("+")
+        )
+        if not unbounded or possessive:
+            continue
+        atom_set = _first_set(last_atom)
+        if atom_set is not None and atom_set & body_first:
+            return True
+    return False
 
 
 def compile_grok(

@@ -191,6 +191,36 @@ class TestBacktrackingLint:
         assert lint_backtracking(r"(?>a+)+") == []
         assert lint_backtracking(r"(?:a+)++") == []
 
+    def test_mid_pattern_and_alternation_families_rejected(self):
+        """r3's lint only saw leading-atom cores; the ambiguous-
+        alternation family ((a|aa)+) and the trailing-atom/iteration-
+        start overlap ((?:a[ab]+)+) must now be flagged too — including
+        when the catastrophic core sits MID-pattern, not at the start."""
+        import pytest
+
+        from ilogtail_spark.grok import compile_grok, lint_backtracking
+
+        for pat in [
+            r"(a|aa)+b",                # ADVICE r3: overlapping branches
+            r"(ab|a)*c",
+            r"^start:(?:x|xy)+end$",    # mid-pattern core
+            r"(?:a[ab]+)+",             # trailing atom restarts the loop
+            r"x(?:\s*\w+)+y",           # optional leader, word-run split
+        ]:
+            assert lint_backtracking(pat), pat
+            with pytest.raises(ValueError, match="backtrack"):
+                compile_grok(pat, custom_patterns={})
+
+    def test_disjoint_alternation_and_separators_still_pass(self):
+        from ilogtail_spark.grok import lint_backtracking
+
+        for pat in [
+            r"(INFO|ERROR|WARN)+",      # disjoint first chars
+            r"(?:,\s*[a-z]+)*",         # comma-anchored list loop
+            r"(?:;[a-z]+=[0-9]+)+",     # ;-anchored kv loop: ';' ∉ [0-9]
+        ]:
+            assert lint_backtracking(pat) == [], pat
+
     def test_library_is_lint_clean(self):
         from ilogtail_spark.grok import DEFAULT_PATTERNS, compile_grok
 
