@@ -2120,6 +2120,18 @@ GROUP BY n.node
 )
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters via large-star/small-star contraction (Kiveris
+    et al., SOCC'14) — same candidate graph and same recursive-closure
+    oracle as `dedup_clusters`, O(log n) rounds instead of O(diameter):
+    the swap-in for high-diameter components at 10^9-edge scale."""
+    from ilogtail_spark.functions.dedup import connected_components_star
+
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.3)
+    cc = connected_components_star(pairs, "id_a", "id_b")
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-stratum (language) downsampling — corpus mixing
     for training-data curation. Keep decision is md5(salt:doc_id)-based,
@@ -2410,6 +2422,7 @@ QUERIES: dict[str, QueryFn] = {
     "repetition": q_repetition,
     "pii_scrub": q_pii_scrub,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_clusters_star": q_dedup_clusters_star,
     "stratified_sample": q_stratified_sample,
     "pack_sequences": q_pack_sequences,
     "normalize_dedup": q_normalize_dedup,
@@ -2491,6 +2504,7 @@ ORACLES: dict[str, str] = {
     "repetition": O_REPETITION,
     "pii_scrub": O_PII_SCRUB,
     "dedup_clusters": O_DEDUP_CLUSTERS,
+    "dedup_clusters_star": O_DEDUP_CLUSTERS,
     "stratified_sample": O_STRATIFIED_SAMPLE,
     "pack_sequences": O_PACK_SEQUENCES,
     "normalize_dedup": O_NORMALIZE_DEDUP,

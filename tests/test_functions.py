@@ -496,6 +496,60 @@ class TestConnectedComponents:
             connected_components(pairs, max_iter=2)
 
 
+class TestConnectedComponentsStar:
+    """Large-star/small-star contraction (Kiveris et al., SOCC'14) must
+    agree with plain min-label propagation everywhere and converge in
+    O(log n) rounds on the high-diameter worst case."""
+
+    def _both(self, spark, edges, schema="id_a long, id_b long"):
+        from ilogtail_spark.functions.dedup import (
+            connected_components,
+            connected_components_star,
+        )
+
+        pairs = spark.createDataFrame(edges, schema)
+        plain = {r["node"]: r["cluster_id"]
+                 for r in connected_components(pairs, max_iter=80).collect()}
+        star = {r["node"]: r["cluster_id"]
+                for r in connected_components_star(pairs).collect()}
+        return plain, star
+
+    def test_property_random_graphs_agree(self, spark):
+        import random
+
+        rng = random.Random(20260816)
+        for trial in range(6):
+            n = rng.randrange(5, 60)
+            m = rng.randrange(1, 2 * n)
+            edges = [
+                (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+            ]
+            plain, star = self._both(spark, edges)
+            assert plain == star, (trial, n, edges)
+
+    def test_string_ids_agree(self, spark):
+        edges = [("b", "c"), ("c", "d"), ("x", "y"), ("d", "a")]
+        plain, star = self._both(spark, edges, "id_a string, id_b string")
+        assert plain == star
+        assert star["c"] == "a" and star["x"] == "x"
+
+    def test_chain_logarithmic_rounds(self, spark):
+        """A 2000-node planted chain: diameter 1999, so plain propagation
+        would need ~2000 driver rounds; star contraction must finish in
+        O(log n) — the property that makes CC usable on 10^9-edge
+        high-diameter graphs."""
+        from ilogtail_spark.functions.dedup import connected_components_star
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(1999)], "id_a long, id_b long"
+        )
+        stats: dict = {}
+        out = connected_components_star(pairs, stats=stats).collect()
+        assert len(out) == 2000
+        assert all(r["cluster_id"] == 0 for r in out)
+        assert stats["rounds"] <= 15, stats  # log2(2000) ≈ 11
+
+
 class TestStratifiedSample:
     def test_fractions_and_determinism(self, spark):
         import hashlib
