@@ -159,3 +159,264 @@ def otlp_log_records(
     if level_key is not None:
         out["severityText"] = F.coalesce(F.col(level_key), F.lit(""))
     return df.withColumns(out)
+
+
+# ---------------------------------------------------------------------
+# custom_single_flatten (pkg/protocol/converter/
+# converter_single_log_flatten.go:23-60) + the tag/content model of
+# convertLogToMap (converter.go:230-281)
+# ---------------------------------------------------------------------
+
+TAG_PREFIX = "__tag__:"
+
+# tagConversionMap (converter.go:79-92) — well-known tag renames
+TAG_CONVERSION: dict[str, str] = {
+    "__path__": "log.file.path",
+    "__hostname__": "host.name",
+    "_node_ip_": "k8s.node.ip",
+    "_node_name_": "k8s.node.name",
+    "_namespace_": "k8s.namespace.name",
+    "_pod_name_": "k8s.pod.name",
+    "_pod_ip_": "k8s.pod.ip",
+    "_pod_uid_": "k8s.pod.uid",
+    "_container_name_": "container.name",
+    "_container_ip_": "container.ip",
+    "_image_name_": "container.image.name",
+}
+
+# specialTagConversionMap (converter.go:94-98) — K8sFlag overrides
+K8S_TAG_CONVERSION: dict[str, str] = {
+    "_container_name_": "k8s.container.name",
+    "_container_ip_": "k8s.container.ip",
+    "_image_name_": "k8s.container.image.name",
+}
+
+_ENT_T = "array<struct<key:string,value:string>>"
+
+
+def _rename_tag(name: str, rename: dict[str, str]) -> str | None:
+    """addTagIfRequired (converter.go:309-315): rename-map hit with a
+    non-empty target renames; a hit with an EMPTY target deletes the
+    tag; a miss keeps the name. None = deleted."""
+    if name in rename:
+        return rename[name] or None
+    return name
+
+
+def _convert_tag(name: str, k8s: bool) -> str:
+    if k8s and name in K8S_TAG_CONVERSION:
+        return K8S_TAG_CONVERSION[name]
+    return TAG_CONVERSION.get(name, name)
+
+
+def custom_single_flatten(
+    df: DataFrame,
+    contents_col: str = "fields",
+    time_col: str = "log_time",
+    *,
+    group_tags: dict[str, str] | None = None,
+    source_col: str | None = None,
+    topic_col: str | None = None,
+    tag_key_rename: dict[str, str] | None = None,
+    protocol_key_rename: dict[str, str] | None = None,
+    only_contents: bool = False,
+    k8s: bool = False,
+) -> DataFrame:
+    """ConvertToSingleProtocolLogsFlatten
+    (converter_single_log_flatten.go:23-60): flatten per-log contents
+    and group tags into ONE key space and serialize as a JSON line.
+
+    Faithful to the reference's precedence chain:
+
+      * content keys are re-classified as tags when they carry the
+        ``__tag__:`` prefix, equal ``__log_topic__``, or appear in the
+        well-known tagConversionMap (convertLogToMap:230-263);
+        ``__tag__:__user_defined_id__`` is dropped;
+      * the K8s flag swaps in specialTagConversionMap names (:242-250);
+      * tagKeyRenameMap renames tags — an EMPTY rename target deletes
+        the tag (addTagIfRequired:309-315);
+      * group LogTags (minus ``__user_defined_id__``/``__pack_id__``),
+        then ``host.ip`` (= Source), then ``log.topic`` (= Topic) are
+        added after content-derived tags — later adds win (:265-279);
+      * flatten = contents then tags (tags win on collision) + the
+        ``time`` protocol key, renamable via protocolKeyRenameMap
+        (:39-56); OnlyContents drops the tag side;
+      * the JSON object is key-sorted with a NUMERIC time value —
+        byte-compatible with Go's map marshaling.
+
+    Adds ``flat`` (map<string,string>) and ``flat_json`` (string).
+    One fused projection: zero shuffle, zero Python — a converter at
+    100 TB is a map stage inside the sink write.
+    """
+    import json as _json
+
+    rename = tag_key_rename or {}
+    conv_keys = sorted(TAG_CONVERSION)  # unprefixed keys treated as tags
+    ent = F.map_entries(F.col(contents_col)).cast(_ENT_T)
+
+    def is_tag_key(k: Column) -> Column:
+        out = (k == "__log_topic__") | k.startswith(TAG_PREFIX)
+        for c in conv_keys:
+            out = out | (k == c)
+        return out
+
+    # content side: keys that are NOT tag-like
+    c_ent = F.filter(ent, lambda e: ~is_tag_key(e["key"]))
+
+    # tag side from contents, in entry order; None name = deleted
+    def tag_name_for(k: Column) -> Column:
+        """Final tag name for a tag-like content key (conversion +
+        rename applied at plan time over the STATIC candidate names);
+        NULL for deleted/skipped keys. Dynamic ``__tag__:`` suffixes
+        outside the static tables fall through to suffix-then-rename,
+        which is total for any rename map given at plan build."""
+        suffix = F.substring(k, len(TAG_PREFIX) + 1, 2147483647)
+        name = F.when(k == "__log_topic__", F.lit("log.topic"))
+        # known conversions, prefixed and bare
+        for src in conv_keys:
+            tgt = _convert_tag(src, k8s)
+            name = name.when(k == F.lit(TAG_PREFIX + src), F.lit(tgt)).when(
+                k == F.lit(src), F.lit(tgt)
+            )
+        name = name.otherwise(suffix)
+        # rename map (static): rename / delete
+        out = name
+        for src, tgt in sorted(rename.items()):
+            out = F.when(name == src, F.lit(tgt or None)).otherwise(out)
+        return out
+
+    t_ent = F.transform(
+        F.filter(
+            ent,
+            lambda e: is_tag_key(e["key"])
+            & (e["key"] != TAG_PREFIX + "__user_defined_id__"),
+        ),
+        lambda e: F.struct(
+            tag_name_for(e["key"]).alias("key"), e["value"].alias("value")
+        ),
+    ).cast(_ENT_T)
+    t_ent = F.filter(t_ent, lambda e: e["key"].isNotNull())
+
+    # group tags / source / topic: keys are plan-time constants, so the
+    # conversion + rename chain runs in Python here
+    extra: list[Column] = []
+    for k, v in (group_tags or {}).items():
+        if k in ("__user_defined_id__", "__pack_id__"):
+            continue
+        name = _rename_tag(_convert_tag(k, k8s), rename)
+        if name is not None:
+            extra.append(F.struct(F.lit(name).alias("key"), F.lit(v).alias("value")))
+    if source_col is not None:
+        name = _rename_tag("host.ip", rename)
+        if name is not None:
+            extra.append(
+                F.struct(F.lit(name).alias("key"), F.col(source_col).alias("value"))
+            )
+    if topic_col is not None:
+        name = _rename_tag("log.topic", rename)
+        if name is not None:
+            extra.append(
+                F.struct(F.lit(name).alias("key"), F.col(topic_col).alias("value"))
+            )
+    tag_all = t_ent
+    if extra:
+        tag_all = F.concat(t_ent, F.array(*extra).cast(_ENT_T))
+
+    all_ent = c_ent if only_contents else F.concat(c_ent, tag_all)
+    # last-wins dedup: walk reversed, keep first sighting of each key
+    deduped_rev = F.aggregate(
+        F.reverse(all_ent),
+        F.array().cast(_ENT_T),
+        lambda acc, e: F.when(
+            F.exists(acc, lambda x: x["key"] == e["key"]), acc
+        ).otherwise(F.array_append(acc, e)),
+    )
+    flat_ent = F.reverse(deduped_rev).cast(_ENT_T)
+
+    # key-sorted JSON with a NUMERIC time value (Go's json.Marshal of a
+    # map emits sorted keys; Time is uint32). Each string pair is
+    # rendered through to_json for correct escaping.
+    tkey = (protocol_key_rename or {}).get("time", "time")
+    frag_t = "array<struct<key:string,frag:string>>"
+    frags = F.transform(
+        flat_ent,
+        lambda e: F.struct(
+            e["key"].alias("key"),
+            F.substring(
+                j := F.to_json(F.create_map(e["key"], e["value"])),
+                2,
+                F.length(j) - 2,
+            ).alias("frag"),
+        ),
+    ).cast(frag_t)
+    time_frag = F.struct(
+        F.lit(tkey).alias("key"),
+        F.concat(
+            F.lit(_json.dumps(tkey) + ":"), F.col(time_col).cast("long").cast("string")
+        ).alias("frag"),
+    )
+    all_frags = F.array_sort(F.array_append(frags, time_frag).cast(frag_t))
+    flat_json = F.concat(
+        F.lit("{"),
+        F.array_join(F.transform(all_frags, lambda x: x["frag"]), ","),
+        F.lit("}"),
+    )
+    return df.withColumns(
+        {"flat": F.map_from_entries(flat_ent), "flat_json": flat_json}
+    )
+
+
+def compile_topic(
+    pattern: str,
+    *,
+    contents_col: str = "fields",
+    tags_col: str | None = None,
+    static_tags: dict[str, str] | None = None,
+    tag_key_rename: dict[str, str] | None = None,
+) -> Column:
+    """Dynamic sink-name templating (pkg/fmtstr/format_topic.go:18):
+    compile a ``%{content.field}`` / ``%{tag.key}`` pattern into ONE
+    concat column usable as a kafka-style route/topic.
+
+    Resolution mirrors findTargetValues (converter.go:284-307):
+    ``content.X`` reads the contents map; ``tag.Y`` reads the tag side
+    (a map column and/or plan-time static tags), falling back through
+    tagKeyRenameMap when the raw name is absent. An unresolvable
+    variable renders as its own name — FormatTopic's StringElement
+    fallback — so a topic never becomes NULL mid-stream.
+    """
+    import re as _re
+
+    rename = tag_key_rename or {}
+    static = static_tags or {}
+    parts: list[Column] = []
+    pos = 0
+    for m in _re.finditer(r"%\{([^}]+)\}", pattern):
+        if m.start() > pos:
+            parts.append(F.lit(pattern[pos : m.start()]))
+        var = m.group(1)
+        if var.startswith("content."):
+            field = var[len("content.") :]
+            parts.append(
+                F.coalesce(
+                    F.try_element_at(F.col(contents_col), F.lit(field)), F.lit(var)
+                )
+            )
+        elif var.startswith("tag."):
+            name = var[len("tag.") :]
+            candidates: list[Column] = []
+            for probe in [name] + ([rename[name]] if rename.get(name) else []):
+                if tags_col is not None:
+                    candidates.append(
+                        F.try_element_at(F.col(tags_col), F.lit(probe))
+                    )
+                if probe in static:
+                    candidates.append(F.lit(static[probe]))
+            parts.append(F.coalesce(*candidates, F.lit(var)))
+        else:
+            # FormatTopic renders unknown variables as their name
+            parts.append(F.lit(var))
+        pos = m.end()
+    if pos < len(pattern):
+        parts.append(F.lit(pattern[pos:]))
+    return F.concat(*parts) if parts else F.lit(pattern)

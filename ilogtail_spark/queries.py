@@ -2292,6 +2292,71 @@ SELECT q_id, n_id, score, cast(rk AS int) AS rk FROM ranked WHERE rk <= 5
 """
 
 
+def q_custom_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """custom_single_flatten converter
+    (converter_single_log_flatten.go:23-60): contents + group tags flatten
+    into one key space — exercises the full precedence chain (tag
+    reclassification with ``__tag__:`` prefix, conversion map, rename
+    with empty-target delete, content-vs-tag collision where the tag
+    wins, per-row source/topic tags) plus the key-sorted JSON line with
+    numeric time. Oracle restates the expected key space statically."""
+    from ilogtail_spark.operators.convert import custom_single_flatten
+
+    t = _t(spark, sf_dir).filter(F.col("turn_idx") <= 2)
+    d = t.select(
+        "conv_id",
+        "turn_idx",
+        F.unix_seconds(F.col("ts").cast("timestamp")).alias("log_time"),
+        F.create_map(
+            F.lit("role"), F.col("role"),
+            F.lit("chars"), F.length("text").cast("string"),
+            F.lit("host.name"), F.lit("content-host"),
+            F.lit("__tag__:__path__"),
+            F.concat(F.lit("/var/log/"), F.col("conv_id"), F.lit(".log")),
+            F.lit("__tag__:debug"), F.lit("x"),
+            F.lit("__log_topic__"), F.concat(F.lit("t-"), F.col("role")),
+        ).alias("fields"),
+        F.concat(F.lit("10.0.0."), F.col("turn_idx").cast("string")).alias("src"),
+    )
+    out = custom_single_flatten(
+        d, "fields", "log_time",
+        group_tags={"__hostname__": "h0", "__pack_id__": "p-1", "env": "prod"},
+        source_col="src",
+        tag_key_rename={"env": "environment", "debug": ""},
+    )
+    return out.select(
+        "conv_id", "turn_idx", F.explode("flat").alias("k", "v"), "flat_json"
+    )
+
+
+O_CUSTOM_FLATTEN = f"""{_CTE},
+base AS (
+  SELECT conv_id, turn_idx, role,
+    cast(length(text) AS varchar) AS chars,
+    concat('/var/log/', conv_id, '.log') AS pathv,
+    concat('t-', role) AS topicv,
+    concat('10.0.0.', cast(turn_idx AS varchar)) AS ipv,
+    cast(epoch_ms(ts) // 1000 AS bigint) AS t
+  FROM transcripts WHERE turn_idx <= 2),
+flatjson AS (
+  SELECT *, concat(
+    '{{"chars":"', chars, '","environment":"prod","host.ip":"', ipv,
+    '","host.name":"h0","log.file.path":"', pathv,
+    '","log.topic":"', topicv, '","role":"', role,
+    '","time":', cast(t AS varchar), '}}') AS flat_json
+  FROM base)
+SELECT conv_id, turn_idx, k, v, flat_json FROM (
+  SELECT conv_id, turn_idx, 'role' AS k, role AS v, flat_json FROM flatjson
+  UNION ALL SELECT conv_id, turn_idx, 'chars', chars, flat_json FROM flatjson
+  UNION ALL SELECT conv_id, turn_idx, 'host.name', 'h0', flat_json FROM flatjson
+  UNION ALL SELECT conv_id, turn_idx, 'log.file.path', pathv, flat_json FROM flatjson
+  UNION ALL SELECT conv_id, turn_idx, 'log.topic', topicv, flat_json FROM flatjson
+  UNION ALL SELECT conv_id, turn_idx, 'environment', 'prod', flat_json FROM flatjson
+  UNION ALL SELECT conv_id, turn_idx, 'host.ip', ipv, flat_json FROM flatjson
+)
+"""
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal image decode — REAL: synthetic_media emits genuine
     24-bit BMP payloads, the Arrow kernel decodes them (pure-Python BMP
@@ -2428,6 +2493,7 @@ QUERIES: dict[str, QueryFn] = {
     "normalize_dedup": q_normalize_dedup,
     "url_stats": q_url_stats,
     "ann_int8": q_ann_int8,
+    "custom_flatten": q_custom_flatten,
     "media_features": q_media_features,
     "media_frames": q_media_frames,
 }
@@ -2514,6 +2580,7 @@ ORACLES: dict[str, str] = {
     "embedding_dup": O_EMBEDDING_DUP,
     "lang_id_trigram": O_LANG_ID_TRIGRAM,
     "media_features": O_MEDIA_FEATURES,
+    "custom_flatten": O_CUSTOM_FLATTEN,
 }
 
 # queries intentionally without oracle (non-SQL-expressible internals):
