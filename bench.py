@@ -96,7 +96,7 @@ def main() -> None:
         "minhash_lsh", "ngram_jaccard", "ann_brute_force", "quality_score",
         "fingerprint", "container_log_parse", "apsara_parse", "otel_metric",
         "grok_apache", "prom_parse", "prom_relabel", "repetition", "pii_scrub",
-        "dedup_clusters", "pack_sequences",
+        "dedup_clusters", "pack_sequences", "custom_flatten",
     ):
         fn = QUERIES[name]
         best = None

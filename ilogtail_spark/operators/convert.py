@@ -209,6 +209,128 @@ def _convert_tag(name: str, k8s: bool) -> str:
     return TAG_CONVERSION.get(name, name)
 
 
+def _split_contents_tags(
+    contents_col: str,
+    *,
+    group_tags: dict[str, str] | None,
+    source_col: str | None,
+    topic_col: str | None,
+    rename: dict[str, str],
+    k8s: bool,
+) -> tuple[Column, Column]:
+    """convertLogToMap (converter.go:230-281) as two entry arrays:
+    (content entries, tag entries in add order). Shared by the flatten
+    and nested custom_single converters."""
+    conv_keys = sorted(TAG_CONVERSION)
+    ent = F.map_entries(F.col(contents_col)).cast(_ENT_T)
+
+    def is_tag_key(k: Column) -> Column:
+        out = (k == "__log_topic__") | k.startswith(TAG_PREFIX)
+        for c in conv_keys:
+            out = out | (k == c)
+        return out
+
+    c_ent = F.filter(ent, lambda e: ~is_tag_key(e["key"]))
+
+    def tag_name_for(k: Column) -> Column:
+        """Final tag name for a tag-like content key (conversion +
+        rename applied at plan time over the STATIC candidate names);
+        NULL for deleted/skipped keys. Dynamic ``__tag__:`` suffixes
+        outside the static tables fall through to suffix-then-rename,
+        which is total for any rename map given at plan build."""
+        suffix = F.substring(k, len(TAG_PREFIX) + 1, 2147483647)
+        name = F.when(k == "__log_topic__", F.lit("log.topic"))
+        for src in conv_keys:
+            tgt = _convert_tag(src, k8s)
+            name = name.when(k == F.lit(TAG_PREFIX + src), F.lit(tgt)).when(
+                k == F.lit(src), F.lit(tgt)
+            )
+        name = name.otherwise(suffix)
+        out = name
+        for src, tgt in sorted(rename.items()):
+            out = F.when(name == src, F.lit(tgt or None)).otherwise(out)
+        return out
+
+    t_ent = F.transform(
+        F.filter(
+            ent,
+            lambda e: is_tag_key(e["key"])
+            & (e["key"] != TAG_PREFIX + "__user_defined_id__"),
+        ),
+        lambda e: F.struct(
+            tag_name_for(e["key"]).alias("key"), e["value"].alias("value")
+        ),
+    ).cast(_ENT_T)
+    t_ent = F.filter(t_ent, lambda e: e["key"].isNotNull())
+
+    extra: list[Column] = []
+    for k, v in (group_tags or {}).items():
+        if k in ("__user_defined_id__", "__pack_id__"):
+            continue
+        name = _rename_tag(_convert_tag(k, k8s), rename)
+        if name is not None:
+            extra.append(F.struct(F.lit(name).alias("key"), F.lit(v).alias("value")))
+    if source_col is not None:
+        name = _rename_tag("host.ip", rename)
+        if name is not None:
+            extra.append(
+                F.struct(F.lit(name).alias("key"), F.col(source_col).alias("value"))
+            )
+    if topic_col is not None:
+        name = _rename_tag("log.topic", rename)
+        if name is not None:
+            extra.append(
+                F.struct(F.lit(name).alias("key"), F.col(topic_col).alias("value"))
+            )
+    if extra:
+        t_ent = F.concat(t_ent, F.array(*extra).cast(_ENT_T))
+    return c_ent, t_ent
+
+
+def _dedup_last_wins(ent: Column) -> Column:
+    """Deduplicate an entry array keeping the LAST value per key (Go map
+    insertion semantics): walk reversed, keep first sighting."""
+    rev = F.aggregate(
+        F.reverse(ent),
+        F.array().cast(_ENT_T),
+        lambda acc, e: F.when(
+            F.exists(acc, lambda x: x["key"] == e["key"]), acc
+        ).otherwise(F.array_append(acc, e)),
+    )
+    return F.reverse(rev).cast(_ENT_T)
+
+
+def _pairs_fragments(ent: Column) -> Column:
+    """Render entries as escaped ``"k":"v"`` JSON fragments, paired with
+    their key for sorting (Go's json.Marshal emits sorted map keys)."""
+    frag_t = "array<struct<key:string,frag:string>>"
+    return F.transform(
+        ent,
+        lambda e: F.struct(
+            e["key"].alias("key"),
+            F.substring(
+                j := F.to_json(F.create_map(e["key"], e["value"])),
+                2,
+                F.length(j) - 2,
+            ).alias("frag"),
+        ),
+    ).cast(frag_t)
+
+
+_FRAG_T = "array<struct<key:string,frag:string>>"
+
+
+def _json_object(frags: Column) -> Column:
+    """Assemble pre-rendered fragments into a key-sorted JSON object."""
+    return F.concat(
+        F.lit("{"),
+        F.array_join(
+            F.transform(F.array_sort(frags.cast(_FRAG_T)), lambda x: x["frag"]), ","
+        ),
+        F.lit("}"),
+    )
+
+
 def custom_single_flatten(
     df: DataFrame,
     contents_col: str = "fields",
@@ -250,119 +372,92 @@ def custom_single_flatten(
     """
     import json as _json
 
-    rename = tag_key_rename or {}
-    conv_keys = sorted(TAG_CONVERSION)  # unprefixed keys treated as tags
-    ent = F.map_entries(F.col(contents_col)).cast(_ENT_T)
-
-    def is_tag_key(k: Column) -> Column:
-        out = (k == "__log_topic__") | k.startswith(TAG_PREFIX)
-        for c in conv_keys:
-            out = out | (k == c)
-        return out
-
-    # content side: keys that are NOT tag-like
-    c_ent = F.filter(ent, lambda e: ~is_tag_key(e["key"]))
-
-    # tag side from contents, in entry order; None name = deleted
-    def tag_name_for(k: Column) -> Column:
-        """Final tag name for a tag-like content key (conversion +
-        rename applied at plan time over the STATIC candidate names);
-        NULL for deleted/skipped keys. Dynamic ``__tag__:`` suffixes
-        outside the static tables fall through to suffix-then-rename,
-        which is total for any rename map given at plan build."""
-        suffix = F.substring(k, len(TAG_PREFIX) + 1, 2147483647)
-        name = F.when(k == "__log_topic__", F.lit("log.topic"))
-        # known conversions, prefixed and bare
-        for src in conv_keys:
-            tgt = _convert_tag(src, k8s)
-            name = name.when(k == F.lit(TAG_PREFIX + src), F.lit(tgt)).when(
-                k == F.lit(src), F.lit(tgt)
-            )
-        name = name.otherwise(suffix)
-        # rename map (static): rename / delete
-        out = name
-        for src, tgt in sorted(rename.items()):
-            out = F.when(name == src, F.lit(tgt or None)).otherwise(out)
-        return out
-
-    t_ent = F.transform(
-        F.filter(
-            ent,
-            lambda e: is_tag_key(e["key"])
-            & (e["key"] != TAG_PREFIX + "__user_defined_id__"),
-        ),
-        lambda e: F.struct(
-            tag_name_for(e["key"]).alias("key"), e["value"].alias("value")
-        ),
-    ).cast(_ENT_T)
-    t_ent = F.filter(t_ent, lambda e: e["key"].isNotNull())
-
-    # group tags / source / topic: keys are plan-time constants, so the
-    # conversion + rename chain runs in Python here
-    extra: list[Column] = []
-    for k, v in (group_tags or {}).items():
-        if k in ("__user_defined_id__", "__pack_id__"):
-            continue
-        name = _rename_tag(_convert_tag(k, k8s), rename)
-        if name is not None:
-            extra.append(F.struct(F.lit(name).alias("key"), F.lit(v).alias("value")))
-    if source_col is not None:
-        name = _rename_tag("host.ip", rename)
-        if name is not None:
-            extra.append(
-                F.struct(F.lit(name).alias("key"), F.col(source_col).alias("value"))
-            )
-    if topic_col is not None:
-        name = _rename_tag("log.topic", rename)
-        if name is not None:
-            extra.append(
-                F.struct(F.lit(name).alias("key"), F.col(topic_col).alias("value"))
-            )
-    tag_all = t_ent
-    if extra:
-        tag_all = F.concat(t_ent, F.array(*extra).cast(_ENT_T))
-
-    all_ent = c_ent if only_contents else F.concat(c_ent, tag_all)
-    # last-wins dedup: walk reversed, keep first sighting of each key
-    deduped_rev = F.aggregate(
-        F.reverse(all_ent),
-        F.array().cast(_ENT_T),
-        lambda acc, e: F.when(
-            F.exists(acc, lambda x: x["key"] == e["key"]), acc
-        ).otherwise(F.array_append(acc, e)),
+    c_ent, tag_all = _split_contents_tags(
+        contents_col,
+        group_tags=group_tags,
+        source_col=source_col,
+        topic_col=topic_col,
+        rename=tag_key_rename or {},
+        k8s=k8s,
     )
-    flat_ent = F.reverse(deduped_rev).cast(_ENT_T)
+    all_ent = c_ent if only_contents else F.concat(c_ent, tag_all)
+    flat_ent = _dedup_last_wins(all_ent)
 
     # key-sorted JSON with a NUMERIC time value (Go's json.Marshal of a
     # map emits sorted keys; Time is uint32). Each string pair is
     # rendered through to_json for correct escaping.
     tkey = (protocol_key_rename or {}).get("time", "time")
-    frag_t = "array<struct<key:string,frag:string>>"
-    frags = F.transform(
-        flat_ent,
-        lambda e: F.struct(
-            e["key"].alias("key"),
-            F.substring(
-                j := F.to_json(F.create_map(e["key"], e["value"])),
-                2,
-                F.length(j) - 2,
-            ).alias("frag"),
-        ),
-    ).cast(frag_t)
     time_frag = F.struct(
         F.lit(tkey).alias("key"),
         F.concat(
             F.lit(_json.dumps(tkey) + ":"), F.col(time_col).cast("long").cast("string")
         ).alias("frag"),
     )
-    all_frags = F.array_sort(F.array_append(frags, time_frag).cast(frag_t))
-    flat_json = F.concat(
-        F.lit("{"),
-        F.array_join(F.transform(all_frags, lambda x: x["frag"]), ","),
-        F.lit("}"),
+    flat_json = _json_object(
+        F.array_append(_pairs_fragments(flat_ent), time_frag)
     )
     return df.withColumns(
         {"flat": F.map_from_entries(flat_ent), "flat_json": flat_json}
+    )
+
+
+def custom_single(
+    df: DataFrame,
+    contents_col: str = "fields",
+    time_col: str = "log_time",
+    *,
+    group_tags: dict[str, str] | None = None,
+    source_col: str | None = None,
+    topic_col: str | None = None,
+    tag_key_rename: dict[str, str] | None = None,
+    protocol_key_rename: dict[str, str] | None = None,
+    k8s: bool = False,
+) -> DataFrame:
+    """The NESTED custom_single protocol (custom_single_log.go:32-62):
+    same content/tag classification as the flatten variant, but the JSON
+    line keeps them under separate ``contents`` / ``tags`` objects plus
+    a numeric ``time`` — each of the three protocol keys renamable via
+    protocolKeyRenameMap. All objects key-sorted like Go's marshaling.
+
+    Adds ``contents`` and ``tags`` map columns and ``single_json``."""
+    import json as _json
+
+    pk = protocol_key_rename or {}
+    c_ent, tag_all = _split_contents_tags(
+        contents_col,
+        group_tags=group_tags,
+        source_col=source_col,
+        topic_col=topic_col,
+        rename=tag_key_rename or {},
+        k8s=k8s,
+    )
+    t_ent = _dedup_last_wins(tag_all)
+
+    def nested_frag(proto_key: str, obj_json: Column) -> Column:
+        key = pk.get(proto_key, proto_key)
+        return F.struct(
+            F.lit(key).alias("key"),
+            F.concat(F.lit(_json.dumps(key) + ":"), obj_json).alias("frag"),
+        )
+
+    time_key = pk.get("time", "time")
+    outer = F.array(
+        nested_frag("contents", _json_object(_pairs_fragments(c_ent))),
+        nested_frag("tags", _json_object(_pairs_fragments(t_ent))),
+        F.struct(
+            F.lit(time_key).alias("key"),
+            F.concat(
+                F.lit(_json.dumps(time_key) + ":"),
+                F.col(time_col).cast("long").cast("string"),
+            ).alias("frag"),
+        ),
+    )
+    return df.withColumns(
+        {
+            "contents": F.map_from_entries(c_ent),
+            "tags": F.map_from_entries(t_ent),
+            "single_json": _json_object(outer),
+        }
     )
 
 

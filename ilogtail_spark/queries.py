@@ -2357,6 +2357,68 @@ SELECT conv_id, turn_idx, k, v, flat_json FROM (
 """
 
 
+def q_custom_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """custom_single NESTED protocol (custom_single_log.go:32-62): the
+    same classification as custom_flatten but contents/tags stay under
+    separate JSON objects — so the content-vs-tag collision on
+    'host.name' keeps BOTH values, one per namespace. Oracle restates
+    the nested key-sorted JSON and the tag rows."""
+    from ilogtail_spark.operators.convert import custom_single
+
+    t = _t(spark, sf_dir).filter(F.col("turn_idx") <= 2)
+    d = t.select(
+        "conv_id",
+        "turn_idx",
+        F.unix_seconds(F.col("ts").cast("timestamp")).alias("log_time"),
+        F.create_map(
+            F.lit("role"), F.col("role"),
+            F.lit("chars"), F.length("text").cast("string"),
+            F.lit("host.name"), F.lit("content-host"),
+            F.lit("__tag__:__path__"),
+            F.concat(F.lit("/var/log/"), F.col("conv_id"), F.lit(".log")),
+            F.lit("__log_topic__"), F.concat(F.lit("t-"), F.col("role")),
+        ).alias("fields"),
+        F.concat(F.lit("10.0.0."), F.col("turn_idx").cast("string")).alias("src"),
+    )
+    out = custom_single(
+        d, "fields", "log_time",
+        group_tags={"__hostname__": "h0", "__pack_id__": "p-1", "env": "prod"},
+        source_col="src",
+        tag_key_rename={"env": "environment"},
+    )
+    return out.select(
+        "conv_id", "turn_idx", F.explode("tags").alias("k", "v"), "single_json"
+    )
+
+
+O_CUSTOM_SINGLE = f"""{_CTE},
+base AS (
+  SELECT conv_id, turn_idx, role,
+    cast(length(text) AS varchar) AS chars,
+    concat('/var/log/', conv_id, '.log') AS pathv,
+    concat('t-', role) AS topicv,
+    concat('10.0.0.', cast(turn_idx AS varchar)) AS ipv,
+    cast(epoch_ms(ts) // 1000 AS bigint) AS t
+  FROM transcripts WHERE turn_idx <= 2),
+nested AS (
+  SELECT *, concat(
+    '{{"contents":{{"chars":"', chars,
+    '","host.name":"content-host","role":"', role,
+    '"}},"tags":{{"environment":"prod","host.ip":"', ipv,
+    '","host.name":"h0","log.file.path":"', pathv,
+    '","log.topic":"', topicv, '"}},"time":', cast(t AS varchar), '}}'
+  ) AS single_json
+  FROM base)
+SELECT conv_id, turn_idx, k, v, single_json FROM (
+  SELECT conv_id, turn_idx, 'host.name' AS k, 'h0' AS v, single_json FROM nested
+  UNION ALL SELECT conv_id, turn_idx, 'log.file.path', pathv, single_json FROM nested
+  UNION ALL SELECT conv_id, turn_idx, 'log.topic', topicv, single_json FROM nested
+  UNION ALL SELECT conv_id, turn_idx, 'environment', 'prod', single_json FROM nested
+  UNION ALL SELECT conv_id, turn_idx, 'host.ip', ipv, single_json FROM nested
+)
+"""
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal image decode — REAL: synthetic_media emits genuine
     24-bit BMP payloads, the Arrow kernel decodes them (pure-Python BMP
@@ -2494,6 +2556,7 @@ QUERIES: dict[str, QueryFn] = {
     "url_stats": q_url_stats,
     "ann_int8": q_ann_int8,
     "custom_flatten": q_custom_flatten,
+    "custom_single": q_custom_single,
     "media_features": q_media_features,
     "media_frames": q_media_frames,
 }
@@ -2581,6 +2644,7 @@ ORACLES: dict[str, str] = {
     "lang_id_trigram": O_LANG_ID_TRIGRAM,
     "media_features": O_MEDIA_FEATURES,
     "custom_flatten": O_CUSTOM_FLATTEN,
+    "custom_single": O_CUSTOM_SINGLE,
 }
 
 # queries intentionally without oracle (non-SQL-expressible internals):

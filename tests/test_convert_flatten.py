@@ -153,6 +153,46 @@ class TestFlattenSemantics:
         assert json.loads(out["flat_json"]) == {"m": "1", "time": 7}
 
 
+class TestCustomSingleNested:
+    """Nested custom_single protocol (custom_single_log.go:32-62):
+    contents and tags stay in separate namespaces."""
+
+    def test_namespaces_and_protocol_key_rename(self, spark):
+        from ilogtail_spark.operators.convert import custom_single
+
+        out = custom_single(
+            _go_df(spark), "fields", "log_time",
+            group_tags=GO_GROUP_TAGS, source_col="src", topic_col="topic",
+            protocol_key_rename={"time": "@ts", "contents": "c", "tags": "t"},
+            k8s=True,
+        ).orderBy("log_time").first()
+        d = json.loads(out["single_json"])
+        assert set(d) == {"@ts", "c", "t"}
+        assert d["@ts"] == 1662434209
+        assert d["c"] == {"method": "PUT", "status": "200"}
+        assert d["t"]["log.file.path"] == "/root/test/origin/example.log"
+        assert d["t"]["host.name"] == "alje834hgf"
+        assert d["t"]["host.ip"] == "172.10.0.56"
+        assert d["t"]["k8s.container.name"] == "container"
+        assert "__user_defined_id__" not in json.dumps(d)
+
+    def test_collision_keeps_both_namespaces(self, spark):
+        from ilogtail_spark.operators.convert import custom_single
+
+        df = spark.createDataFrame(
+            [(7, {"host.name": "from-content"}, "1.2.3.4", "t")], SCHEMA
+        )
+        d = json.loads(
+            custom_single(
+                df, "fields", "log_time",
+                group_tags={"__hostname__": "real-host"}, source_col="src",
+            ).first()["single_json"]
+        )
+        # unlike the flatten variant, both values survive
+        assert d["contents"]["host.name"] == "from-content"
+        assert d["tags"]["host.name"] == "real-host"
+
+
 class TestDynamicTopicRouting:
     def test_templated_topic_routed_write(self, spark, tmp_path):
         """format_topic as a route column driving a partitioned sink

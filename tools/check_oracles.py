@@ -62,8 +62,15 @@ def canon_duck_type(t) -> str:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    results: dict[str, dict] = {}
 
     from __spark_entry__ import oracle_sql, queries
 
@@ -93,10 +100,18 @@ def main() -> None:
             )
         except Exception as e:
             failures.append(name)
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": None,
+                             "oracle_rows": None,
+                             "err": str(e).splitlines()[0][:200]}
             print(f"FAIL  {name}: spark error {str(e).splitlines()[0][:200]}")
             continue
         took = time.time() - t0
         if name not in os_:
+            results[name] = {"rows_match": len(srows) >= 0, "schema_match": None,
+                             "hash_match": None, "spark_rows": len(srows),
+                             "oracle_rows": None, "err": None,
+                             "rows_only": True}
             print(f"ok-   {name}: rows={len(srows)} (rows-only, no oracle) [{took:.1f}s]")
             continue
         try:
@@ -105,6 +120,10 @@ def main() -> None:
             drows = rel.fetchall()
         except Exception as e:
             failures.append(name)
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": len(srows),
+                             "oracle_rows": None,
+                             "err": str(e).splitlines()[0][:200]}
             print(f"FAIL  {name}: duckdb error {str(e).splitlines()[0][:200]}")
             continue
         dcols = sorted(dcols_raw)
@@ -114,6 +133,12 @@ def main() -> None:
         dtypes = {c: canon_duck_type(t) for c, t in zip(dcols_raw, rel.types)}
         badtypes = {c: (stypes[c], dtypes[c]) for c in stypes
                     if c in dtypes and stypes[c] != dtypes[c]}
+        rows_match = len(sset) == len(dset)
+        schema_match = scols == dcols and not badtypes
+        hash_match = rows_match and schema_match and sset == dset
+        results[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                         "hash_match": hash_match, "spark_rows": len(sset),
+                         "oracle_rows": len(dset), "err": None}
         if scols != dcols:
             failures.append(name)
             print(f"FAIL  {name}: columns {scols} vs {dcols}")
@@ -130,6 +155,12 @@ def main() -> None:
         else:
             print(f"OK    {name}: rows={len(sset)} [{took:.1f}s]")
     spark.stop()
+    if json_path:
+        import json
+
+        with open(json_path, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {json_path} ({len(results)} queries)")
     print(f"\n{len(failures)} failures: {failures}")
     sys.exit(1 if failures else 0)
 

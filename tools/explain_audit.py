@@ -46,6 +46,11 @@ CHECKS = {
     "token_count": (["ReadSchema"], ["Join", "Exchange"]),
     "quality_score": (["ReadSchema"], ["Join", "Exchange"]),
     "kgram_fingerprints": (["ReadSchema"], ["Join", "Exchange"]),
+    # round 4: flatten/nested converters are ONE fused projection over
+    # the transcripts scan (classification + dedup fold + JSON render);
+    # the only Generate is the query's own output explode
+    "custom_flatten": (["ReadSchema"], ["SortMergeJoin", "Join"]),
+    "custom_single": (["ReadSchema"], ["SortMergeJoin", "Join"]),
     # sequential-in-group Arrow kernel, parallel across groups
     "pack_sequences": (["FlatMapGroupsInPandas"], ["SortMergeJoin"]),
     "url_stats": (["HashAggregate", "partial_"], ["SortMergeJoin"]),
@@ -93,6 +98,8 @@ EXCHANGE_LIMIT = {
     "influxdb_line": 1,
     "otlp_log": 1,
     "pipeline_e2e": 2,       # transcripts window + O(groups) sink agg
+    "custom_flatten": 1,     # transcripts window only
+    "custom_single": 1,
 }
 
 
