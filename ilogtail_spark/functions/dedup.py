@@ -378,6 +378,77 @@ def connected_components(
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 
+def dedup_keep_one(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The KEEP DECISION that turns near-dup clusters into a deduped
+    corpus: every document keeps a `keep` flag — true for the cluster
+    representative (the minimum id, i.e. the cluster_id itself) and for
+    every unclustered document. This is the step a training-data
+    pipeline actually materializes after MinHash/SimHash + connected
+    components: `docs.filter('keep')` is the deduplicated corpus, and
+    the (doc, cluster, keep) triple is the provenance record.
+
+    One broadcast-or-shuffle left join on the doc id; clusters is
+    O(near-dup docs) ≪ corpus, so at 100 TB the join broadcasts and the
+    corpus never shuffles."""
+    c = clusters.select(
+        F.col("node").alias(id_col), F.col("cluster_id").alias("__cluster__")
+    )
+    return (
+        docs.join(F.broadcast(c), id_col, "left")
+        .withColumn(
+            "keep",
+            F.col("__cluster__").isNull() | (F.col("__cluster__") == F.col(id_col)),
+        )
+        .withColumn("cluster_id", F.coalesce(F.col("__cluster__"), F.col(id_col)))
+        .drop("__cluster__")
+    )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Train/test decontamination (the overlap check of Lee et al. 2022
+    / GPT-3 appendix C, standard before training on web corpora): flag
+    every TRAIN document sharing ≥ `min_shared` distinct token n-grams
+    with any TEST document.
+
+    Inverted-index anti-contamination join: explode distinct n-gram
+    hashes on both sides, equi-join on the hash, count distinct shared
+    grams per (train, test) pair. The join shuffles O(docs × grams)
+    hashes — never materializes docs² — and the test side is tiny
+    (benchmark suites), so it broadcasts at corpus scale. Returns
+    (train_id, test_id, shared_ngrams), one row per contaminated pair.
+    """
+    def grams(df: DataFrame, out: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out),
+            F.explode(
+                F.array_distinct(
+                    F.transform(_shingles(F.col(text_col), n), _hash32)
+                )
+            ).alias("g"),
+        )
+
+    tr = grams(train, "train_id")
+    te = grams(test, "test_id")
+    return (
+        tr.join(te, "g")
+        .groupBy("train_id", "test_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") >= min_shared)
+    )
+
+
 def _sym(edges: DataFrame) -> DataFrame:
     """Undirected neighbor view: every edge in both directions."""
     return edges.unionAll(

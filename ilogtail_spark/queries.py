@@ -2120,6 +2120,62 @@ GROUP BY n.node
 )
 
 
+def q_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup KEEP DECISION: every document gets (cluster_id, keep) —
+    keep = cluster representative (minimum id) or unclustered. This is
+    what a pipeline materializes after MinHash + connected components;
+    filter('keep') is the deduplicated corpus. Oracle = recursive
+    closure clusters LEFT-joined back to the full corpus."""
+    from ilogtail_spark.functions.dedup import connected_components, dedup_keep_one
+
+    d = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(d, threshold=0.3)
+    cc = connected_components(pairs, "id_a", "id_b")
+    return dedup_keep_one(d, cc).select("doc_id", "cluster_id", "keep")
+
+
+_CLUSTERS_FINAL = """SELECT n.node AS doc_id, least(n.node, min(r.t)) AS cluster_id
+FROM nodes n JOIN reach r ON r.s = n.node
+GROUP BY n.node"""
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: flag train docs sharing >= 2 distinct
+    token 3-gram hashes with any held-out doc (deterministic holdout:
+    doc_id % 29 == 0). Inverted-index cross join on the gram hash —
+    never docs x docs; the oracle reruns the identical hash join."""
+    from ilogtail_spark.functions.dedup import ngram_contamination
+
+    d = _docs(spark, sf_dir)
+    out = ngram_contamination(
+        d.filter(F.col("doc_id") % 29 != 0),
+        d.filter(F.col("doc_id") % 29 == 0),
+        n=3,
+        min_shared=2,
+    )
+    return out.select("train_id", "test_id", "shared_ngrams")
+
+
+O_CONTAMINATION = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+    cast('0x' || substring(md5(
+      CASE WHEN len(t) >= 3
+        THEN array_to_string(t[i:i+2], ' ')
+        ELSE array_to_string(t, ' ') END), 1, 8) AS bigint) AS h
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i) AS g),
+tr AS (SELECT doc_id AS train_id, h FROM sh WHERE doc_id % 29 <> 0),
+te AS (SELECT doc_id AS test_id, h FROM sh WHERE doc_id % 29 = 0),
+ov AS (
+  SELECT train_id, test_id, count(*) AS shared_ngrams
+  FROM tr JOIN te USING (h) GROUP BY train_id, test_id)
+SELECT train_id, test_id, shared_ngrams FROM ov WHERE shared_ngrams >= 2
+"""
+
+
 def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters via large-star/small-star contraction (Kiveris
     et al., SOCC'14) — same candidate graph and same recursive-closure
@@ -2130,6 +2186,18 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.3)
     cc = connected_components_star(pairs, "id_a", "id_b")
     return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+O_DEDUP_KEEP_ONE = O_DEDUP_CLUSTERS.replace(
+    _CLUSTERS_FINAL,
+    """, clusters AS (
+  """ + _CLUSTERS_FINAL.replace(chr(10), chr(10) + "  ") + """)
+SELECT d.doc_id,
+  coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+  (c.cluster_id IS NULL OR c.cluster_id = d.doc_id) AS keep
+FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id""",
+)
+assert _CLUSTERS_FINAL in O_DEDUP_CLUSTERS and "clusters AS" in O_DEDUP_KEEP_ONE
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2550,6 +2618,8 @@ QUERIES: dict[str, QueryFn] = {
     "pii_scrub": q_pii_scrub,
     "dedup_clusters": q_dedup_clusters,
     "dedup_clusters_star": q_dedup_clusters_star,
+    "dedup_keep_one": q_dedup_keep_one,
+    "contamination": q_contamination,
     "stratified_sample": q_stratified_sample,
     "pack_sequences": q_pack_sequences,
     "normalize_dedup": q_normalize_dedup,
@@ -2634,6 +2704,8 @@ ORACLES: dict[str, str] = {
     "pii_scrub": O_PII_SCRUB,
     "dedup_clusters": O_DEDUP_CLUSTERS,
     "dedup_clusters_star": O_DEDUP_CLUSTERS,
+    "dedup_keep_one": O_DEDUP_KEEP_ONE,
+    "contamination": O_CONTAMINATION,
     "stratified_sample": O_STRATIFIED_SAMPLE,
     "pack_sequences": O_PACK_SEQUENCES,
     "normalize_dedup": O_NORMALIZE_DEDUP,

@@ -496,6 +496,67 @@ class TestConnectedComponents:
             connected_components(pairs, max_iter=2)
 
 
+class TestDedupKeepOne:
+    def test_keep_flags(self, spark):
+        from ilogtail_spark.functions.dedup import dedup_keep_one
+
+        docs = spark.createDataFrame(
+            [(i, f"text {i}") for i in range(6)], "doc_id long, text string"
+        )
+        clusters = spark.createDataFrame(
+            [(1, 1), (3, 1), (4, 4), (5, 4)], "node long, cluster_id long"
+        )
+        out = {r["doc_id"]: (r["cluster_id"], r["keep"])
+               for r in dedup_keep_one(docs, clusters).collect()}
+        assert out == {
+            0: (0, True),   # unclustered → kept, own cluster
+            1: (1, True),   # representative (min of {1,3})
+            2: (2, True),
+            3: (1, False),  # near-dup of 1 → dropped
+            4: (4, True),
+            5: (4, False),
+        }
+        # filter('keep') is the deduplicated corpus
+        kept = dedup_keep_one(docs, clusters).filter("keep").count()
+        assert kept == 4
+
+
+class TestNgramContamination:
+    def test_planted_overlap(self, spark):
+        from ilogtail_spark.functions.dedup import ngram_contamination
+
+        train = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "completely different words entirely here now"),
+             (3, "quick brown fox jumps somewhere")],
+            "doc_id long, text string",
+        )
+        test = spark.createDataFrame(
+            [(100, "a quick brown fox jumps over fences")],
+            "doc_id long, text string",
+        )
+        out = {(r["train_id"], r["test_id"]): r["shared_ngrams"]
+               for r in ngram_contamination(train, test, n=3, min_shared=2).collect()}
+        # doc 1 shares 'quick brown fox','brown fox jumps','fox jumps over'
+        assert out[(1, 100)] == 3
+        assert out[(3, 100)] == 2  # shares the first two
+        assert (2, 100) not in out
+
+    def test_min_shared_threshold(self, spark):
+        from ilogtail_spark.functions.dedup import ngram_contamination
+
+        train = spark.createDataFrame(
+            [(1, "alpha beta gamma delta")], "doc_id long, text string"
+        )
+        test = spark.createDataFrame(
+            [(9, "alpha beta gamma zz")], "doc_id long, text string"
+        )
+        hits = ngram_contamination(train, test, n=3, min_shared=2).collect()
+        assert hits == []  # only 1 shared 3-gram ('alpha beta gamma')
+        hits1 = ngram_contamination(train, test, n=3, min_shared=1).collect()
+        assert len(hits1) == 1 and hits1[0]["shared_ngrams"] == 1
+
+
 class TestConnectedComponentsStar:
     """Large-star/small-star contraction (Kiveris et al., SOCC'14) must
     agree with plain min-label propagation everywhere and converge in
