@@ -23,6 +23,7 @@ from collections.abc import Iterable
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -308,4 +309,32 @@ def stream_rate_limit(
         stateStructType=RATE_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_exact_dedup(
+    lines: DataFrame,
+    text_col: str = "text",
+    *,
+    event_time_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop records whose ``text_col`` was
+    already seen, across micro-batches — the streaming twin of
+    `functions.dedup.exact_dedup` for a training-data ingest stream.
+
+    Deliberately built on Spark's OWN `dropDuplicatesWithinWatermark`
+    keyed by md5(text) rather than a Python GroupState: the dedup set
+    lives in the JVM state store (RocksDB-capable, checkpointed,
+    exactly-once under replay), the comparison never crosses into
+    Python, and state is BOUNDED by the watermark — a duplicate arriving
+    later than the watermark delay re-passes, the same trade every
+    streaming dedup makes to avoid unbounded state at 100 TB/day
+    ingest. Hash first: the state store keys on 32 hex chars, not the
+    full payload."""
+    hashed = lines.withColumn("__text_md5__", F.md5(F.col(text_col)))
+    return (
+        hashed.withWatermark(event_time_col, watermark)
+        .dropDuplicatesWithinWatermark(["__text_md5__"])
+        .drop("__text_md5__")
     )

@@ -201,3 +201,53 @@ class TestStreamRateLimit:
                      for r in rate_limit_token_bucket(
                          bdf, limit=2, per_seconds=1).collect()}
         assert batch_got == got
+
+
+class TestStreamExactDedup:
+    IN_DIR = "/tmp/ilogtail_spark_sdedup_in"
+    CKPT = "/tmp/ilogtail_spark_sdedup_ckpt"
+
+    def test_duplicates_dropped_across_micro_batches(self, spark):
+        import shutil
+        import time as _time
+
+        from ilogtail_spark.streaming.stateful import stream_exact_dedup
+
+        shutil.rmtree(self.IN_DIR, ignore_errors=True)
+        shutil.rmtree(self.CKPT, ignore_errors=True)
+
+        # the same text arrives again in a LATER micro-batch — only the
+        # first copy may survive, which requires cross-batch state
+        batches = [
+            [(0, "2024-01-01 00:00:00", "hello world"),
+             (1, "2024-01-01 00:00:01", "unique one")],
+            [(2, "2024-01-01 00:00:02", "hello world"),   # dup of row 0
+             (3, "2024-01-01 00:00:03", "unique two"),
+             (4, "2024-01-01 00:00:03", "unique two")],   # in-batch dup
+            [(5, "2024-01-01 00:00:04", "unique one"),    # dup of row 1
+             (6, "2024-01-01 00:00:05", "unique three")],
+        ]
+        for rows in batches:
+            spark.createDataFrame(
+                rows, "row_id long, ts_s string, text string"
+            ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s") \
+                .coalesce(1).write.mode("append").parquet(self.IN_DIR)
+            _time.sleep(1.1)
+
+        src = (
+            spark.readStream.schema("row_id long, text string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(self.IN_DIR)
+        )
+        q = (
+            stream_exact_dedup(src, "text", event_time_col="ts",
+                               watermark="1 hour")
+            .writeStream.format("memory").queryName("sdedup_out")
+            .option("checkpointLocation", self.CKPT)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = {r["row_id"]: r["text"]
+               for r in spark.sql("select * from sdedup_out").collect()}
+        assert got == {0: "hello world", 1: "unique one",
+                       3: "unique two", 6: "unique three"}
