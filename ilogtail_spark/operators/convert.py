@@ -366,6 +366,15 @@ def custom_single_flatten(
       * the JSON object is key-sorted with a NUMERIC time value —
         byte-compatible with Go's map marshaling.
 
+    Ordering note: the reference's Contents is an ORDERED slice; here it
+    is a map column, and when two DIFFERENT content keys produce the
+    SAME final tag name (e.g. ``__path__`` and ``__tag__:__path__``),
+    the later MAP ENTRY wins. Spark's own map builders (``create_map``,
+    ``str_to_map``, ``map_from_entries``, parse operators) preserve
+    build order, matching the slice semantics; maps crossing in from
+    Python dicts (java HashMap) do not — avoid same-target key pairs in
+    such sources.
+
     Adds ``flat`` (map<string,string>) and ``flat_json`` (string).
     One fused projection: zero shuffle, zero Python — a converter at
     100 TB is a map stage inside the sink write.

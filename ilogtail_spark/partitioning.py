@@ -49,6 +49,10 @@ def spread_for_expansion(df: DataFrame, *cols: str) -> DataFrame:
     satisfied), never wasted. `getNumPartitions()` is plan-time only
     (file-split enumeration), no job runs.
     """
+    if df.isStreaming:
+        # no split count to inspect mid-stream (`.rdd` throws); the
+        # micro-batch source controls parallelism
+        return df
     n = session_parallelism(df)
     if df.rdd.getNumPartitions() >= n:
         return df

@@ -142,6 +142,22 @@ class TestFlattenSemantics:
         assert [k for k, _ in keys] == sorted(k for k, _ in keys)  # Go order
         assert dict(out["flat"])["host.name"] == "real-host"
 
+    def test_same_target_collision_follows_map_order(self, spark):
+        """Two content keys that both land on log.file.path: with a map
+        built by create_map (order-preserving, the analog of the Go
+        Contents slice), the LATER entry wins — slice semantics."""
+        df = spark.range(1).select(
+            F.lit(7).alias("log_time"),
+            F.create_map(
+                F.lit("__path__"), F.lit("early"),
+                F.lit("__tag__:__path__"), F.lit("late"),
+            ).alias("fields"),
+        )
+        d = json.loads(
+            custom_single_flatten(df, "fields", "log_time").first()["flat_json"]
+        )
+        assert d["log.file.path"] == "late"
+
     def test_only_contents(self, spark):
         df = spark.createDataFrame(
             [(7, {"m": "1", "__tag__:x": "y"}, "1.2.3.4", "t")], SCHEMA
