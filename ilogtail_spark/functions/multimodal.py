@@ -2,13 +2,16 @@
 
 Image decode/encode/resize are REAL for BMP (24-bit uncompressed BI_RGB
 — fixed 54-byte header + raw pixel rows, implemented here in pure
-Python/numpy, no codec library needed): `synthetic_media` generates
-genuine BMP payloads, `extract_features(fake=False)` and
-`resize_media(fake=False)` decode them for real, and the BMP round-trip
-plus hand-built known-answer bytes are pytest-pinned. Compressed formats
-(PNG/JPEG) and audio/video codecs need libraries absent from this
-container, so those paths stay behind `codecs_available()` (PIL or
-pyvips) with a plan-time gate; `fake=True` keeps the deterministic
+Python/numpy, no codec library needed), and video frame SAMPLING is
+real for BMPS (the trivial concatenated-BMP container below):
+`synthetic_media` generates genuine BMP/BMPS payloads,
+`extract_features(fake=False)` and `resize_media(fake=False)` decode
+images for real, `sample_frames(fake=False)` seeks and slices real
+frames, and everything is pinned by round-trips plus hand-built
+known-answer bytes. Compressed formats (PNG/JPEG images, h264 video)
+need libraries absent from this container: PNG/JPEG dispatch to PIL
+when `codecs_available()` (PIL or pyvips), anything else raises a clear
+error instead of pretending; `fake=True` keeps the deterministic
 byte-statistics kernels for plumbing tests.
 
 Pattern: binary payload + typed metadata struct travel together;
@@ -121,6 +124,44 @@ def decode_bmp(payload: bytes):
     return rows[:, :, ::-1].copy()  # BGR → RGB
 
 
+# ---------------------------------------------------------------------
+# BMPS: a trivial uncompressed video container — concatenated BMP
+# frames behind a fixed header (magic, frame count, ms-per-frame, frame
+# byte lengths). The codec-free analog of an MJPEG/AVI stream: it makes
+# frame SAMPLING (seek + slice + decode) real in this container, which
+# is the part of video handling that is Spark-plumbing rather than
+# codec work.
+# ---------------------------------------------------------------------
+
+_BMPS_MAGIC = b"BMPS"
+
+
+def encode_bmps(frames: list, frame_ms: int) -> bytes:
+    """Pack (h, w, 3) uint8 RGB frames into a BMPS container."""
+    blobs = [encode_bmp(f) for f in frames]
+    head = _BMPS_MAGIC + struct.pack("<II", len(blobs), frame_ms)
+    head += b"".join(struct.pack("<I", len(b)) for b in blobs)
+    return head + b"".join(blobs)
+
+
+def bmps_info(payload: bytes) -> tuple[int, int]:
+    """(n_frames, frame_ms) of a BMPS payload."""
+    if payload is None or bytes(payload[:4]) != _BMPS_MAGIC:
+        raise ValueError("not a BMPS payload (missing 'BMPS' magic)")
+    n, frame_ms = struct.unpack_from("<II", payload, 4)
+    return n, frame_ms
+
+
+def bmps_frame(payload: bytes, idx: int) -> bytes:
+    """The idx-th frame's BMP bytes (seek via the length table)."""
+    n, _ = bmps_info(payload)
+    if not 0 <= idx < n:
+        raise IndexError(f"frame {idx} out of range (n={n})")
+    lengths = struct.unpack_from(f"<{n}I", payload, 12)
+    start = 12 + 4 * n + sum(lengths[:idx])
+    return bytes(payload[start : start + lengths[idx]])
+
+
 def _solid_rgb(media_id: int) -> tuple[int, int, int]:
     """The deterministic per-image fill color of `synthetic_media` —
     distinct per channel so a BGR/RGB swap or row-padding misalignment
@@ -128,12 +169,23 @@ def _solid_rgb(media_id: int) -> tuple[int, int, int]:
     return (media_id * 37 % 256, media_id * 59 % 256, media_id * 83 % 256)
 
 
+def _frame_rgb(media_id: int, frame: int) -> tuple[int, int, int]:
+    """Deterministic per-frame fill color of synthetic BMPS videos."""
+    return (
+        (media_id * 37 + frame * 11) % 256,
+        (media_id * 59 + frame * 23) % 256,
+        (media_id * 83 + frame * 31) % 256,
+    )
+
+
 def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
     """Deterministic media table. Image rows (id % 3 == 0) carry REAL
     24-bit BMP payloads (solid fill from `_solid_rgb`, small dims chosen
-    so some rows need 4-byte padding); audio/video payloads stay opaque
-    deterministic bytes (sha2 of the id, repeated). All metadata is
-    modular arithmetic on the id, so an oracle can recompute it."""
+    so some rows need 4-byte padding); video rows (id % 3 == 2) carry
+    REAL BMPS containers — one 4x4 `_frame_rgb` frame per second of
+    duration_ms; audio payloads stay opaque deterministic bytes (sha2 of
+    the id, repeated). All metadata is modular arithmetic on the id, so
+    an oracle can recompute it."""
 
     @F.pandas_udf(T.BinaryType())
     def gen_bmp(media_id, width, height):  # type: ignore[no-untyped-def]
@@ -147,11 +199,28 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
             out.append(encode_bmp(arr))
         return pd.Series(out)
 
+    @F.pandas_udf(T.BinaryType())
+    def gen_bmps(media_id, duration_ms):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        for mid, dur in zip(media_id, duration_ms):
+            frames = []
+            for f in range(int(dur) // 1000):
+                arr = np.empty((4, 4, 3), dtype=np.uint8)
+                arr[:, :] = _frame_rgb(int(mid), f)
+                frames.append(arr)
+            out.append(encode_bmps(frames, 1000))
+        return pd.Series(out)
+
     # image dims: (id div 3) % 3 offsets make a third of the widths
     # non-multiples of 4 — every decode exercises row padding
     img_w = ((F.col("id") % 16 + 1) * 4 + F.expr("id div 3") % 3).cast("int")
     img_h = ((F.col("id") % 9 + 1) * 4 + F.expr("id div 5") % 4).cast("int")
+    duration = ((F.col("id") % 30 + 1) * 1000).cast("int")
     is_image = F.col("id") % 3 == 0
+    is_video = F.col("id") % 3 == 2
     df = spark.range(n).select(
         F.col("id").alias("media_id"),
         F.element_at(
@@ -159,6 +228,7 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
             (F.col("id") % 3 + 1).cast("int"),
         ).alias("kind"),
         F.when(is_image, gen_bmp(F.col("id"), img_w, img_h))
+        .when(is_video, gen_bmps(F.col("id"), duration))
         .otherwise(
             F.to_binary(
                 F.repeat(
@@ -171,14 +241,16 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
         .alias("payload"),
         F.struct(
             F.when(is_image, img_w)
+            .when(is_video, F.lit(4))
             .otherwise(((F.col("id") % 16 + 1) * 64).cast("int"))
             .alias("width"),
             F.when(is_image, img_h)
+            .when(is_video, F.lit(4))
             .otherwise(((F.col("id") % 9 + 1) * 64).cast("int"))
             .alias("height"),
-            ((F.col("id") % 30 + 1) * 1000).cast("int").alias("duration_ms"),
+            duration.alias("duration_ms"),
             F.element_at(
-                F.array(F.lit("bmp"), F.lit("opus"), F.lit("h264")),
+                F.array(F.lit("bmp"), F.lit("opus"), F.lit("bmps")),
                 (F.col("id") % 3 + 1).cast("int"),
             ).alias("codec"),
         ).alias("meta"),
@@ -221,18 +293,6 @@ def codecs_available() -> bool:
     return False
 
 
-def _require_codecs(op: str) -> None:
-    """Plan-build gate for kernels that need a real compressed-format
-    codec (video frame decode): fail on the DRIVER at plan time instead
-    of inside the Arrow batch iterator on an executor — a worker-side
-    error surfaces as an opaque task failure after the job is already
-    running."""
-    if not codecs_available():
-        raise NotImplementedError(
-            f"{op}(fake=False) needs media codec libraries (PIL or pyvips), "
-            "neither importable on this driver; use fake=True for the "
-            "deterministic plumbing kernel"
-        )
 
 
 def extract_features(df: DataFrame, *, feature_dim: int = 8, fake: bool = False) -> DataFrame:
@@ -385,14 +445,20 @@ FRAME_SCHEMA = T.StructType(
 
 
 def sample_frames(
-    df: DataFrame, every_ms: int = 1000, *, frame_bytes: int = 64, fake: bool = True
+    df: DataFrame, every_ms: int = 1000, *, frame_bytes: int = 64, fake: bool = False
 ) -> DataFrame:
-    """Frame sampling: the timestamp plan (`frame_sample_plan`) drives a
-    fake per-frame extraction — each frame is a deterministic slice of the
-    source payload keyed by its timestamp. Real decoder would seek/decode
-    at frame_ts_ms; the explode + mapInPandas shape is identical."""
-    if not fake:
-        _require_codecs("sample_frames")
+    """Frame sampling: the timestamp plan (`frame_sample_plan`) drives
+    per-frame extraction over Arrow batches.
+
+    `fake=False` (default): REAL seek+slice on BMPS containers — the
+    frame at `frame_ts_ms` is located via the container's length table
+    and its complete BMP bytes are emitted (decodable downstream with
+    `decode_bmp`). Compressed video (h264 etc.) would need codec
+    libraries absent from this container: a non-BMPS payload raises a
+    clear ValueError in the kernel rather than pretending.
+
+    `fake=True`: deterministic byte-slice per timestamp — the plumbing
+    kernel (same plan shape, schema, and batch handling)."""
     plan = frame_sample_plan(df, every_ms).join(
         df.select("media_id", "payload"), "media_id"
     )
@@ -404,11 +470,16 @@ def sample_frames(
             frames = []
             for payload, ts in zip(pdf["payload"], pdf["frame_ts_ms"]):
                 if not fake:
-                    decode_image(payload)  # pragma: no cover
-                b = (bytes(payload) if payload is not None else b"") or b"\x00"
-                start = ts % max(len(b) - frame_bytes, 1)
-                frame = (b[start:] + b)[:frame_bytes]
-                frames.append(frame)
+                    if payload is None or len(payload) == 0:
+                        frames.append(None)
+                        continue
+                    n, frame_ms = bmps_info(payload)  # raises on non-BMPS
+                    idx = min(int(ts) // frame_ms, n - 1)
+                    frames.append(bmps_frame(payload, idx))
+                else:
+                    b = (bytes(payload) if payload is not None else b"") or b"\x00"
+                    start = ts % max(len(b) - frame_bytes, 1)
+                    frames.append((b[start:] + b)[:frame_bytes])
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

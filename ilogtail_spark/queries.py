@@ -2527,13 +2527,31 @@ FROM dims
 
 
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal frame sampling: timestamp plan (explode) driving the
-    Arrow-batched per-frame kernel — rows-only check."""
+    """Multimodal frame sampling — REAL: the timestamp plan (explode)
+    drives seek+slice extraction from genuine BMPS containers. The
+    oracle recomputes the sampled timestamp grid from the generator's
+    duration arithmetic and the exact 4x4-BMP frame byte size; the
+    decoded per-frame pixel colors are pinned by known-answer pytest
+    (tests/test_functions.py::TestMultimodal)."""
     from ilogtail_spark.functions.multimodal import sample_frames
 
     m = synthetic_media(spark, 64)
     f = sample_frames(m, every_ms=5000)
     return f.select("media_id", "frame_ts_ms", F.length("frame").alias("frame_bytes"))
+
+
+O_MEDIA_FRAMES = """
+WITH vids AS (
+  SELECT range AS id, (range % 30 + 1) * 1000 AS dur
+  FROM range(0, 64) WHERE range % 3 = 2),
+ts AS (
+  SELECT id, unnest(generate_series(0, dur - 1, 5000)) AS frame_ts_ms
+  FROM vids)
+SELECT id AS media_id,
+  CAST(frame_ts_ms AS int) AS frame_ts_ms,
+  CAST(102 AS int) AS frame_bytes
+FROM ts
+"""
 
 
 # =====================================================================
@@ -2717,13 +2735,13 @@ ORACLES: dict[str, str] = {
     "media_features": O_MEDIA_FEATURES,
     "custom_flatten": O_CUSTOM_FLATTEN,
     "custom_single": O_CUSTOM_SINGLE,
+    "media_frames": O_MEDIA_FRAMES,
 }
 
 # queries intentionally without oracle (non-SQL-expressible internals):
 NO_ORACLE: dict[str, str] = {
     "encrypt": "AES-CBC output has no DuckDB equivalent; determinism pytest-checked",
     "shard_hash": "xxhash64 is engine-internal; md5 twin is oracle-checked",
-    "media_frames": "Arrow mapInPandas frame kernel (no SQL form)",
 }
 
 # invariant: every query either has an oracle or a documented reason

@@ -254,35 +254,57 @@ class TestMultimodal:
         for r in out:
             assert len(r["payload"]) == 32 * 16
             assert r["meta"]["width"] == 32 and r["meta"]["height"] == 16
-            assert r["meta"]["codec"] in ("bmp", "opus", "h264")  # preserved
+            assert r["meta"]["codec"] in ("bmp", "opus", "bmps")  # preserved
 
-    def test_sample_frames_deterministic_slices(self, spark):
+    def test_sample_frames_real_bmps_decode(self, spark):
+        """Default (fake=False) frame sampling REALLY seeks the BMPS
+        container: the frame at ts must decode to the per-frame fill
+        color the generator used (frame index = ts // 1000)."""
+        import numpy as np
+
+        from ilogtail_spark.functions.multimodal import (
+            _frame_rgb,
+            decode_bmp,
+            sample_frames,
+        )
+
+        m = synthetic_media(spark, 12)
+        rows = sample_frames(m, every_ms=5000).collect()
+        assert rows
+        for r in rows:
+            px = decode_bmp(bytes(r["frame"]))
+            assert px.shape == (4, 4, 3)
+            expect = _frame_rgb(r["media_id"], r["frame_ts_ms"] // 1000)
+            assert (px == np.array(expect, dtype=np.uint8)).all(), r
+        # deterministic across runs
+        f2 = sorted(map(str, sample_frames(m, every_ms=5000).collect()))
+        assert sorted(map(str, rows)) == f2
+
+    def test_sample_frames_fake_slice_kernel(self, spark):
         from ilogtail_spark.functions.multimodal import sample_frames
 
         m = synthetic_media(spark, 12)
-        f1 = sorted(map(str, sample_frames(m, every_ms=5000).collect()))
-        f2 = sorted(map(str, sample_frames(m, every_ms=5000).collect()))
-        assert f1 == f2 and len(f1) > 0
-        one = sample_frames(m, every_ms=5000).first()
+        one = sample_frames(m, every_ms=5000, fake=True).first()
         assert len(one["frame"]) == 64
 
 
-class TestCodecPlanTimeGuard:
-    def test_fake_false_video_fails_at_plan_build(self, spark):
-        """Video frame decode genuinely needs codec libraries absent
-        here — fake=False must raise on the DRIVER at plan time, not
-        inside the Arrow batch iterator on an executor. (Image decode
-        no longer gates: BMP is implemented natively.)"""
+class TestUnknownFormatRejection:
+    def test_non_bmps_video_payload_raises_clearly(self, spark):
+        """Compressed video (h264 etc.) has no codec in this container —
+        a non-BMPS payload must fail with the named reason, never emit a
+        fake frame silently."""
         import pytest
 
-        from ilogtail_spark.functions.multimodal import (
-            sample_frames,
-            synthetic_media,
-        )
+        from ilogtail_spark.functions.multimodal import sample_frames
 
-        m = synthetic_media(spark, 4)
-        with pytest.raises(NotImplementedError, match="codec"):
-            sample_frames(m, every_ms=1000, fake=False)
+        df = spark.createDataFrame(
+            [(1, "video", bytearray(b"\x00\x00\x00\x18ftypmp42-not-bmps"),
+              (64, 64, 3000, "h264"))],
+            "media_id long, kind string, payload binary, "
+            "meta struct<width:int,height:int,duration_ms:int,codec:string>",
+        )
+        with pytest.raises(Exception, match="BMPS"):
+            sample_frames(df, every_ms=1000).collect()
 
 
 class TestBmpCodec:
@@ -341,6 +363,29 @@ class TestBmpCodec:
         body = bytes([1, 2, 3, 0]) + bytes([4, 5, 6, 0])  # stored TOP first
         px = decode_bmp(header + body)
         assert (px == np.array([[[3, 2, 1]], [[6, 5, 4]]], dtype=np.uint8)).all()
+
+    def test_bmps_container_round_trip(self):
+        import numpy as np
+        import pytest
+
+        from ilogtail_spark.functions.multimodal import (
+            bmps_frame,
+            bmps_info,
+            decode_bmp,
+            encode_bmps,
+        )
+
+        rng = np.random.RandomState(3)
+        frames = [rng.randint(0, 256, size=(2, 3, 3), dtype=np.uint8)
+                  for _ in range(5)]
+        blob = encode_bmps(frames, 40)
+        assert bmps_info(blob) == (5, 40)
+        for i, f in enumerate(frames):
+            assert (decode_bmp(bmps_frame(blob, i)) == f).all(), i
+        with pytest.raises(IndexError):
+            bmps_frame(blob, 5)
+        with pytest.raises(ValueError, match="BMPS"):
+            bmps_info(b"BM not a container")
 
     def test_rejects_non_bmp(self):
         import pytest
