@@ -97,6 +97,7 @@ def main() -> None:
         "fingerprint", "container_log_parse", "apsara_parse", "otel_metric",
         "grok_apache", "prom_parse", "prom_relabel", "repetition", "pii_scrub",
         "dedup_clusters", "pack_sequences", "custom_flatten",
+        "corpus_pipeline",
     ):
         fn = QUERIES[name]
         best = None

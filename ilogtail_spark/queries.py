@@ -2360,6 +2360,90 @@ SELECT q_id, n_id, score, cast(rk AS int) AS rk FROM ranked WHERE rk <= 5
 """
 
 
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus CURATION pipeline — the composition a
+    training-data run actually executes, as ONE lazy plan:
+
+      normalize → normalization-aware exact-dedup keep (min doc per
+      md5(norm), one window) → quality filter (score ≥ 0.5) →
+      deterministic per-language stratified downsampling → token +
+      BPE-ish counts.
+
+    Every stage is an already-oracle-verified operator; this query
+    verifies their COMPOSITION end-to-end (the oracle replays the whole
+    chain in DuckDB). Plan shape: one scan, one md5(norm) window
+    exchange, everything else fused projections/filters — the dedup
+    keep and the sample keep never shuffle the corpus again."""
+    from pyspark.sql.window import Window
+
+    from ilogtail_spark.functions.textstats import (
+        bpe_ish_token_count,
+        normalize_text,
+        quality_score,
+        stratified_sample,
+    )
+
+    d = normalize_text(_docs(spark, sf_dir), "text", out_col="norm")
+    w = Window.partitionBy(F.md5("norm"))
+    d = d.withColumn("__keep__", F.col("doc_id") == F.min("doc_id").over(w))
+    d = d.filter("__keep__")
+    d = quality_score(d).filter(F.col("quality_score") >= 0.5)
+    d = stratified_sample(
+        d, "lang", {"en": 0.8, "de": 1.0, "zh": 0.5}, default_fraction=0.25
+    )
+    d = bpe_ish_token_count(d)
+    return d.select("doc_id", "lang", "n_tokens", "n_bpe_tokens", "quality_score")
+
+
+O_CORPUS_PIPELINE = rf"""
+WITH n AS (
+  SELECT doc_id, text, lang,
+    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                        '\s+', ' ', 'g')) AS norm
+  FROM documents),
+kept AS (
+  SELECT doc_id, text, lang FROM (
+    SELECT doc_id, text, lang,
+      doc_id = min(doc_id) OVER (PARTITION BY md5(norm)) AS k
+    FROM n)
+  WHERE k),
+feat AS (
+  SELECT doc_id, lang, text,
+    string_split_regex(trim(text), '\s+') AS toks,
+    length(text) AS n_char,
+    len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+    len(regexp_extract_all(text, '[A-Z]')) AS n_upper
+  FROM kept),
+feat2 AS (
+  SELECT doc_id, lang, text, len(toks) AS n_tokens,
+    round(n_punct / greatest(n_char, 1), 6) AS punct_ratio,
+    round(len(list_filter(toks, x -> list_contains({_EN_STOP_SQL}, lower(x))))
+          / greatest(len(toks), 1), 6) AS stopword_ratio,
+    round(n_upper / greatest(n_char, 1), 6) AS upper_ratio
+  FROM feat),
+scored AS (
+  SELECT doc_id, lang, text, n_tokens,
+    round(cast((CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+        + (CASE WHEN stopword_ratio >= 0.05 THEN 0.3 ELSE 0.0 END)
+        + (CASE WHEN punct_ratio <= 0.2 THEN 0.2 ELSE 0.0 END)
+        + (CASE WHEN upper_ratio <= 0.3 THEN 0.1 ELSE 0.0 END) AS double), 2)
+      AS quality_score
+  FROM feat2),
+sampled AS (
+  SELECT * FROM scored
+  WHERE quality_score >= 0.5
+    AND cast(('0x' || substring(md5(concat('strat:', cast(doc_id AS string))),
+                                1, 15)) AS BIGINT) / power(16, 15)
+        < (CASE lang WHEN 'en' THEN 0.8 WHEN 'de' THEN 1.0
+                     WHEN 'zh' THEN 0.5 ELSE 0.25 END))
+SELECT doc_id, lang, cast(n_tokens AS int) AS n_tokens,
+  cast(len(regexp_extract_all(text, '[A-Za-z]{{1,8}}|[0-9]|[^A-Za-z0-9\s]'))
+       AS int) AS n_bpe_tokens,
+  quality_score
+FROM sampled
+"""
+
+
 def q_custom_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """custom_single_flatten converter
     (converter_single_log_flatten.go:23-60): contents + group tags flatten
@@ -2643,6 +2727,7 @@ QUERIES: dict[str, QueryFn] = {
     "normalize_dedup": q_normalize_dedup,
     "url_stats": q_url_stats,
     "ann_int8": q_ann_int8,
+    "corpus_pipeline": q_corpus_pipeline,
     "custom_flatten": q_custom_flatten,
     "custom_single": q_custom_single,
     "media_features": q_media_features,
@@ -2733,6 +2818,7 @@ ORACLES: dict[str, str] = {
     "embedding_dup": O_EMBEDDING_DUP,
     "lang_id_trigram": O_LANG_ID_TRIGRAM,
     "media_features": O_MEDIA_FEATURES,
+    "corpus_pipeline": O_CORPUS_PIPELINE,
     "custom_flatten": O_CUSTOM_FLATTEN,
     "custom_single": O_CUSTOM_SINGLE,
     "media_frames": O_MEDIA_FRAMES,

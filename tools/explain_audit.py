@@ -51,6 +51,9 @@ CHECKS = {
     # the only Generate is the query's own output explode
     "custom_flatten": (["ReadSchema"], ["SortMergeJoin", "Join"]),
     "custom_single": (["ReadSchema"], ["SortMergeJoin", "Join"]),
+    # the 5-stage curation composition must stay: one scan, the one
+    # md5(norm) window exchange, everything else fused — no joins
+    "corpus_pipeline": (["ReadSchema", "Window"], ["Join"]),
     # sequential-in-group Arrow kernel, parallel across groups
     "pack_sequences": (["FlatMapGroupsInPandas"], ["SortMergeJoin"]),
     "url_stats": (["HashAggregate", "partial_"], ["SortMergeJoin"]),
@@ -100,6 +103,7 @@ EXCHANGE_LIMIT = {
     "pipeline_e2e": 2,       # transcripts window + O(groups) sink agg
     "custom_flatten": 1,     # transcripts window only
     "custom_single": 1,
+    "corpus_pipeline": 1,    # the md5(norm) dedup window — nothing else
 }
 
 
