@@ -251,3 +251,77 @@ class TestStreamExactDedup:
                for r in spark.sql("select * from sdedup_out").collect()}
         assert got == {0: "hello world", 1: "unique one",
                        3: "unique two", 6: "unique three"}
+
+
+class TestStreamingCuration:
+    """End-to-end STREAMING curation composition: file-source stream →
+    cross-batch exact dedup (JVM state store) → the same flagship
+    parse→enrich→route pipeline spec as batch → idempotent per-batch
+    routed sink. Parity: per-route counts must equal the batch twin
+    (keep-first-arrival dedup, then the same pipeline)."""
+
+    IN_DIR = "/tmp/ilogtail_spark_scur_in"
+    OUT = "/tmp/ilogtail_spark_scur_out"
+
+    def test_stream_matches_batch_twin(self, spark):
+        import shutil
+        import time as _time
+
+        from pyspark.sql.window import Window
+
+        from ilogtail_spark.gen import gen_transcripts
+        from ilogtail_spark.plans.pipeline import FLAGSHIP_SPEC, build_pipeline
+        from ilogtail_spark.streaming.stateful import stream_exact_dedup
+
+        shutil.rmtree(self.IN_DIR, ignore_errors=True)
+        shutil.rmtree(self.OUT, ignore_errors=True)
+
+        base = gen_transcripts(spark, 40).cache()
+        # plant cross-batch duplicates: batch 2 re-sends batch 1's texts
+        # under fresh conv ids (dup texts, later event time)
+        dup = (
+            base.filter("turn_idx <= 1")
+            .withColumn("conv_id", F.concat(F.lit("redo-"), F.col("conv_id")))
+            .withColumn("ts", F.col("ts") + F.expr("INTERVAL 10 SECONDS"))
+        )
+        batches = [base, dup]
+        for b in batches:
+            b.coalesce(1).write.mode("append").parquet(self.IN_DIR)
+            _time.sleep(1.1)
+
+        schema = spark.read.parquet(self.IN_DIR).schema
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(self.IN_DIR)
+        )
+        deduped = stream_exact_dedup(src, "text", event_time_col="ts",
+                                     watermark="1 hour")
+
+        def _sink(batch_df, batch_id):
+            routed = build_pipeline(batch_df, FLAGSHIP_SPEC).withColumn(
+                "batch_id", F.lit(batch_id)
+            )
+            (routed.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_id", "route").parquet(f"{self.OUT}/routed"))
+
+        q = (deduped.writeStream.foreachBatch(_sink)
+             .option("checkpointLocation", f"{self.OUT}/_ckpt")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+        got = {r["route"]: r["cnt"]
+               for r in spark.read.parquet(f"{self.OUT}/routed")
+               .groupBy("route").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+
+        # batch twin: keep the FIRST arrival per text (event-time order,
+        # conv_id tiebreak), then the identical pipeline
+        all_rows = batches[0].unionAll(batches[1])
+        w = Window.partitionBy(F.md5("text")).orderBy("ts", "conv_id", "turn_idx")
+        kept = (all_rows.withColumn("__rn__", F.row_number().over(w))
+                .filter("__rn__ = 1").drop("__rn__"))
+        want = {r["route"]: r["cnt"]
+                for r in build_pipeline(kept, FLAGSHIP_SPEC)
+                .groupBy("route").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        assert got == want and sum(got.values()) > 0
