@@ -477,17 +477,22 @@ def compile_topic(
     tags_col: str | None = None,
     static_tags: dict[str, str] | None = None,
     tag_key_rename: dict[str, str] | None = None,
+    time_col: str | None = None,
 ) -> Column:
-    """Dynamic sink-name templating (pkg/fmtstr/format_topic.go:18):
-    compile a ``%{content.field}`` / ``%{tag.key}`` pattern into ONE
-    concat column usable as a kafka-style route/topic.
+    """Dynamic sink-name templating (pkg/fmtstr/format_topic.go:18 and
+    format_index.go:20): compile a ``%{content.field}`` / ``%{tag.key}``
+    / ``%{+<time-pattern>}`` pattern into ONE concat column usable as a
+    kafka-style topic or an Elasticsearch-style time-based index name.
 
     Resolution mirrors findTargetValues (converter.go:284-307):
     ``content.X`` reads the contents map; ``tag.Y`` reads the tag side
     (a map column and/or plan-time static tags), falling back through
-    tagKeyRenameMap when the raw name is absent. An unresolvable
-    variable renders as its own name — FormatTopic's StringElement
-    fallback — so a topic never becomes NULL mid-stream.
+    tagKeyRenameMap when the raw name is absent. ``%{+yyyy.MM.dd}``
+    renders ``time_col`` with the Java-style pattern (FormatIndex's
+    general format IS the Java date-format dialect, so it maps straight
+    onto ``date_format``). An unresolvable variable renders as its own
+    name — FormatTopic's StringElement fallback — so a topic never
+    becomes NULL mid-stream.
     """
     import re as _re
 
@@ -499,7 +504,16 @@ def compile_topic(
         if m.start() > pos:
             parts.append(F.lit(pattern[pos : m.start()]))
         var = m.group(1)
-        if var.startswith("content."):
+        if var.startswith("+"):
+            if time_col is None:
+                raise ValueError(
+                    f"%{{{var}}} needs time_col= (FormatIndex timestamp "
+                    "expression with no timestamp source)"
+                )
+            parts.append(
+                F.date_format(F.col(time_col).cast("timestamp"), var[1:])
+            )
+        elif var.startswith("content."):
             field = var[len("content.") :]
             parts.append(
                 F.coalesce(

@@ -2360,6 +2360,39 @@ SELECT q_id, n_id, score, cast(rk AS int) AS rk FROM ranked WHERE rk <= 5
 """
 
 
+def q_es_index_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based dynamic sink naming (pkg/fmtstr/format_index.go:20 —
+    the Elasticsearch flusher's Logstash-style index pattern):
+    ``logs-%{content.app}-%{+yyyy.MM.dd}`` compiles into the route
+    column; the per-index counts are what the sink writer fans out on."""
+    from ilogtail_spark.operators.convert import compile_topic
+
+    t = _t(spark, sf_dir)
+    d = t.select(
+        "ts",
+        F.create_map(
+            F.lit("app"), F.concat(F.lit("app-"), F.col("role"))
+        ).alias("fields"),
+    )
+    route = compile_topic(
+        "logs-%{content.app}-%{+yyyy.MM.dd}",
+        contents_col="fields",
+        time_col="ts",
+    )
+    return (
+        d.withColumn("es_index", route)
+        .groupBy("es_index")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+O_ES_INDEX_ROUTE = f"""{_CTE}
+SELECT concat('logs-app-', role, '-', strftime(ts, '%Y.%m.%d')) AS es_index,
+  count(*) AS n
+FROM transcripts GROUP BY 1
+"""
+
+
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus CURATION pipeline — the composition a
     training-data run actually executes, as ONE lazy plan:
@@ -2728,6 +2761,7 @@ QUERIES: dict[str, QueryFn] = {
     "url_stats": q_url_stats,
     "ann_int8": q_ann_int8,
     "corpus_pipeline": q_corpus_pipeline,
+    "es_index_route": q_es_index_route,
     "custom_flatten": q_custom_flatten,
     "custom_single": q_custom_single,
     "media_features": q_media_features,
@@ -2819,6 +2853,7 @@ ORACLES: dict[str, str] = {
     "lang_id_trigram": O_LANG_ID_TRIGRAM,
     "media_features": O_MEDIA_FEATURES,
     "corpus_pipeline": O_CORPUS_PIPELINE,
+    "es_index_route": O_ES_INDEX_ROUTE,
     "custom_flatten": O_CUSTOM_FLATTEN,
     "custom_single": O_CUSTOM_SINGLE,
     "media_frames": O_MEDIA_FRAMES,

@@ -234,3 +234,17 @@ class TestDynamicTopicRouting:
         col = compile_topic("p_%{content.missing}_%{weird}",
                             contents_col="fields")
         assert df.select(col).first()[0] == "p_content.missing_weird"
+
+    def test_timestamp_expression_index_name(self, spark):
+        """FormatIndex's %{+pattern} (format_index.go:20) — the
+        Logstash-style time-based Elasticsearch index name."""
+        import pytest
+
+        df = spark.createDataFrame(
+            [(1, {"app": "web"}, "s", "t")], SCHEMA
+        ).withColumn("ts", F.lit("2024-03-05 10:00:00").cast("timestamp"))
+        col = compile_topic("logs-%{content.app}-%{+yyyy.MM.dd}",
+                            contents_col="fields", time_col="ts")
+        assert df.select(col).first()[0] == "logs-web-2024.03.05"
+        with pytest.raises(ValueError, match="time_col"):
+            compile_topic("x-%{+yyyyMM}", contents_col="fields")
