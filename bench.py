@@ -73,11 +73,11 @@ def main() -> None:
     routed = build_pipeline(src, FLAGSHIP_SPEC)
     routed.write.format("noop").mode("overwrite").save()
     headline_cold = time.time() - t0
-    # best-of-3 warm: this multi-tenant sandbox varies 2-5× run-to-run
+    # best-of-5 warm: this multi-tenant sandbox varies 2-5× run-to-run
     # (BENCH/BASELINE.md probes); the best run is the least-polluted
     # estimate of what the plan actually costs
     warm_runs = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         routed.write.format("noop").mode("overwrite").save()
         warm_runs.append(time.time() - t0)
