@@ -17,6 +17,8 @@ workers anywhere.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -203,32 +205,48 @@ def simhash(
     bits: int = 32,
 ) -> DataFrame:
     """SimHash over tokens: per bit, sum(+1/-1 by token-hash bit),
-    sign → bit. Array-expression implementation (no explode, no Python);
-    32 bits keeps every intermediate in signed-long range."""
+    sign → bit. Same scale shape as `minhash_signatures`: explode +
+    `bits` parallel map-side-combinable sum aggregates, so the token
+    hash (md5) is computed ONCE per token. (The previous array-HOF form
+    re-evaluated the md5 once PER BIT — Catalyst does not CSE across
+    higher-order-function lambdas — which made wider hashes quadratic
+    in practice: 62 bits × 40 tokens × corpus.) `bits` ≤ 60 keeps every
+    intermediate, including the assembled hash, in signed-long range —
+    and the TOKEN hash must be at least as wide as the simhash, so
+    widths above 32 switch to a 60-bit md5-prefix hash (15 hex chars;
+    a 32-bit token hash would leave the high vote bits constant,
+    collapsing the banded join's upper bands into single buckets)."""
+    if not 1 <= bits <= 60:
+        raise ValueError(f"bits must be in [1, 60], got {bits}")
     from ilogtail_spark.partitioning import spread_for_expansion
 
     df = spread_for_expansion(df, id_col)
-    pows = F.array(*[F.lit(2**i).cast("long") for i in range(bits)])
-    tok_hashes = F.transform(tokens(F.col(text_col)), _hash32)
-    bit_votes = F.transform(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        lambda b: F.aggregate(
-            tok_hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.element_at(pows, b + 1)) != 0, 1).otherwise(-1),
-        ),
+    tok_hash = (
+        _hash32(F.col("tok"))
+        if bits <= 32
+        else F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
     )
-    sim = F.aggregate(
-        F.zip_with(
-            bit_votes,
-            pows,
-            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+    ex = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", tok_hash)
+    votes = [
+        F.sum(
+            F.when(
+                F.col("h").bitwiseAND(F.lit(2**i).cast("long")) != 0, 1
+            ).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    per_doc = ex.groupBy(id_col).agg(*votes)
+    sim = reduce(
+        lambda acc, i: acc
+        + F.when(F.col(f"v{i}") > 0, F.lit(2**i).cast("long")).otherwise(
+            F.lit(0).cast("long")
         ),
+        range(bits),
         F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
     )
-    return df.select(F.col(id_col), sim.alias("simhash"))
+    return per_doc.select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_pairs(
@@ -247,7 +265,14 @@ def simhash_pairs(
 
     Completeness REQUIRES max_hamming < nbands (a pair differing in every
     band would never share one) — validated here; the defaults
-    (band_bits=4 → 8 bands) cover the default max_hamming=6."""
+    (band_bits=4 → 8 bands) cover the default max_hamming=6.
+
+    SCALE: per-band join cost is Σ bucket², and a band has only
+    2^band_bits buckets — the 32/4 default is a small-corpus setting
+    (≲10^4 docs per partition of the key space). At 10^5-10^6+ docs use
+    the wide form ``bits=60, band_bits=15, max_hamming=3``:
+    4 bands × 32768 buckets keeps buckets tiny (SCALE.md has the
+    measured 50k/1M numbers)."""
     h = simhash(df, id_col=id_col, text_col=text_col, bits=bits)
     nbands = bits // band_bits
     if max_hamming >= nbands:
@@ -259,11 +284,14 @@ def simhash_pairs(
     banded = h.select(
         F.col(id_col).alias("id"),
         F.col("simhash"),
+        # integer shift+mask, NOT division: double division silently
+        # loses bits above 2^53, which would corrupt band keys for
+        # wide (62-bit) hashes and break pigeonhole completeness
         F.posexplode(
             F.array(
                 *[
-                    (F.col("simhash") / F.lit(2 ** (b * band_bits))).cast("long")
-                    % F.lit(2**band_bits)
+                    F.shiftrightunsigned(F.col("simhash"), b * band_bits)
+                    .bitwiseAND(F.lit(2**band_bits - 1))
                     for b in range(nbands)
                 ]
             )

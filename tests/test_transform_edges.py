@@ -111,3 +111,39 @@ class TestSimhashBandValidation:
         )
         pairs = simhash_pairs(df).collect()  # defaults: 8 bands ≥ hamming 6+1
         assert {(r["id_a"], r["id_b"]) for r in pairs} == {("d1", "d2")}
+
+
+class TestSimhashWideForm:
+    def test_60_bit_form_finds_planted_dups(self, spark):
+        """The scale form (60-bit hash, 15-bit bands): exact duplicates
+        (hamming 0) must always pair, near-identical texts must pair
+        within the hamming budget, and unrelated texts must not."""
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),  # exact
+            (3, "the quick brown fox jumps over the lazy dog tonight"),  # near
+            (4, "completely unrelated words about something else entirely"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        # 60/15 → 4 bands → pigeonhole supports max_hamming ≤ 3 (a wide
+        # hash is STRICTER per hamming unit — by design)
+        pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+                 for r in simhash_pairs(df, max_hamming=3, bits=60,
+                                        band_bits=15).collect()}
+        assert pairs[(1, 2)] == 0
+        assert not any(4 in p for p in pairs)
+
+    def test_wide_bits_validation(self, spark):
+        import pytest
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        from ilogtail_spark.functions.dedup import simhash
+
+        with pytest.raises(ValueError, match=r"\[1, 60\]"):
+            simhash(df, bits=61)
+        # 60-bit signatures use the full width (not stuck at 32 bits)
+        sigs = [r["simhash"] for r in simhash(
+            spark.createDataFrame(
+                [(i, f"tok{i} alpha beta gamma delta") for i in range(50)],
+                "doc_id long, text string"), bits=60).collect()]
+        assert any(s >= 2**32 for s in sigs)

@@ -1,0 +1,139 @@
+"""Dedup/similarity family at 200x the test fixture: generate a 1M-doc
+synthetic corpus (deterministic arithmetic text, ~1% planted near-dups)
+and time the scale-path operators end-to-end on local[32]. The sf0.1
+fixture has 5,000 docs — fine for correctness, useless as scale
+evidence; this run shows the shuffle shapes hold when the corpus is
+document-shaped and big enough that a wasted exchange would dominate.
+
+Prints one JSON line per op; paste the summary into SCALE.md.
+Usage: python tools/bench_dedup_scale.py [n_docs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DATA = "/tmp/ilogtail_spark_docs_scale"
+
+
+
+def gen_docs(spark, n_docs: int) -> str:
+    """Deterministic document corpus: ~40-token texts from modular
+    word picks; every 97th doc is a REPEAT of the previous doc (exact
+    dup), every 89th differs from its neighbor by one token (near-dup).
+    Pure SQL — no Python on workers."""
+    from pyspark.sql import functions as F
+
+    marker = f"{DATA}_{n_docs}"
+    if os.path.exists(f"{marker}/_SUCCESS"):
+        return marker
+    base = (
+        spark.range(n_docs)
+        .withColumn(
+            "seed",
+            # dup classes: exact dups share the seed of the run leader
+            F.when(F.col("id") % 97 == 0, F.col("id") - 1)
+            .otherwise(F.col("id")),
+        )
+        .withColumn(
+            "text",
+            # ~50k-token vocabulary, and the token SEQUENCE mixes two
+            # coprime seed residues (CRT: distinct mod 49999*31991 ≈
+            # 1.6e9) so every unplanted doc's text is unique. A single
+            # residue would make the whole text a function of
+            # seed mod p — only p distinct texts, i.e. an accidental
+            # ~20x-replicated corpus (measured and discarded).
+            F.expr(
+                "array_join(transform(sequence(0, 39), "
+                "i -> concat('w', cast(((seed % 49999) * (i + 1) "
+                "+ (seed % 31991) * (i * i + 1) + i * 7) "
+                "% 49999 AS string))), ' ')"
+            ),
+        )
+        .withColumn(
+            "text",
+            # near-dups: append one distinguishing token
+            F.when(
+                F.col("id") % 89 == 0,
+                F.concat(F.col("text"), F.lit(" tailtok"),
+                         (F.col("id") % 7).cast("string")),
+            ).otherwise(F.col("text")),
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            "text",
+            F.element_at(
+                F.array(F.lit("en"), F.lit("de"), F.lit("zh")),
+                (F.col("id") % 3 + 1).cast("int"),
+            ).alias("lang"),
+            F.concat(F.lit("src-"), (F.col("id") % 5).cast("string")).alias(
+                "source"
+            ),
+        )
+    )
+    base.repartition(64).write.mode("overwrite").parquet(marker)
+    return marker
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+
+    from ilogtail_spark.functions.dedup import (
+        connected_components_star,
+        exact_dedup,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+    from ilogtail_spark.session import get_spark
+
+    spark = get_spark(app_name="dedup_scale", master="local[32]",
+                      shuffle_partitions=64,
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    path = gen_docs(spark, n_docs)
+    docs = spark.read.parquet(path)
+    n = docs.count()
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        dt = time.time() - t0
+        print(json.dumps({"op": name, "n_docs": n, "sec": round(dt, 1),
+                          "result_rows": out,
+                          "docs_per_sec": round(n / dt)}))
+
+    timed("exact_dedup", lambda: exact_dedup(docs).count())
+    timed("minhash_lsh", lambda: minhash_lsh_pairs(docs, threshold=0.5).count())
+    timed(
+        "ngram_jaccard_maxdf",
+        lambda: ngram_jaccard_pairs(
+            docs, threshold=0.5, max_df=150
+        ).count(),
+    )
+    timed(
+        "dedup_clusters_star",
+        lambda: connected_components_star(
+            minhash_lsh_pairs(docs, threshold=0.5)
+        ).count(),
+    )
+    # the WIDE simhash form (60-bit hash, 15-bit bands -> 32768
+    # buckets per band) is the 10^5+ setting; the 32/4 default is a
+    # small-corpus form (16 buckets per band -> quadratic past ~10^4)
+    timed(
+        "simhash_60_15",
+        lambda: simhash_pairs(
+            docs, max_hamming=3, bits=60, band_bits=15
+        ).count(),
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
