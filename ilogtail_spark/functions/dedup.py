@@ -27,6 +27,35 @@ from ilogtail_spark.functions.textstats import tokens
 _P = 2147483647  # 2^31-1, the classic MinHash modulus
 
 
+def minhash_coeffs(num_hashes: int = 64) -> list[tuple[int, int]]:
+    """Per-permutation (a_i, b_i) for the universal-hash family
+    h_i(x) = (a_i * (x mod P) + b_i) mod P, each coefficient derived
+    from an INDEPENDENT md5 — a_i ∈ [1, P-1], b_i ∈ [0, P-1].
+
+    Structured constants (the previous a_i = 2i+1, b_i = 7i²+13) are the
+    same defect class as the LCG hyperplanes that skewed LSH buckets
+    ~1000× (similarity.py::_hyperplane, SCALE.md): small correlated
+    multipliers make the estimators non-independent, inflating the
+    variance of the Jaccard estimate near the band threshold. md5-derived
+    coefficients carry no arithmetic relation across i. The SAME values
+    feed the DuckDB oracle (queries.py renders them as list literals), so
+    both engines stay bit-identical by construction."""
+    import hashlib
+
+    coeffs = []
+    for i in range(num_hashes):
+        a = (
+            int.from_bytes(hashlib.md5(f"minhash:a:{i}".encode()).digest()[:8], "big")
+            % (_P - 1)
+            + 1
+        )
+        b = int.from_bytes(
+            hashlib.md5(f"minhash:b:{i}".encode()).digest()[:8], "big"
+        ) % _P
+        coeffs.append((a, b))
+    return coeffs
+
+
 def exact_dedup(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -86,7 +115,14 @@ def ngram_jaccard_pairs(
     if max_df is not None:
         dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df__"))
         sh = sh.join(dfreq.filter(F.col("__df__") <= max_df).select("sh"), "sh")
-    sh = sh.persist()  # used 3x (self-join both sides + sizes)
+    # used 3x (self-join both sides + sizes). localCheckpoint, NOT
+    # persist(): persist registers with the session CacheManager and pins
+    # executor storage until an explicit unpersist — in a long-lived
+    # session re-running the registry that accumulates until eviction.
+    # A (lazy) local checkpoint materializes once per action, is shared
+    # by all three consumers, and its blocks are reclaimed by the
+    # ContextCleaner when the plan is garbage collected.
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     pairs = (
         sh.alias("a")
@@ -128,14 +164,46 @@ def minhash_signatures(
     sh = df.select(
         F.col(id_col), F.explode(_shingles(F.col(text_col), n)).alias("sh")
     ).withColumn("h", _hash32(F.col("sh")))
-    # deterministic (a_i, b_i) from i itself — stable across runs
+    # md5-derived independent (a_i, b_i) — see minhash_coeffs. h is
+    # reduced mod P BEFORE the multiply: a_i < 2^31 and h < 2^32, so the
+    # raw product can overflow signed 64; a_i * (h mod P) < 2^62 cannot.
     mins = [
-        F.min((F.lit(i * 2 + 1) * F.col("h") + F.lit(i * i * 7 + 13)) % _P).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * (F.col("h") % _P) + F.lit(b)) % _P).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
     agg = sh.groupBy(id_col).agg(*mins)
     return agg.select(
         F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("minhash")
+    )
+
+
+def minhash_bands(
+    sigs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """The banded LSH relation (id, band, bucket) from a signature table.
+    It carries only the md5 bucket key — the 64-slot signature array
+    stays OUT of the self-join shuffle; signatures are joined back only
+    for the deduped candidate pairs (≪ banded rows). Exposed separately
+    so the bucket-size histogram audit (tests/tools) can inspect the
+    distribution any new hash family produces — the codebase's standing
+    LSH lesson (SCALE.md): bucket skew is how a correlated family shows
+    itself, and a groupBy histogram is the cheap detector."""
+    return sigs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.array_join(
+                        F.slice("minhash", b * rows_per_band + 1, rows_per_band), ","
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
     )
 
 
@@ -155,21 +223,9 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
         df, id_col=id_col, text_col=text_col, n=n, num_hashes=num_hashes
-    ).persist()
-    # the banded relation carries only (id, band, bucket) — the 64-slot
-    # signature array stays OUT of the self-join shuffle; signatures are
-    # joined back only for the deduped candidate pairs (≪ banded rows)
-    banded = sigs.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.md5(
-                    F.array_join(F.slice("minhash", b * rows_per_band + 1, rows_per_band), ",")
-                ),
-            )
-        ).alias("band", "bucket"),
-    )
+    ).localCheckpoint(eager=False)  # 3 consumers; blocks GC'd with the plan
+    banded = minhash_bands(sigs, id_col=id_col, bands=bands,
+                           rows_per_band=rows_per_band)
     cand_ids = (
         banded.alias("a")
         .join(
@@ -358,21 +414,31 @@ def connected_components(
     # labels start at node id and only ever DECREASE (min-propagation),
     # so the label sum is strictly decreasing until the fixpoint — a
     # cheap scalar aggregate detects convergence without the per-round
-    # old-vs-new join a changed-count would need. For NON-numeric node
-    # ids (string/hash) the decimal cast yields NULL: there the check
-    # falls back to an explicit changed-count join per round — one more
-    # shuffle, but correct for any orderable label type (a NULL==NULL
-    # compare would otherwise exit after one round, silently
-    # under-merged). try_cast, not cast: under ANSI (Spark 4 default) a
-    # plain cast of a string label THROWS instead of yielding NULL.
-    # Detecting the fixpoint costs one confirming round, so convergence
-    # needs diameter+1 iterations — max_iter is sized accordingly.
+    # old-vs-new join a changed-count would need. The shortcut is gated
+    # on the label column's SCHEMA type (integral/decimal), never on a
+    # runtime cast probe: STRING ids that happen to parse as numbers
+    # would pass a try_cast probe, but their labels decrease
+    # LEXICOGRAPHICALLY ('9' → '10' is numerically +1), so simultaneous
+    # changes can cancel in the decimal sum and falsely signal
+    # convergence — and mixed numeric/non-numeric ids would silently
+    # drop the NULL-cast labels from the sum. All non-integral label
+    # types use the explicit changed-count join per round — one more
+    # shuffle, but correct for any orderable type. Detecting the
+    # fixpoint costs one confirming round, so convergence needs
+    # diameter+1 iterations — max_iter is sized accordingly.
+    from pyspark.sql import types as T
+
+    label_type = labels.schema["label"].dataType
+    numeric = isinstance(
+        label_type,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType),
+    )
+
     def label_sum(lb: DataFrame):
-        return lb.agg(F.sum(F.col("label").try_cast("decimal(38,0)"))).first()[0]
+        return lb.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
 
     prev = labels
-    prev_sum = label_sum(labels)
-    numeric = prev_sum is not None or labels.isEmpty()
+    prev_sum = label_sum(labels) if numeric else None
     converged = False
     for _ in range(max_iter):
         neighbor_min = (
@@ -419,14 +485,19 @@ def dedup_keep_one(
     components: `docs.filter('keep')` is the deduplicated corpus, and
     the (doc, cluster, keep) triple is the provenance record.
 
-    One broadcast-or-shuffle left join on the doc id; clusters is
-    O(near-dup docs) ≪ corpus, so at 100 TB the join broadcasts and the
-    corpus never shuffles."""
+    One left join on the doc id, strategy left to AQE: clusters is
+    O(near-duplicate docs) — usually ≪ corpus, in which case AQE
+    broadcasts it at runtime and the corpus never shuffles, but at a
+    web-scale 20-30% duplication rate it is billions of rows, past any
+    broadcast ceiling. A FORCED broadcast hint would make that case
+    FAIL outright instead of degrading to a shuffle join — so no hint:
+    AQE measures the built side and picks broadcast exactly when it
+    fits (tests/test_functions.py pins both regimes)."""
     c = clusters.select(
         F.col("node").alias(id_col), F.col("cluster_id").alias("__cluster__")
     )
     return (
-        docs.join(F.broadcast(c), id_col, "left")
+        docs.join(c, id_col, "left")
         .withColumn(
             "keep",
             F.col("__cluster__").isNull() | (F.col("__cluster__") == F.col(id_col)),

@@ -121,7 +121,12 @@ def embedding_cosine_pairs_lsh(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         signature(F.col(vec_col)).alias("bucket"),
-    ).persist()  # both self-join sides: signatures computed ONCE, not twice
+    ).localCheckpoint(eager=False)
+    # ^ both self-join sides: signatures computed ONCE, not twice. A lazy
+    # local checkpoint instead of persist(): persist pins CacheManager
+    # storage until an explicit unpersist, which accumulates across
+    # repeated invocations in a long-lived session; checkpoint blocks are
+    # reclaimed by the ContextCleaner once the plan is garbage collected.
     return (
         bucketed.alias("a")
         .join(

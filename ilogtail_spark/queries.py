@@ -1710,12 +1710,29 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("id_a", "id_b", "est_jaccard")
 
 
+def _minhash_coeff_lits() -> tuple[str, str]:
+    """The md5-derived (a_i, b_i) permutation coefficients as DuckDB
+    BIGINT-list literals — the SAME values the Spark plan embeds
+    (dedup.py::minhash_coeffs), so the oracle tracks the hash family
+    automatically."""
+    from ilogtail_spark.functions.dedup import minhash_coeffs
+
+    cs = minhash_coeffs(64)
+    return (
+        "[" + ", ".join(str(a) for a, _ in cs) + "]",
+        "[" + ", ".join(str(b) for _, b in cs) + "]",
+    )
+
+
+_MH_A, _MH_B = _minhash_coeff_lits()
+
 # mirrors minhash_lsh_pairs exactly: _hash32 = int(md5[:8], 16); per-i
-# permutation (2i+1)*h + (i*i*7+13) mod 2^31-1; 16 bands × 4 rows;
-# est = equal-positions/64
-O_MINHASH_LSH = r"""
+# universal-hash permutation ca[i]*(h mod P) + cb[i] mod P = 2^31-1 with
+# md5-derived coefficients; 16 bands × 4 rows; est = equal-positions/64
+O_MINHASH_LSH = rf"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+coef AS (SELECT {_MH_A}::BIGINT[] AS ca, {_MH_B}::BIGINT[] AS cb),
 sh AS (
   SELECT DISTINCT doc_id,
     CASE WHEN len(t) >= 3 THEN array_to_string(t[i:i+2], ' ')
@@ -1725,8 +1742,9 @@ sh AS (
 hs AS (SELECT doc_id, cast(('0x' || substring(md5(s),1,8)) AS bigint) AS h FROM sh),
 sigs AS (
   SELECT doc_id, list_transform(range(0,64), i ->
-    list_min(list_transform(hl, h -> ((2*i+1)*h + (i*i*7+13)) % 2147483647))) AS mh
-  FROM (SELECT doc_id, list(h) AS hl FROM hs GROUP BY doc_id)),
+    list_min(list_transform(hl, h ->
+      (ca[i+1] * (h % 2147483647) + cb[i+1]) % 2147483647))) AS mh
+  FROM (SELECT doc_id, list(h) AS hl FROM hs GROUP BY doc_id), coef),
 banded AS (
   SELECT doc_id, band,
     md5(array_to_string(mh[band*4+1 : band*4+4], ',')) AS bucket

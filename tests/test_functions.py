@@ -531,6 +531,25 @@ class TestConnectedComponents:
         assert {out[f"d{i:02d}"] for i in range(9)} == {"d00"}
         assert out["x1"] == out["x2"] == "x1"
 
+    def test_numeric_looking_string_ids(self, spark):
+        # ADVICE r4 (medium): STRING ids that happen to parse as numbers
+        # must NOT use the decimal label-sum shortcut — labels move
+        # LEXICOGRAPHICALLY ('9' → '10' is numerically +1), so two
+        # simultaneous changes can cancel in the sum and fake
+        # convergence. The gate is now the SCHEMA type: any string label
+        # takes the changed-count path. The merge must be complete with
+        # the LEXICOGRAPHIC minimum as representative.
+        from ilogtail_spark.functions.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [("9", "10"), ("10", "11"), ("11", "12"), ("8", "9")],
+            "id_a string, id_b string",
+        )
+        out = {r["node"]: r["cluster_id"]
+               for r in connected_components(pairs).collect()}
+        # lexicographic min of {'8','9','10','11','12'} is '10'
+        assert set(out.values()) == {"10"} and len(out) == 5
+
     def test_non_convergence_raises(self, spark):
         from ilogtail_spark.functions.dedup import connected_components
 
@@ -539,6 +558,99 @@ class TestConnectedComponents:
         )
         with pytest.raises(RuntimeError, match="did not converge"):
             connected_components(pairs, max_iter=2)
+
+
+class TestMinhashBandHistogram:
+    """The standing LSH lesson (SCALE.md): whenever a hash family
+    changes, audit the bucket-size histogram — correlated coefficients
+    (the old structured a_i=2i+1 / b_i=7i²+13 family, same defect class
+    as the r4 LCG hyperplanes) surface as mega-buckets long before they
+    bias the Jaccard estimate visibly."""
+
+    def test_distinct_docs_spread_across_buckets(self, spark):
+        from ilogtail_spark.functions.dedup import minhash_bands
+
+        # 400 pairwise-distinct docs (md5-derived tokens, no shared
+        # shingles): no band bucket may collect more than a couple of
+        # docs — a skewed family turns the banded self-join quadratic.
+        docs = spark.range(400).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.substring(F.md5(F.col("id").cast("string")), 1 + 4 * k, 4)
+                    for k in range(8)
+                ],
+            ).alias("text"),
+        )
+        banded = minhash_bands(minhash_signatures(docs))
+        hist = banded.groupBy("band", "bucket").count()
+        top = hist.agg(F.max("count").alias("mx"), F.count(F.lit(1)).alias("n")).first()
+        # 400 docs × 16 bands = 6400 banded rows; distinct docs should
+        # occupy ~6400 distinct buckets (md5-of-4-slots collisions ~0)
+        assert top["mx"] <= 2, f"bucket skew: max bucket {top['mx']}"
+        assert top["n"] >= 6300
+
+    def test_coefficients_are_unstructured(self):
+        from ilogtail_spark.functions.dedup import _P, minhash_coeffs
+
+        cs = minhash_coeffs(64)
+        a = [c[0] for c in cs]
+        b = [c[1] for c in cs]
+        assert len(set(a)) == 64 and len(set(b)) == 64
+        assert all(1 <= x < _P for x in a) and all(0 <= x < _P for x in b)
+        # no arithmetic progression (the old family was exactly this)
+        diffs = {a[i + 1] - a[i] for i in range(63)}
+        assert len(diffs) > 32
+
+
+class TestDedupKeepOneJoinStrategy:
+    """VERDICT r5 task 1: the cluster join must not force a broadcast —
+    a high-duplication corpus (clusters ~ O(corpus)) has to DEGRADE to a
+    shuffle join, not fail at the broadcast ceiling; while the common
+    small-cluster case should still broadcast via AQE's own decision."""
+
+    def _plan(self, df) -> str:
+        import io
+        from contextlib import redirect_stdout
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    def _fixtures(self, spark):
+        from ilogtail_spark.functions.dedup import dedup_keep_one
+
+        docs = spark.createDataFrame(
+            [(i, f"text {i}") for i in range(64)], "doc_id long, text string"
+        )
+        clusters = spark.createDataFrame(
+            [(1, 1), (3, 1), (4, 4), (5, 4)], "node long, cluster_id long"
+        )
+        return dedup_keep_one(docs, clusters)
+
+    def test_degrades_to_shuffle_join_past_the_ceiling(self, spark):
+        # broadcast disabled = the planner's view of an over-ceiling
+        # cluster side; a forced hint would ignore it and still broadcast
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            out = self._fixtures(spark)
+            assert "Broadcast" not in self._plan(out)
+            # and the result is IDENTICAL — degrade, not fail
+            assert out.filter("keep").count() == 62
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    def test_small_clusters_still_broadcast_via_aqe(self, spark):
+        out = self._fixtures(spark)
+        # collect THIS DataFrame so its own adaptive plan finalizes
+        rows = out.collect()
+        assert sum(r["keep"] for r in rows) == 62
+        plan = self._plan(out)
+        assert "isFinalPlan=true" in plan
+        assert "BroadcastHashJoin" in plan
 
 
 class TestDedupKeepOne:
@@ -564,6 +676,38 @@ class TestDedupKeepOne:
         # filter('keep') is the deduplicated corpus
         kept = dedup_keep_one(docs, clusters).filter("keep").count()
         assert kept == 4
+
+
+class TestNoCacheAccumulation:
+    """VERDICT r5 task 5: the pair-form queries used to persist() their
+    bucketed relations and never unpersist — in a long-lived session
+    (the driver re-runs 91 registry queries back-to-back) CacheManager
+    entries accumulated until LRU eviction. They now use lazy
+    localCheckpoint (blocks reclaimed by the ContextCleaner with the
+    plan), so the session CacheManager must stay EMPTY after each query
+    completes."""
+
+    def test_pair_form_queries_leave_cache_empty(self, spark):
+        from ilogtail_spark.functions.dedup import (
+            minhash_lsh_pairs,
+            ngram_jaccard_pairs,
+        )
+        from ilogtail_spark.functions.similarity import embedding_cosine_pairs_lsh
+
+        spark.catalog.clearCache()
+        docs = spark.createDataFrame(
+            [(i, f"tok{i} alpha beta gamma delta epsilon") for i in range(40)],
+            "doc_id long, text string",
+        )
+        emb = spark.createDataFrame(
+            [(i, [float((i * 7 + j) % 5) for j in range(8)]) for i in range(30)],
+            "vec_id long, embedding array<float>",
+        )
+        minhash_lsh_pairs(docs, threshold=0.3).count()
+        ngram_jaccard_pairs(docs, threshold=0.3, max_df=10).count()
+        embedding_cosine_pairs_lsh(emb, threshold=0.9, n_planes=4, dim=8).count()
+        cm = spark._jsparkSession.sharedState().cacheManager()
+        assert cm.isEmpty(), "a pair-form query left a CacheManager entry"
 
 
 class TestNgramContamination:
