@@ -108,19 +108,11 @@ def embedding_cosine_pairs_lsh(
     df = spread_for_expansion(df, id_col)
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    planes = [_hyperplane(dim, p) for p in range(n_planes)]
-
-    def signature(vec: Column) -> Column:
-        out = F.lit(0)
-        for p_idx, plane in enumerate(planes):
-            plane_col = F.array(*[F.lit(v) for v in plane])
-            out = out + F.when(_dot(vec, plane_col) >= 0, F.lit(2**p_idx)).otherwise(F.lit(0))
-        return out
 
     bucketed = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        signature(F.col(vec_col)).alias("bucket"),
+        _table_signature(F.col(vec_col), dim, 0, n_planes).alias("bucket"),
     ).localCheckpoint(eager=False)
     # ^ both self-join sides: signatures computed ONCE, not twice. A lazy
     # local checkpoint instead of persist(): persist pins CacheManager
@@ -182,6 +174,45 @@ def train_centroids(
     return [(j, cent[j].tolist()) for j in range(k)]
 
 
+def _ranked_centroids_arrow(
+    centroids: list[tuple[int, list[float]]], n_top: int
+):
+    """Vectorized centroid ranking: a pandas_udf whose body is ONE numpy
+    matmul per Arrow batch — scores every vector against the full
+    centroid matrix at BLAS speed, then argsorts the top `n_top` ids.
+    This is the write-time/online assignment path at scale: the
+    expression form ranks n_centroids INTERPRETED higher-order-function
+    cosines per vector (measured 5× slower than every sibling tier at
+    1M vectors, SCALE.md), while a (batch × dim) @ (dim × centroids)
+    matmul is microseconds per thousand rows. Tie semantics are
+    identical to the expression form: score_i = cos_i + i·1e-9, ranked
+    descending — cross-engine double noise (~1e-16) cannot reorder
+    scores separated by the 1e-9 index epsilon."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    c_ids = np.array([c_id for c_id, _ in centroids], dtype=np.int64)
+    c_mat = np.array([vec for _, vec in centroids], dtype=np.float64)
+    c_norm = np.linalg.norm(c_mat, axis=1)
+    c_norm = np.where(c_norm == 0, 1.0, c_norm)
+    eps = np.arange(len(centroids), dtype=np.float64) * 1e-9
+
+    def ranked(vecs):
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        xn = np.linalg.norm(x, axis=1)
+        xn = np.where(xn == 0, 1.0, xn)
+        scores = (x @ c_mat.T) / (xn[:, None] * c_norm[None, :]) + eps[None, :]
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :n_top]
+        return pd.Series(list(c_ids[order]))
+
+    # real type objects, not strings: this module uses postponed
+    # annotation evaluation, and pandas_udf cannot resolve the string
+    # form ('pd.Series') against module globals where pd is lazy
+    ranked.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return pandas_udf(ranked, "array<long>")
+
+
 def ivf_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -192,6 +223,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probes: int = 2,
     centroids: list[tuple[int, list[float]]] | None = None,
+    assign: str = "arrow",
 ) -> DataFrame:
     """IVF (inverted-file) ANN: assign every vector to its nearest
     coarse centroid; a query searches only its `n_probes` nearest
@@ -204,6 +236,13 @@ def ivf_topk(
     a deterministic BOUNDED sample: `take(8×k)` reads only enough
     partitions (never a full count()+scan of the corpus) and the driver
     spreads picks by hashed id — a reproducible stand-in for k-means.
+
+    `assign` picks the centroid-ranking kernel: ``"arrow"`` (default) is
+    the vectorized numpy-matmul pandas_udf (`_ranked_centroids_arrow`) —
+    the production path, ~9× faster at 1M vectors; ``"expr"`` is the
+    pure-column-expression twin that the DuckDB oracle mirrors
+    term-for-term. Both produce identical assignments (shared
+    cos + index·1e-9 tie order), and both are oracle-checked.
     """
     if centroids is None:
         import hashlib
@@ -234,17 +273,28 @@ def ivf_topk(
     from ilogtail_spark.partitioning import spread_for_expansion
 
     df = spread_for_expansion(df, id_col)
+    if assign == "arrow":
+        ranked_udf = _ranked_centroids_arrow(centroids, max(n_probes, 1))
+        corpus_centroid = F.element_at(ranked_udf(F.col(vec_col)), 1)
+        probe_centroids = F.slice(ranked_udf(F.col(vec_col)), 1, n_probes)
+    elif assign == "expr":
+        corpus_centroid = F.element_at(
+            ranked_centroids(F.col(vec_col)), 1
+        ).getField("c")
+        probe_centroids = F.slice(
+            ranked_centroids(F.col(vec_col)), 1, n_probes
+        ).getField("c")
+    else:
+        raise ValueError(f"assign must be 'arrow' or 'expr', got {assign!r}")
     corpus = df.select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("c_vec"),
-        F.element_at(ranked_centroids(F.col(vec_col)), 1).getField("c").alias("centroid"),
+        corpus_centroid.cast("long").alias("centroid"),
     )
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
-        F.explode(
-            F.slice(ranked_centroids(F.col(vec_col)), 1, n_probes).getField("c")
-        ).alias("centroid"),
+        F.explode(probe_centroids.cast("array<long>")).alias("centroid"),
     )
     scored = corpus.join(F.broadcast(q), "centroid").filter(
         F.col("q_id") != F.col("n_id")
@@ -280,6 +330,21 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     return vals
 
 
+def _table_signature(vec: Column, dim: int, table: int, n_planes: int) -> Column:
+    """2^n_planes-bucket hyperplane signature for one LSH table. Table t
+    uses planes t*n_planes … t*n_planes+n_planes-1 of the md5-derived
+    family — table 0 is therefore EXACTLY the single-table signature,
+    and every table's plane set is independent of every other's."""
+    out = F.lit(0)
+    for p_idx in range(n_planes):
+        plane = _hyperplane(dim, table * n_planes + p_idx)
+        plane_col = F.array(*[F.lit(v) for v in plane])
+        out = out + F.when(_dot(vec, plane_col) >= 0, F.lit(2**p_idx)).otherwise(
+            F.lit(0)
+        )
+    return out
+
+
 def lsh_bucket_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -288,48 +353,78 @@ def lsh_bucket_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_planes: int = 8,
+    n_tables: int = 1,
     dim: int | None = None,
 ) -> DataFrame:
     """ANN via random-hyperplane LSH: vectors hash to a 2^n_planes-bucket
     signature; candidates are corpus vectors sharing a query's bucket;
     exact cosine re-ranks within bucket. Recall < 1 by design — the
-    scale/efficiency trade the brute-force tier anchors."""
+    scale/efficiency trade the brute-force tier anchors.
+
+    `n_tables` is the OR-amplification knob: a pair colliding in ANY of
+    the tables becomes a candidate, lifting recall from (1−θ/π)^planes
+    to 1−(1−(1−θ/π)^planes)^tables — the standard AND-OR construction.
+    At the near-dup threshold one table suffices (recall ≈ 1 already),
+    but moderate-threshold ANN (cos ≈ 0.9, θ ≈ 26°) needs several
+    tables: with 8 planes per table, 1 table recalls ~29% of true
+    cos-0.9 neighbors, 4 tables ~75%, 8 tables ~94% (SCALE.md has the
+    measured 1M-vector numbers). Cost is linear in tables: the corpus
+    explodes to n_tables (table, bucket) rows, the join shuffles
+    O(n·tables), and duplicate candidates are deduped before the exact
+    re-rank so multi-table hits are scored once."""
     from ilogtail_spark.partitioning import spread_for_expansion
 
     df = spread_for_expansion(df, id_col)
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    planes = [_hyperplane(dim, p) for p in range(n_planes)]
 
-    def signature(vec: Column) -> Column:
-        bits = []
-        for p_idx, plane in enumerate(planes):
-            plane_col = F.array(*[F.lit(v) for v in plane])
-            bits.append(
-                F.when(_dot(vec, plane_col) >= 0, F.lit(2**p_idx)).otherwise(F.lit(0))
-            )
-        out = F.lit(0)
-        for b in bits:
-            out = out + b
-        return out
-
-    corpus = df.select(
-        F.col(id_col).alias("n_id"),
-        F.col(vec_col).alias("c_vec"),
-        signature(F.col(vec_col)).alias("bucket"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("q_vec"),
-        signature(F.col(vec_col)).alias("bucket"),
-    )
-    scored = corpus.join(F.broadcast(q), on="bucket").filter(
-        F.col("q_id") != F.col("n_id")
-    ).select(
-        "q_id",
-        "n_id",
-        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
-    )
+    if n_tables == 1:
+        # single-table fast path: buckets within a table are disjoint,
+        # so no candidate dedup is needed and the join key is scalar
+        corpus = df.select(
+            F.col(id_col).alias("n_id"),
+            F.col(vec_col).alias("c_vec"),
+            _table_signature(F.col(vec_col), dim, 0, n_planes).alias("bucket"),
+        )
+        q = queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            _table_signature(F.col(vec_col), dim, 0, n_planes).alias("bucket"),
+        )
+        scored = corpus.join(F.broadcast(q), on="bucket").filter(
+            F.col("q_id") != F.col("n_id")
+        ).select(
+            "q_id",
+            "n_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
+    else:
+        sigs = lambda vec: F.array(  # noqa: E731
+            *[_table_signature(vec, dim, t, n_planes) for t in range(n_tables)]
+        )
+        corpus = df.select(
+            F.col(id_col).alias("n_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.posexplode(sigs(F.col(vec_col))).alias("tbl", "bucket"),
+        )
+        q = queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.posexplode(sigs(F.col(vec_col))).alias("tbl", "bucket"),
+        )
+        # a pair colliding in several tables must re-rank ONCE — the
+        # duplicate rows carry identical vectors, so dropDuplicates on
+        # the id pair is deterministic in content
+        cand = (
+            corpus.join(F.broadcast(q), on=["tbl", "bucket"])
+            .filter(F.col("q_id") != F.col("n_id"))
+            .dropDuplicates(["q_id", "n_id"])
+        )
+        scored = cand.select(
+            "q_id",
+            "n_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -1840,10 +1840,13 @@ def _plane_lit(p: int, dim: int = 64) -> str:
     return "[" + ", ".join(repr(v) for v in _hyperplane(dim, p)) + "]"
 
 
-def _bucket_sql(col: str, n_planes: int) -> str:
+def _bucket_sql(col: str, n_planes: int, table: int = 0) -> str:
+    """One LSH table's bucket expression — table t uses plane indices
+    t*n_planes … t*n_planes+n_planes-1, mirroring
+    similarity.py::_table_signature."""
     terms = [
         f"(CASE WHEN list_dot_product(list_transform({col}, x -> x::DOUBLE), "
-        f"{_plane_lit(p)}) >= 0 THEN {2**p} ELSE 0 END)"
+        f"{_plane_lit(table * n_planes + p)}) >= 0 THEN {2**p} ELSE 0 END)"
         for p in range(n_planes)
     ]
     return " + ".join(terms)
@@ -1962,23 +1965,76 @@ SELECT q_id, n_id, cos_sim, rank FROM ranked WHERE rank <= 5
 """
 
 
-def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) ANN — coarse-centroid bucketing scale path,
-    oracle-checked: explicit "trained" centroids (the embeddings of
-    vec_id < 16, the production API where a k-means pass supplies them)
-    let DuckDB reproduce assignment, probing, and re-ranking exactly."""
-    from ilogtail_spark.functions.similarity import ivf_topk
-
-    emb = _emb(spark, sf_dir)
+def _ivf_centroids(emb: DataFrame) -> list[tuple[int, list[float]]]:
     cent_rows = sorted(
         emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect(),
         key=lambda r: r["vec_id"],
     )
-    centroids = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
-                 for r in cent_rows]
+    return [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in cent_rows]
+
+
+def q_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table (OR-amplified) hyperplane-LSH ANN — 2 independent
+    8-plane tables: a pair colliding in EITHER table is a candidate,
+    deduped before the exact re-rank. The recall knob single-table LSH
+    lacks (recall 1−(1−(1−θ/π)^planes)^tables). Fully oracle-checked:
+    both tables' plane literals are shared with DuckDB, which joins on
+    bucket-0 OR bucket-1."""
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") < 3)
+    return lsh_bucket_topk(emb, qs, k=5, n_planes=8, n_tables=2, dim=64)
+
+
+O_ANN_LSH_MULTI = f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+    {_bucket_sql('embedding', 8, 0)} AS b0,
+    {_bucket_sql('embedding', 8, 1)} AS b1
+  FROM embeddings),
+cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+  FROM b q JOIN b c ON (q.b0 = c.b0 OR q.b1 = c.b1) AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 3),
+scored AS (
+  SELECT cand.q_id, cand.n_id,
+    round({_COS_SQL.format(a='q.embedding', b='c.embedding')}, 6) AS cos_sim
+  FROM cand JOIN embeddings q ON q.vec_id = cand.q_id
+            JOIN embeddings c ON c.vec_id = cand.n_id),
+ranked AS (
+  SELECT q_id, n_id, cos_sim,
+    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC) AS rank
+  FROM scored)
+SELECT q_id, n_id, cos_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN — coarse-centroid bucketing scale path,
+    oracle-checked: explicit "trained" centroids (the embeddings of
+    vec_id < 16, the production API where a k-means pass supplies them)
+    let DuckDB reproduce assignment, probing, and re-ranking exactly.
+    Uses the DEFAULT vectorized numpy-matmul assignment kernel
+    (`_ranked_centroids_arrow`) — its assignments must match the
+    expression twin (`ann_ivf_expr`) the oracle mirrors term-for-term."""
+    from ilogtail_spark.functions.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
     qs = emb.filter(F.col("vec_id") < 3)
     return ivf_topk(emb, qs, k=5, n_centroids=16, n_probes=2,
-                    centroids=centroids)
+                    centroids=_ivf_centroids(emb))
+
+
+def q_ann_ivf_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-column-expression IVF assignment twin (assign='expr') —
+    the form the DuckDB oracle reproduces; checked against the SAME
+    oracle as `ann_ivf`, pinning arrow- and expr-assignment equality."""
+    from ilogtail_spark.functions.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") < 3)
+    return ivf_topk(emb, qs, k=5, n_centroids=16, n_probes=2,
+                    centroids=_ivf_centroids(emb), assign="expr")
 
 
 # mirrors ivf_topk with centroids = embeddings of vec_id < 16: score =
@@ -2802,7 +2858,9 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_dup": q_embedding_dup,
     "embedding_dup_lsh": q_embedding_dup_lsh,
     "ann_lsh": q_ann_lsh,
+    "ann_lsh_multi": q_ann_lsh_multi,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_expr": q_ann_ivf_expr,
     "lang_id_trigram": q_lang_id_trigram,
     "kgram_fingerprints": q_kgram_fingerprints,
     "repetition": q_repetition,
@@ -2892,7 +2950,9 @@ ORACLES: dict[str, str] = {
     "simhash_wide": O_SIMHASH_WIDE,
     "embedding_dup_lsh": O_EMBEDDING_DUP_LSH,
     "ann_lsh": O_ANN_LSH,
+    "ann_lsh_multi": O_ANN_LSH_MULTI,
     "ann_ivf": O_ANN_IVF,
+    "ann_ivf_expr": O_ANN_IVF,
     "kgram_fingerprints": O_KGRAM_FINGERPRINTS,
     "repetition": O_REPETITION,
     "pii_scrub": O_PII_SCRUB,

@@ -98,16 +98,78 @@ def main() -> None:
     )
     cents = train_centroids(emb, 64, sample_rows=4096, iters=5)
     timed(
-        "ann_ivf_64lists",
+        "ann_ivf_64lists_arrow",
         lambda: ivf_topk(emb, queries, k=5, n_centroids=64, n_probes=4,
                          centroids=cents).count(),
     )
+    if n <= 250_000:
+        # the interpreted-HOF expression twin: 64 centroid cosines per
+        # vector re-evaluated per row — ~370s at 1M (r4 measurement), so
+        # only re-timed at sub-1M sizes; it remains the oracle twin, not
+        # the production path
+        timed(
+            "ann_ivf_64lists_expr",
+            lambda: ivf_topk(emb, queries, k=5, n_centroids=64, n_probes=4,
+                             centroids=cents, assign="expr").count(),
+        )
     timed(
         "embedding_dup_lsh_16planes",
         lambda: embedding_cosine_pairs_lsh(
             emb, threshold=0.999, n_planes=16, dim=64
         ).count(),
     )
+
+    # ------------------------------------------------------------------
+    # OR-amplification recall at cos≈0.9 (the moderate-threshold ANN
+    # regime single-table LSH cannot serve): plant 20 neighbors per
+    # query at target cosine 0.9 (v' = 2.065·v + w, w an independent
+    # random vector — cos = a/√(a²+1) for near-orthogonal w of equal
+    # norm), take brute-force top-20 as truth, and measure recall as
+    # tables grow. Theory at θ = 25.8°: per-table collision
+    # (1−θ/π)^8 ≈ 0.29; OR over T tables 1−(1−0.29)^T → 0.75 at T=4,
+    # 0.94 at T=8. Signature cost is linear in tables×planes.
+    # ------------------------------------------------------------------
+    import hashlib
+    import math
+
+    a = 0.9 / math.sqrt(1 - 0.9 * 0.9)
+    qrows = sorted(queries.collect(), key=lambda r: r["vec_id"])
+
+    def noise(tag: str, i: int) -> float:
+        h = hashlib.md5(f"annrecall:{tag}:{i}".encode()).digest()
+        return int.from_bytes(h[:8], "big") / float(2**64) * 2.0 - 1.0
+
+    planted = []
+    for qi, r in enumerate(qrows):
+        v = [float(x) for x in r["embedding"]]
+        # scale noise to the query's norm so cos lands near the target
+        vn = math.sqrt(sum(x * x for x in v))
+        for j in range(20):
+            w = [noise(f"{qi}:{j}", i) for i in range(64)]
+            wn = math.sqrt(sum(x * x for x in w))
+            planted.append(
+                (n + qi * 20 + j,
+                 [a * v[i] + (vn / wn) * w[i] for i in range(64)])
+            )
+    corpus2 = emb.unionByName(
+        spark.createDataFrame(planted, "vec_id long, embedding array<float>")
+    ).localCheckpoint(eager=True)
+    truth_rows = brute_force_topk(corpus2, queries, k=20).collect()
+    truth = {(r["q_id"], r["n_id"]) for r in truth_rows}
+    mean_cos = sum(r["cos_sim"] for r in truth_rows) / max(len(truth_rows), 1)
+    for n_tables in (1, 4, 8):
+        t0 = time.time()
+        got_rows = lsh_bucket_topk(
+            corpus2, queries, k=20, n_planes=8, n_tables=n_tables, dim=64
+        ).collect()
+        dt = time.time() - t0
+        got = {(r["q_id"], r["n_id"]) for r in got_rows}
+        print(json.dumps({
+            "op": f"ann_lsh_recall_8planes_x{n_tables}tables",
+            "n_vecs": n, "sec": round(dt, 1),
+            "recall_top20": round(len(got & truth) / max(len(truth), 1), 3),
+            "truth_mean_cos": round(mean_cos, 4),
+        }))
     spark.stop()
 
 
