@@ -462,9 +462,74 @@ def lint_backtracking(regex: str) -> list[str]:
     return bad
 
 
+def _literal_branch(br: str) -> str | None:
+    """The exact literal string a branch matches, or None when the
+    branch contains anything beyond plain/escaped characters (classes,
+    groups, quantifiers, wildcards, anchors)."""
+    out: list[str] = []
+    i = 0
+    while i < len(br):
+        c = br[i]
+        if c == "\\" and i + 1 < len(br):
+            e = br[i + 1]
+            if e.lower() in _ESC_SETS or e in "AbBZz":
+                return None  # a set or assertion, not a single char
+            out.append({"n": "\n", "t": "\t", "r": "\r"}.get(e, e))
+            i += 2
+            continue
+        if c in "([.^$|)*+?{":
+            return None
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _uniquely_decodable(words: list[str]) -> bool:
+    """EXACT ambiguity decision for an iterated literal alternation
+    ``(w1|w2|…)+`` — the Sardinas–Patterson unique-decodability test.
+    The iteration backtracks exponentially iff some input decomposes
+    into the branch words two different ways, iff the dangling-suffix
+    closure reaches a codeword. This replaces the first-character
+    heuristic for all-literal branches: ``(?:INFO|INVALID)+`` (shared
+    first char, uniquely decodable) passes, ``(a|aa)+`` and
+    ``(a|ab|ba)+`` (genuinely ambiguous — measured exponential in
+    Python's re) are flagged. Terminates: every dangling suffix is a
+    suffix of a codeword, so the set universe is finite."""
+    code = set(words)
+    if len(code) < len(words) or "" in code:
+        return False  # duplicate branches / empty word: ambiguous outright
+    cur = {
+        y[len(x):]
+        for x in code
+        for y in code
+        if x != y and y.startswith(x)
+    }
+    seen: set[frozenset] = set()
+    while cur:
+        if cur & code:
+            return False
+        key = frozenset(cur)
+        if key in seen:
+            return True
+        seen.add(key)
+        cur = {
+            c[len(s):] for s in cur for c in code if c != s and c.startswith(s)
+        } | {
+            s[len(c):] for s in cur for c in code if s != c and s.startswith(c)
+        }
+    return True
+
+
 def _branches_overlap(branches: list[str]) -> bool:
-    """True when two top-level alternation branches can begin with the
-    same character (approximate; unknown sets never overlap)."""
+    """Ambiguity check for an iterated alternation. All-LITERAL branch
+    sets get the EXACT Sardinas–Patterson decision (no false positives,
+    no false negatives for this class); anything with classes/groups/
+    quantifiers falls back to the approximate first-character overlap
+    (unknown sets never overlap — the conservative, zero-false-positive-
+    on-the-library heuristic)."""
+    lits = [_literal_branch(br) for br in branches if br]
+    if all(lit is not None for lit in lits):
+        return not _uniquely_decodable([lit for lit in lits if lit is not None])
     sets = [_first_set(br) for br in branches if br]
     for i in range(len(sets)):
         for j in range(i + 1, len(sets)):
@@ -580,6 +645,7 @@ def grok_parse(
     keep_source: bool = True,
     keep_source_if_parse_error: bool = True,
     mode: str = "jvm",
+    max_input_len: int | None = None,
 ) -> DataFrame:
     """processor_grok (plugins/processor/grok/processor_grok.go:35-173).
 
@@ -587,6 +653,14 @@ def grok_parse(
     whose regex matches supplies the fields (processor_grok.go:135-173).
     Columnar form: later patterns only fill keys still NULL on rows not
     matched by an earlier pattern.
+
+    `max_input_len` truncates the MATCHED input to its first N chars —
+    the runtime backstop for the reference's regexp2 MatchTimeout
+    (processor_grok.go:322-333) that `lint_backtracking` (a compile-time
+    heuristic) cannot fully be: a pathological pattern whose core eludes
+    the lint does work bounded by the cap, not by the row length.
+    Documented truncation semantics: captures come from the prefix only;
+    a match completing beyond the cap is a parse failure.
     """
     from ilogtail_spark.operators.parse import regex_parse
 
@@ -600,6 +674,7 @@ def grok_parse(
             df, cg.regex, cg.keys, source_key, types=cg.types,
             keep_source=keep_source,
             keep_source_if_parse_error=keep_source_if_parse_error, mode=mode,
+            max_input_len=max_input_len,
         )
 
     # multi-match: priority-ordered fill
@@ -608,10 +683,15 @@ def grok_parse(
         for k in cg.keys:
             if k not in all_keys:
                 all_keys.append(k)
+    src = (
+        F.substring(F.col(source_key), 1, max_input_len)
+        if max_input_len is not None
+        else F.col(source_key)
+    )
     df = df.withColumn("__grok_done__", F.lit(False))
     for ci, cg in enumerate(compiled):
         pat = "(?s)" + cg.regex
-        m = (~F.col("__grok_done__")) & F.col(source_key).rlike(pat)
+        m = (~F.col("__grok_done__")) & src.rlike(pat)
         cols = {}
         # duplicate aliases across alternation branches (e.g.
         # HTTPD_ERRORLOG's timestamp): first NON-EMPTY capture wins —
@@ -620,11 +700,11 @@ def grok_parse(
         for k, _typ, gi in cg.fields:
             slots.setdefault(k, []).append(gi)
         for k, idxs in slots.items():
-            val = F.regexp_extract(F.col(source_key), pat, idxs[0])
+            val = F.regexp_extract(src, pat, idxs[0])
             for gi in idxs[1:]:
                 val = F.coalesce(
                     F.nullif(val, F.lit("")),
-                    F.regexp_extract(F.col(source_key), pat, gi),
+                    F.regexp_extract(src, pat, gi),
                 )
             if k in cg.types:
                 val = val.cast(cg.types[k])

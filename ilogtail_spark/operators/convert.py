@@ -396,6 +396,12 @@ def custom_single_flatten(
     # map emits sorted keys; Time is uint32). Each string pair is
     # rendered through to_json for correct escaping.
     tkey = (protocol_key_rename or {}).get("time", "time")
+    # a content/tag key EQUAL to the (possibly renamed) time protocol key
+    # must be OVERWRITTEN by the time value — the reference assigns Time
+    # into the same Go map last (converter_single_log_flatten.go:39-56),
+    # so map semantics make time win; without this filter the JSON would
+    # carry duplicate keys and the flat map would miss the time slot
+    flat_ent = F.filter(flat_ent, lambda e: e["key"] != F.lit(tkey))
     time_frag = F.struct(
         F.lit(tkey).alias("key"),
         F.concat(

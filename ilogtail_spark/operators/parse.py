@@ -68,6 +68,7 @@ def regex_parse(
     mode: str = "jvm",
     guard_startswith: str | None = None,
     guard_regex: str | None = None,
+    max_input_len: int | None = None,
 ) -> DataFrame:
     """processor_regex (plugins/processor/regex/regex.go:32-129) /
     ProcessorParseRegexNative (core/plugin/processor/ProcessorParseRegexNative.cpp:103).
@@ -93,6 +94,15 @@ def regex_parse(
     mode='arrow'      : one vectorized pandas ``str.extract`` pass —
                         single execution, Arrow transfer; for patterns
                         needing Python-only regex features.
+
+    `max_input_len` TRUNCATES the matched input to its first N chars —
+    the runtime stand-in for the reference's regexp2 MatchTimeout
+    (processor_grok.go:322-333), which has no JVM-codegen equivalent: a
+    user-supplied pattern whose catastrophic core eludes the compile-time
+    lint does work bounded by the cap instead of the (unbounded) row
+    length. Truncation semantics are explicit: captures come from the
+    truncated prefix, and a match that would only complete beyond the cap
+    is a parse failure. The source column itself is never modified.
     """
     pat = pattern
     if dotall and not pat.startswith("(?s)"):
@@ -100,22 +110,28 @@ def regex_parse(
     if full_match:
         pat = _anchor(pat)
     types = types or {}
+    src = (
+        F.substring(F.col(source_key), 1, max_input_len)
+        if max_input_len is not None
+        else F.col(source_key)
+    )
 
     guard: Column | None = None
     if guard_startswith is not None:
-        guard = F.col(source_key).startswith(guard_startswith)
+        guard = src.startswith(guard_startswith)
     if guard_regex is not None:
-        g = F.col(source_key).rlike(guard_regex)
+        g = src.rlike(guard_regex)
         guard = g if guard is None else (guard & g)
 
     if mode == "jvm":
         return _regex_parse_onepass(
             df, pat, keys, source_key, types,
             keep_source, keep_source_if_parse_error, full_match, guard,
+            src=src,
         )
 
     if mode == "arrow":
-        df = _regex_parse_arrow(df, pat, keys, source_key)
+        df = _regex_parse_arrow(df, pat, keys, source_key, src=src)
         matched = F.col("__m__")
         for k in keys:
             c = F.col(k)
@@ -125,16 +141,16 @@ def regex_parse(
         df = _apply_keep_source(df, source_key, matched, keep_source, keep_source_if_parse_error)
         return df.drop("__m__")
 
-    matched = F.col(source_key).rlike(pat)
+    matched = src.rlike(pat)
     if guard is not None:
         matched = guard & matched
     cols = {}
     for k, idxs in _key_slots(keys).items():
-        raw = F.regexp_extract(F.col(source_key), pat, idxs[0] + 1)
+        raw = F.regexp_extract(src, pat, idxs[0] + 1)
         for j in idxs[1:]:
             raw = F.coalesce(
                 F.nullif(raw, F.lit("")),
-                F.regexp_extract(F.col(source_key), pat, j + 1),
+                F.regexp_extract(src, pat, j + 1),
             )
         c = F.when(matched, raw)
         if k in types:
@@ -174,6 +190,7 @@ def _regex_parse_onepass(
     keep_source_if_parse_error: bool,
     already_anchored: bool,
     guard: Column | None = None,
+    src: Column | None = None,
 ) -> DataFrame:
     """Single-execution JVM path: one ``regexp_replace`` rewrites a matched
     value into sentinel + \\x01-joined groups; non-matching values pass
@@ -186,7 +203,9 @@ def _regex_parse_onepass(
     else:
         wrapped = f"{flags}^(?:.*?)(?:{body})(?:.*)$"
     repl = _ONEPASS_SENT + _ONEPASS_SEP.join(f"${i}" for i in range(1, len(keys) + 1))
-    packed = F.regexp_replace(F.col(source_key), wrapped, repl)
+    packed = F.regexp_replace(
+        src if src is not None else F.col(source_key), wrapped, repl
+    )
     if guard is not None:
         packed = F.when(guard, packed)
     matched = packed.isNotNull() & packed.startswith(_ONEPASS_SENT)
@@ -206,7 +225,10 @@ def _regex_parse_onepass(
     return _apply_keep_source(df, source_key, matched, keep_source, keep_source_if_parse_error)
 
 
-def _regex_parse_arrow(df: DataFrame, pat: str, keys: list[str], source_key: str) -> DataFrame:
+def _regex_parse_arrow(
+    df: DataFrame, pat: str, keys: list[str], source_key: str,
+    src: Column | None = None,
+) -> DataFrame:
     """Single-pass vectorized extraction via Arrow batches.
 
     The Spark analog of the reference's one-compile-many-exec regex loop
@@ -235,7 +257,7 @@ def _regex_parse_arrow(df: DataFrame, pat: str, keys: list[str], source_key: str
         # str.extract gives NaN for unmatched; normalize to None
         return out.where(out.notna(), None)
 
-    struct_col = _extract(F.col(source_key))
+    struct_col = _extract(src if src is not None else F.col(source_key))
     df = df.withColumn("__ext__", struct_col)
     for k in keys:
         df = df.withColumn(k, F.col(f"__ext__.{k}"))

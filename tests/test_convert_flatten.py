@@ -158,6 +158,35 @@ class TestFlattenSemantics:
         )
         assert d["log.file.path"] == "late"
 
+    def test_time_key_collision_time_wins(self, spark):
+        """ADVICE r4: a content key equal to the (renamed) time protocol
+        key must be OVERWRITTEN by the numeric time — the reference's
+        map assignment writes Time last. No duplicate JSON keys, and the
+        flat map drops the colliding string entry."""
+        df = spark.range(1).select(
+            F.lit(7).alias("log_time"),
+            F.create_map(
+                F.lit("time"), F.lit("bogus"), F.lit("m"), F.lit("1")
+            ).alias("fields"),
+        )
+        out = custom_single_flatten(df, "fields", "log_time").first()
+        d = json.loads(out["flat_json"])
+        assert d == {"m": "1", "time": 7}
+        assert out["flat_json"].count('"time"') == 1
+        assert "time" not in out["flat"]
+        # renamed time key: the collision follows the RENAMED name
+        df2 = spark.range(1).select(
+            F.lit(9).alias("log_time"),
+            F.create_map(
+                F.lit("@ts"), F.lit("bogus"), F.lit("time"), F.lit("kept")
+            ).alias("fields"),
+        )
+        out2 = custom_single_flatten(
+            df2, "fields", "log_time", protocol_key_rename={"time": "@ts"}
+        ).first()
+        d2 = json.loads(out2["flat_json"])
+        assert d2 == {"@ts": 9, "time": "kept"}
+
     def test_only_contents(self, spark):
         df = spark.createDataFrame(
             [(7, {"m": "1", "__tag__:x": "y"}, "1.2.3.4", "t")], SCHEMA
