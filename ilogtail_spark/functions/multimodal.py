@@ -125,6 +125,164 @@ def decode_bmp(payload: bytes):
 
 
 # ---------------------------------------------------------------------
+# Pure-Python PNG codec (8-bit RGB/RGBA, non-interlaced). PNG is zlib
+# (stdlib) + per-row byte filters over a chunked container — nothing in
+# the format needs a codec library for the baseline case, so the
+# COMPRESSED-image path becomes real in this container too: the decoder
+# handles all five scanline filters (None/Sub/Up/Average/Paeth), both
+# RGB and RGBA (alpha dropped), verifies chunk CRCs, and rejects
+# interlaced/palette/16-bit variants with a clear error (those dispatch
+# to PIL when present). Byte layout per the public PNG specification
+# (RFC 2083 / ISO 15948).
+# ---------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels, *, filter_type: int = 0) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an 8-bit non-interlaced
+    PNG. `filter_type` (0-4) is applied to EVERY scanline — real
+    encoders pick per-row, but a uniform choice keeps the stream
+    deterministic while still exercising each reconstruction path in
+    the decoder (the round-trip tests cover all five)."""
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"encode_png expects (h, w, 3) RGB, got {arr.shape}")
+    if not 0 <= filter_type <= 4:
+        raise ValueError(f"filter_type must be 0-4, got {filter_type}")
+    h, w = arr.shape[:2]
+    bpp = 3
+    raw = arr.astype(np.int16)
+    zeros_row = np.zeros((w, bpp), dtype=np.int16)
+    lines = []
+    for y in range(h):
+        cur = raw[y]
+        prior = raw[y - 1] if y > 0 else zeros_row
+        left = np.vstack([zeros_row[:1], cur[:-1]])
+        ul = np.vstack([zeros_row[:1], prior[:-1]])
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            filt = cur - left
+        elif filter_type == 2:
+            filt = cur - prior
+        elif filter_type == 3:
+            filt = cur - (left + prior) // 2
+        else:  # Paeth
+            filt = cur - _paeth(left, prior, ul)
+        lines.append(bytes([filter_type]) + (filt % 256).astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a, b, c):
+    """The Paeth predictor (PNG spec §6.6), vectorized over int16."""
+    import numpy as np
+
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def decode_png(payload: bytes):
+    """Decode an 8-bit non-interlaced truecolor PNG (color type 2 RGB or
+    6 RGBA — alpha dropped) into an (h, w, 3) uint8 RGB array. Verifies
+    chunk CRCs; raises ValueError for palette/16-bit/interlaced
+    variants (the PIL fallback's territory)."""
+    import zlib
+
+    import numpy as np
+
+    if payload is None or bytes(payload[:8]) != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    payload = bytes(payload)
+    pos = 8
+    ihdr = None
+    idat = []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in (2, 6) or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, color={color}, "
+            f"interlace={interlace}); only 8-bit non-interlaced RGB/RGBA "
+            "decodes natively — PNG/JPEG beyond that need PIL/pyvips"
+        )
+    bpp = 3 if color == 2 else 4
+    stride = w * bpp
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError(f"PNG data length {len(raw)}, need {h * (stride + 1)}")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    zeros = np.zeros(stride, dtype=np.int16)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int16)
+        prior = out[y - 1].astype(np.int16) if y > 0 else zeros
+        if ft == 0:
+            rec = line
+        elif ft == 2:
+            rec = line + prior
+        elif ft in (1, 3, 4):
+            # left-dependent filters are sequential along the row by
+            # construction; recurrence done pixel-group-wise in numpy
+            rec = np.empty(stride, dtype=np.int16)
+            for x in range(0, stride, bpp):
+                a = rec[x - bpp : x] if x else zeros[:bpp]
+                b = prior[x : x + bpp]
+                if ft == 1:
+                    rec[x : x + bpp] = (line[x : x + bpp] + a) % 256
+                elif ft == 3:
+                    rec[x : x + bpp] = (line[x : x + bpp] + (a + b) // 2) % 256
+                else:
+                    c = prior[x - bpp : x] if x else zeros[:bpp]
+                    rec[x : x + bpp] = (
+                        line[x : x + bpp] + _paeth(a, b, c)
+                    ) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = rec % 256
+    px = out.reshape(h, w, bpp)
+    return px[:, :, :3].copy()
+
+
+# ---------------------------------------------------------------------
 # BMPS: a trivial uncompressed video container — concatenated BMP
 # frames behind a fixed header (magic, frame count, ms-per-frame, frame
 # byte lengths). The codec-free analog of an MJPEG/AVI stream: it makes
@@ -178,14 +336,21 @@ def _frame_rgb(media_id: int, frame: int) -> tuple[int, int, int]:
     )
 
 
-def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
+def synthetic_media(
+    spark: SparkSession, n: int = 64, *, image_codec: str = "bmp"
+) -> DataFrame:
     """Deterministic media table. Image rows (id % 3 == 0) carry REAL
-    24-bit BMP payloads (solid fill from `_solid_rgb`, small dims chosen
-    so some rows need 4-byte padding); video rows (id % 3 == 2) carry
-    REAL BMPS containers — one 4x4 `_frame_rgb` frame per second of
-    duration_ms; audio payloads stay opaque deterministic bytes (sha2 of
-    the id, repeated). All metadata is modular arithmetic on the id, so
-    an oracle can recompute it."""
+    payloads — 24-bit BMP by default, or genuine zlib-compressed PNGs
+    with ``image_codec="png"`` (filter type id % 5, so the oracle query
+    over a PNG corpus exercises every scanline-filter reconstruction
+    path); solid fill from `_solid_rgb`, small dims chosen so some BMP
+    rows need 4-byte padding. Video rows (id % 3 == 2) carry REAL BMPS
+    containers — one 4x4 `_frame_rgb` frame per second of duration_ms;
+    audio payloads stay opaque deterministic bytes (sha2 of the id,
+    repeated). All metadata is modular arithmetic on the id, so an
+    oracle can recompute it."""
+    if image_codec not in ("bmp", "png"):
+        raise ValueError(f"image_codec must be 'bmp' or 'png', got {image_codec!r}")
 
     @F.pandas_udf(T.BinaryType())
     def gen_bmp(media_id, width, height):  # type: ignore[no-untyped-def]
@@ -196,7 +361,10 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
         for mid, w, h in zip(media_id, width, height):
             arr = np.empty((int(h), int(w), 3), dtype=np.uint8)
             arr[:, :] = _solid_rgb(int(mid))
-            out.append(encode_bmp(arr))
+            if image_codec == "png":
+                out.append(encode_png(arr, filter_type=int(mid) % 5))
+            else:
+                out.append(encode_bmp(arr))
         return pd.Series(out)
 
     @F.pandas_udf(T.BinaryType())
@@ -250,7 +418,7 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
             .alias("height"),
             duration.alias("duration_ms"),
             F.element_at(
-                F.array(F.lit("bmp"), F.lit("opus"), F.lit("bmps")),
+                F.array(F.lit(image_codec), F.lit("opus"), F.lit("bmps")),
                 (F.col("id") % 3 + 1).cast("int"),
             ).alias("codec"),
         ).alias("meta"),
@@ -260,16 +428,24 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
 
 def decode_image(payload: bytes):
     """Decode an image payload to an (h, w, 3) uint8 RGB array.
-    BMP decodes natively (pure Python, always available); PNG/JPEG
-    dispatch to PIL when importable. Unknown formats raise ValueError."""
+    BMP decodes natively (pure Python); so does baseline PNG (8-bit
+    non-interlaced RGB/RGBA — stdlib zlib, `decode_png`). Exotic PNG
+    variants and JPEG dispatch to PIL when importable. Unknown formats
+    raise ValueError."""
     if payload is not None and len(payload) >= 2 and bytes(payload[:2]) == b"BM":
         return decode_bmp(payload)
+    if payload is not None and bytes(payload[:4]) == b"\x89PNG":
+        try:
+            return decode_png(payload)
+        except ValueError:
+            if not codecs_available():
+                raise
     if payload is not None and (
         bytes(payload[:4]) == b"\x89PNG" or bytes(payload[:2]) == b"\xff\xd8"
     ):
         if not codecs_available():
             raise ValueError(
-                "PNG/JPEG payload needs PIL or pyvips, neither is importable"
+                "JPEG payload needs PIL or pyvips, neither is importable"
             )
         import io
 

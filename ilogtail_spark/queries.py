@@ -2754,6 +2754,41 @@ FROM dims
 """
 
 
+def q_media_features_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal image decode over genuine zlib-COMPRESSED payloads:
+    synthetic_media(image_codec='png') emits real PNGs (filter type
+    id % 5, so all five scanline-filter reconstructions run), the Arrow
+    kernel decodes them with the pure-Python stdlib-zlib codec
+    (functions/multimodal.py::decode_png), and the oracle recomputes
+    decoded dims + per-channel means from the generator's closed-form
+    arithmetic. n_bytes is excluded: a zlib stream's length has no
+    closed form for an independent oracle to recompute."""
+    m = synthetic_media(spark, 64, image_codec="png").filter(
+        F.col("kind") == "image"
+    )
+    f = extract_features(m, fake=False)
+    return f.select(
+        "media_id",
+        F.element_at("feature", 1).cast("int").alias("width_px"),
+        F.element_at("feature", 2).cast("int").alias("height_px"),
+        F.element_at("feature", 3).cast("double").alias("mean_r"),
+        F.element_at("feature", 4).cast("double").alias("mean_g"),
+        F.element_at("feature", 5).cast("double").alias("mean_b"),
+    )
+
+
+O_MEDIA_FEATURES_PNG = """
+WITH ids AS (SELECT range AS id FROM range(0, 64) WHERE range % 3 = 0)
+SELECT id AS media_id,
+  CAST((id % 16 + 1) * 4 + (id // 3) % 3 AS int) AS width_px,
+  CAST((id % 9 + 1) * 4 + (id // 5) % 4 AS int) AS height_px,
+  CAST(id * 37 % 256 AS double) AS mean_r,
+  CAST(id * 59 % 256 AS double) AS mean_g,
+  CAST(id * 83 % 256 AS double) AS mean_b
+FROM ids
+"""
+
+
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame sampling — REAL: the timestamp plan (explode)
     drives seek+slice extraction from genuine BMPS containers. The
@@ -2879,6 +2914,7 @@ QUERIES: dict[str, QueryFn] = {
     "custom_flatten": q_custom_flatten,
     "custom_single": q_custom_single,
     "media_features": q_media_features,
+    "media_features_png": q_media_features_png,
     "media_frames": q_media_frames,
 }
 
@@ -2969,6 +3005,7 @@ ORACLES: dict[str, str] = {
     "embedding_dup": O_EMBEDDING_DUP,
     "lang_id_trigram": O_LANG_ID_TRIGRAM,
     "media_features": O_MEDIA_FEATURES,
+    "media_features_png": O_MEDIA_FEATURES_PNG,
     "corpus_pipeline": O_CORPUS_PIPELINE,
     "es_index_route": O_ES_INDEX_ROUTE,
     "custom_flatten": O_CUSTOM_FLATTEN,

@@ -202,6 +202,134 @@ class TestTextstats:
         assert out[1] != out[3]  # position-weighted
 
 
+class TestPngCodec:
+    """Pure-Python PNG codec (stdlib zlib): round-trips for every
+    scanline filter, HAND-BUILT known-answer streams (so a symmetric
+    encoder/decoder sign error cannot cancel), RGBA decode, and clean
+    rejection of unsupported variants."""
+
+    def _img(self, h, w):
+        import numpy as np
+
+        return np.fromfunction(
+            lambda y, x, c: (y * 7 + x * 13 + c * 29) % 256, (h, w, 3)
+        ).astype(np.uint8)
+
+    def test_roundtrip_all_filters(self):
+        import numpy as np
+
+        from ilogtail_spark.functions.multimodal import decode_png, encode_png
+
+        img = self._img(9, 13)
+        for ft in range(5):
+            out = decode_png(encode_png(img, filter_type=ft))
+            assert (out == img).all(), f"filter {ft}"
+        # 1-pixel edge case
+        one = np.array([[[1, 2, 3]]], dtype=np.uint8)
+        for ft in range(5):
+            assert (decode_png(encode_png(one, filter_type=ft)) == one).all()
+
+    def _hand_png(self, w, h, color_type, bpp, rows):
+        """Assemble a PNG from RAW filtered scanlines (spec layout)."""
+        import struct
+        import zlib
+
+        def chunk(typ, data):
+            return (struct.pack(">I", len(data)) + typ + data
+                    + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+                + chunk(b"IEND", b""))
+
+    def test_hand_built_sub_and_up_vectors(self):
+        """Spec-computed reconstructions: row 0 Sub-filtered, row 1
+        Up-filtered, values hand-derived from RFC 2083 §6.3-6.5."""
+        import numpy as np
+
+        from ilogtail_spark.functions.multimodal import decode_png
+
+        # 2x2 RGB. Raw row 0: (10,20,30),(15,25,35) → Sub deltas:
+        # first pixel verbatim, second = raw - left = (5,5,5)
+        row0 = bytes([1, 10, 20, 30, 5, 5, 5])
+        # Raw row 1: (12,22,32),(18,28,38) → Up deltas vs row 0:
+        # (2,2,2),(3,3,3)
+        row1 = bytes([2, 2, 2, 2, 3, 3, 3])
+        png = self._hand_png(2, 2, 2, 3, [row0, row1])
+        out = decode_png(png)
+        expect = np.array(
+            [[[10, 20, 30], [15, 25, 35]], [[12, 22, 32], [18, 28, 38]]],
+            dtype=np.uint8,
+        )
+        assert (out == expect).all()
+
+    def test_hand_built_paeth_vector(self):
+        """Paeth row: predictor picks a/b/c by minimum distance —
+        hand-traced for a 2x2 image (second row Paeth-filtered)."""
+        import numpy as np
+
+        from ilogtail_spark.functions.multimodal import decode_png
+
+        # row 0 (None): (100,0,50),(110,0,60)
+        row0 = bytes([0, 100, 0, 50, 110, 0, 60])
+        # raw row 1: (105,5,55),(115,6,65)
+        # pixel 0: a=0,b=row0px0,c=0 → p=b → pred=b=(100,0,50); filt=(5,5,5)
+        # pixel 1: a=(105,5,55), b=(110,0,60), c=(100,0,50)
+        #   p = a+b-c = (115,5,65); |p-a|=(10,0,10) |p-b|=(5,5,5) |p-c|=(15,5,15)
+        #   ch0: pa=10,pb=5,pc=15 → b=110; ch1: pa=0 → a=5; ch2: pa=10,pb=5 → b=60
+        #   pred=(110,5,60); filt = raw-pred = (5,1,5)
+        row1 = bytes([4, 5, 5, 5, 5, 1, 5])
+        out = decode_png(self._hand_png(2, 2, 2, 3, [row0, row1]))
+        expect = np.array(
+            [[[100, 0, 50], [110, 0, 60]], [[105, 5, 55], [115, 6, 65]]],
+            dtype=np.uint8,
+        )
+        assert (out == expect).all()
+
+    def test_rgba_decodes_alpha_dropped(self):
+        import numpy as np
+
+        from ilogtail_spark.functions.multimodal import decode_png
+
+        # 1x2 RGBA, filter 0: (1,2,3,255), (4,5,6,128)
+        row = bytes([0, 1, 2, 3, 255, 4, 5, 6, 128])
+        out = decode_png(self._hand_png(2, 1, 6, 4, [row]))
+        assert (out == np.array([[[1, 2, 3], [4, 5, 6]]], dtype=np.uint8)).all()
+
+    def test_unsupported_variants_rejected(self):
+        import pytest as _pytest
+
+        from ilogtail_spark.functions.multimodal import decode_png
+
+        with _pytest.raises(ValueError, match="bad signature"):
+            decode_png(b"notapng")
+        # palette (color type 3) rejected with a clear message
+        row = bytes([0, 0])
+        with _pytest.raises(ValueError, match="unsupported PNG variant"):
+            decode_png(self._hand_png(1, 1, 3, 1, [row]))
+
+    def test_crc_verified(self):
+        import pytest as _pytest
+
+        from ilogtail_spark.functions.multimodal import decode_png, encode_png
+
+        png = bytearray(encode_png(self._img(3, 3)))
+        png[40] ^= 0xFF  # corrupt a data byte without fixing the CRC
+        with _pytest.raises(ValueError, match="CRC"):
+            decode_png(bytes(png))
+
+    def test_decode_image_dispatches_png(self):
+        import numpy as np
+
+        from ilogtail_spark.functions.multimodal import decode_image, encode_png
+
+        img = self._img(4, 6)
+        assert (decode_image(encode_png(img)) == img).all()
+        arr = np.asarray(decode_image(encode_png(img, filter_type=4)))
+        assert arr.shape == (4, 6, 3)
+
+
 class TestMultimodal:
     def test_feature_extraction_shape(self, spark):
         m = synthetic_media(spark, 12)
