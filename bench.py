@@ -89,8 +89,15 @@ def main() -> None:
     counts = routed.groupBy("route").count().collect()
     timings["pipeline_1m_counts"] = round(time.time() - t0, 3)
 
-    # representative registry queries at the sf dir (best of 2)
-    for name in (
+    # representative registry queries at the sf dir. Reps run
+    # INTERLEAVED (full passes over the list, not back-to-back per
+    # query) so each query's samples are separated in time — on this
+    # multi-tenant box back-to-back reps share one tenancy regime and a
+    # single bad window reads as a phantom regression (BENCH_r03/r04
+    # both needed judge re-measurement for exactly the self-join
+    # family). The noisy self-join queries get an extra rep and publish
+    # {best, median, runs} so the artifact itself carries the spread.
+    registry = (
         "regex_parse", "grok_parse", "json_parse", "multiline_merge",
         "rate_limit", "pipeline_e2e", "spl_pipeline", "exact_dedup",
         "minhash_lsh", "ngram_jaccard", "ann_brute_force", "quality_score",
@@ -98,16 +105,29 @@ def main() -> None:
         "grok_apache", "prom_parse", "prom_relabel", "repetition", "pii_scrub",
         "dedup_clusters", "pack_sequences", "custom_flatten",
         "corpus_pipeline",
-    ):
-        fn = QUERIES[name]
-        best = None
-        for _ in range(2):
+    )
+    noisy = {"minhash_lsh", "ngram_jaccard", "dedup_clusters", "spl_pipeline"}
+    reps = {name: (3 if name in noisy else 2) for name in registry}
+    runs: dict[str, list[float]] = {name: [] for name in registry}
+    for rnd in range(max(reps.values())):
+        for name in registry:
+            if rnd >= reps[name]:
+                continue
+            fn = QUERIES[name]
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            runs[name].append(time.time() - t0)
+    for name in registry:
+        timings[name] = round(min(runs[name]), 3)
+    query_stats = {
+        name: {
+            "best": round(min(runs[name]), 3),
+            "median": round(sorted(runs[name])[len(runs[name]) // 2], 3),
+            "runs": [round(x, 3) for x in runs[name]],
+        }
+        for name in sorted(noisy)
+    }
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -116,6 +136,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "query_stats": query_stats,
         "sf": sf_dir,
         "headline_turns": n_turns,
         "headline_sec": round(headline, 3),

@@ -111,6 +111,32 @@ def main() -> None:
 
     timed("exact_dedup", lambda: exact_dedup(docs).count())
     timed("minhash_lsh", lambda: minhash_lsh_pairs(docs, threshold=0.5).count())
+
+    # LSH bucket-size histogram audit (the codebase's standing lesson —
+    # a correlated hash family shows up as mega-buckets long before it
+    # biases estimates): with md5-derived permutation coefficients the
+    # max band bucket should be the planted-dup group size, not 10^3+.
+    from pyspark.sql import functions as F
+
+    from ilogtail_spark.functions.dedup import minhash_bands, minhash_signatures
+
+    t0 = time.time()
+    hist = (
+        minhash_bands(minhash_signatures(docs))
+        .groupBy("band", "bucket")
+        .count()
+    )
+    st = hist.agg(
+        F.max("count").alias("mx"),
+        F.expr("percentile_approx(count, 0.999)").alias("p999"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    ).first()
+    print(json.dumps({
+        "op": "minhash_band_histogram", "n_docs": n,
+        "sec": round(time.time() - t0, 1),
+        "max_bucket": st["mx"], "p999_bucket": st["p999"],
+        "n_buckets": st["n_buckets"],
+    }))
     timed(
         "ngram_jaccard_maxdf",
         lambda: ngram_jaccard_pairs(
