@@ -213,6 +213,29 @@ def _ranked_centroids_arrow(
     return pandas_udf(ranked, "array<long>")
 
 
+def assign_centroids(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "centroid",
+) -> DataFrame:
+    """WRITE-TIME IVF materialization: append the nearest-centroid id so
+    the corpus can be written partitioned by it —
+
+        assign_centroids(corpus, cents).write.partitionBy("centroid")...
+
+    — after which a probe query that filters ``centroid IN (<probes>)``
+    scans only n_probes/n_centroids of the files (Spark partition
+    pruning; pinned by tests/test_functions.py::TestIvfWriteTime). This
+    is the story `ivf_topk`'s docstring tells about 100 TB: assignment
+    is one numpy matmul per Arrow batch at ingest, and query cost is
+    bounded by the probed lists' bytes, not the corpus. Uses the same
+    kernel (and therefore the same tie order) as online `ivf_topk`."""
+    ranked = _ranked_centroids_arrow(centroids, 1)
+    return df.withColumn(out_col, F.element_at(ranked(F.col(vec_col)), 1))
+
+
 def ivf_topk(
     df: DataFrame,
     queries: DataFrame,

@@ -116,6 +116,50 @@ class TestSimilarity:
         assert top["cos_sim"] == 1.0 and top["n_id"] in (3, 6)
 
 
+class TestIvfWriteTime:
+    """assign_centroids is the write-time IVF path: a corpus written
+    partitionBy(centroid) serves probe queries with PARTITION PRUNING —
+    the scan touches only the probed lists, which is the whole point of
+    IVF at 100 TB."""
+
+    def test_partition_pruning_on_probed_lists(self, spark, tmp_path):
+        from ilogtail_spark.functions.similarity import assign_centroids, ivf_topk
+
+        rows = [(i, [float((i * 13 + j * 7) % 11 - 5) for j in range(8)])
+                for i in range(64)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        cents = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+                 for r in sorted(emb.filter(F.col("vec_id") < 4).collect(),
+                                 key=lambda r: r["vec_id"])]
+        path = str(tmp_path / "ivf_corpus")
+        assign_centroids(emb, cents).write.partitionBy("centroid").parquet(path)
+
+        stored = spark.read.parquet(path)
+        # the assignment column matches the online kernel's choice
+        online = ivf_topk(emb, emb.filter(F.col("vec_id") == 0), k=3,
+                          centroids=cents)
+        assert online.count() == 3
+
+        probed = stored.filter(F.col("centroid").isin([0, 2]))
+        import io
+        from contextlib import redirect_stdout
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            probed.explain("formatted")
+        plan = buf.getvalue()
+        # the probe filter must reach the scan as a PartitionFilter —
+        # a post-scan Filter over all partitions misses the point
+        assert "PartitionFilters" in plan and "centroid" in plan.split(
+            "PartitionFilters", 1
+        )[1].split("\n")[0]
+        # pruning is real: only the probed lists' rows are read
+        full = {r["centroid"] for r in stored.select("centroid").distinct().collect()}
+        assert len(full) > 2
+        assert probed.count() < stored.count()
+        assert {r["centroid"] for r in probed.select("centroid").distinct().collect()} <= {0, 2}
+
+
 class TestEmbeddingDedup:
     def test_exact_and_lsh_tiers(self, spark):
         from ilogtail_spark.functions.similarity import (

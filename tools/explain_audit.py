@@ -58,6 +58,19 @@ CHECKS = {
     "pack_sequences": (["FlatMapGroupsInPandas"], ["SortMergeJoin"]),
     "url_stats": (["HashAggregate", "partial_"], ["SortMergeJoin"]),
     "normalize_dedup": (["HashAggregate", "partial_"], ["SortMergeJoin"]),
+    # round 5: IVF assignment is the Arrow numpy-matmul kernel (an
+    # ArrowEvalPython stage), probe join broadcasts the query side
+    "ann_ivf": (["ArrowEvalPython", "BroadcastHashJoin"],
+                ["SortMergeJoin", "CartesianProduct"]),
+    # multi-table LSH: per-(table,bucket) equi-join, broadcast query side
+    "ann_lsh_multi": (["BroadcastHashJoin"],
+                      ["SortMergeJoin", "CartesianProduct"]),
+    # round 5 (VERDICT r4 #1): the keep-one cluster join must carry NO
+    # forced broadcast hint — the cluster side is a stats-unknown
+    # LogicalRDD, so the STATIC plan is a shuffle join (AQE upgrades it
+    # to broadcast at runtime when the built side is small; both
+    # regimes pinned in tests/test_functions.py)
+    "dedup_keep_one": (["SortMergeJoin"], ["BroadcastHashJoin"]),
 }
 
 # single-pass claims: at most N parquet scans in the physical plan
