@@ -354,6 +354,8 @@ def _first_set(s: str, depth: int = 0) -> frozenset | None:
             out = frozenset(_UNIVERSE - base) if e.isupper() else base
         elif e in "AbBZz":  # zero-width assertions
             return _first_set(rest, depth + 1)
+        elif e.isdigit():
+            return None  # backreference: first char is the capture's, unknown
         else:
             out = frozenset({"n": "\n", "t": "\t", "r": "\r"}.get(e, e))
     elif first == ".":
@@ -472,8 +474,8 @@ def _literal_branch(br: str) -> str | None:
         c = br[i]
         if c == "\\" and i + 1 < len(br):
             e = br[i + 1]
-            if e.lower() in _ESC_SETS or e in "AbBZz":
-                return None  # a set or assertion, not a single char
+            if e.lower() in _ESC_SETS or e in "AbBZz" or e.isdigit():
+                return None  # a set/assertion/backreference, not one char
             out.append({"n": "\n", "t": "\t", "r": "\r"}.get(e, e))
             i += 2
             continue

@@ -1974,6 +1974,53 @@ def _ivf_centroids(emb: DataFrame) -> list[tuple[int, list[float]]]:
             for r in cent_rows]
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space SEMANTIC dedup, end to end: hyperplane-LSH
+    near-dup pairs (bucketed self-join + exact cosine verify) →
+    connected components (min-label) → the keep-one decision over the
+    full embeddings corpus. The same three-stage shape a training-data
+    pipeline materializes for text dedup (`dedup_keep_one`), composed
+    here over the vector column — every stage's shuffle is id- or
+    bucket-keyed, nothing is quadratic in the corpus. Full-chain
+    oracle: DuckDB recomputes buckets (shared plane literals), pairs,
+    the transitive closure, and the left-join keep flags."""
+    from ilogtail_spark.functions.dedup import connected_components, dedup_keep_one
+    from ilogtail_spark.functions.similarity import embedding_cosine_pairs_lsh
+
+    emb = _emb(spark, sf_dir)
+    pairs = embedding_cosine_pairs_lsh(emb, threshold=0.35, n_planes=4, dim=64)
+    cc = connected_components(pairs, "id_a", "id_b")
+    out = dedup_keep_one(emb.select("vec_id"), cc, id_col="vec_id")
+    return out.select("vec_id", "cluster_id", "keep")
+
+
+O_SEMANTIC_DEDUP = f"""
+WITH RECURSIVE b AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding', 4)} AS bucket
+  FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+  WHERE {_COS_SQL.format(a='a.embedding', b='b2.embedding')} >= 0.35),
+edges AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION SELECT id_b AS s, id_a AS t FROM pairs),
+reach(s, t) AS (
+  SELECT s, t FROM edges
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+clusters AS (
+  SELECT n.node AS vec_id, least(n.node, min(r.t)) AS cluster_id
+  FROM (SELECT DISTINCT s AS node FROM edges) n
+  JOIN reach r ON r.s = n.node
+  GROUP BY n.node)
+SELECT e.vec_id,
+  coalesce(c.cluster_id, e.vec_id) AS cluster_id,
+  (c.cluster_id IS NULL OR c.cluster_id = e.vec_id) AS keep
+FROM embeddings e LEFT JOIN clusters c ON c.vec_id = e.vec_id
+"""
+
+
 def q_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table (OR-amplified) hyperplane-LSH ANN — 2 independent
     8-plane tables: a pair colliding in EITHER table is a candidate,
@@ -2894,6 +2941,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_dup_lsh": q_embedding_dup_lsh,
     "ann_lsh": q_ann_lsh,
     "ann_lsh_multi": q_ann_lsh_multi,
+    "semantic_dedup": q_semantic_dedup,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_expr": q_ann_ivf_expr,
     "lang_id_trigram": q_lang_id_trigram,
@@ -2987,6 +3035,7 @@ ORACLES: dict[str, str] = {
     "embedding_dup_lsh": O_EMBEDDING_DUP_LSH,
     "ann_lsh": O_ANN_LSH,
     "ann_lsh_multi": O_ANN_LSH_MULTI,
+    "semantic_dedup": O_SEMANTIC_DEDUP,
     "ann_ivf": O_ANN_IVF,
     "ann_ivf_expr": O_ANN_IVF,
     "kgram_fingerprints": O_KGRAM_FINGERPRINTS,
