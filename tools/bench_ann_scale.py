@@ -170,6 +170,20 @@ def main() -> None:
             "recall_top20": round(len(got & truth) / max(len(truth), 1), 3),
             "truth_mean_cos": round(mean_cos, 4),
         }))
+    # IVF recall on the same truth set: 64 lists / n_probes probed —
+    # recall is bounded by how often a true neighbor's list is probed
+    cents2 = train_centroids(corpus2, 64, sample_rows=4096, iters=5)
+    for n_probes in (4, 8):
+        t0 = time.time()
+        got_rows = ivf_topk(corpus2, queries, k=20, n_centroids=64,
+                            n_probes=n_probes, centroids=cents2).collect()
+        dt = time.time() - t0
+        got = {(r["q_id"], r["n_id"]) for r in got_rows}
+        print(json.dumps({
+            "op": f"ann_ivf_recall_64lists_x{n_probes}probes",
+            "n_vecs": n, "sec": round(dt, 1),
+            "recall_top20": round(len(got & truth) / max(len(truth), 1), 3),
+        }))
     spark.stop()
 
 
