@@ -507,6 +507,68 @@ def dedup_keep_one(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """CROSS-DOCUMENT duplicated substring spans — the windowed-hash
+    approximation of exact substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", which
+    uses a corpus suffix array; a suffix array is not a distributed
+    shape, but any duplicated substring of ≥ k tokens necessarily
+    contains a duplicated k-token window, so windowed hashing finds the
+    same regions at k-token resolution). Returns per-document maximal
+    runs of duplicated windows as (doc_id, span_start, span_end,
+    n_windows) in token offsets — the spans a curation pipeline cuts or
+    down-weights, rather than dropping whole near-identical documents.
+
+    Shape at 100 TB: one explode O(total tokens) → map-side-combinable
+    distinct-doc count per window hash → hash join back → per-doc run
+    collapse (one doc-keyed window). Never materializes doc pairs.
+    Windows repeated only WITHIN one document are not flagged
+    (`min_docs` counts distinct docs) — self-repetition is
+    `textstats.repetition`'s job."""
+    toks = tokens(F.col(text_col))
+    wins = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.when(
+                F.size(toks) >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - k),
+                    lambda i: _hash32(F.array_join(F.slice(toks, i + 1, k), " ")),
+                ),
+            ).otherwise(F.array().cast("array<long>"))
+        ).alias("pos", "h"),
+    )
+    dup_h = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    dw = wins.join(dup_h, "h")
+    from pyspark.sql.window import Window
+
+    run = F.col("pos") - F.row_number().over(
+        Window.partitionBy("id").orderBy("pos")
+    )
+    return (
+        dw.withColumn("__run__", run)
+        .groupBy(F.col("id").alias(id_col), F.col("__run__"))
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("__run__")
+    )
+
+
 def ngram_contamination(
     train: DataFrame,
     test: DataFrame,

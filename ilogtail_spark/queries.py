@@ -2334,6 +2334,48 @@ SELECT train_id, test_id, shared_ngrams FROM ov WHERE shared_ngrams >= 2
 """
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated substring spans (windowed-hash
+    approximation of Lee et al. 2022 exact substring dedup): maximal
+    runs of 6-token windows whose hash appears in ≥ 2 distinct docs,
+    as (doc_id, span_start, span_end, n_windows) token offsets. Full
+    oracle: DuckDB recomputes windows, cross-doc counts, and the
+    gaps-and-islands run collapse."""
+    from ilogtail_spark.functions.dedup import duplicate_spans
+
+    s = duplicate_spans(_docs(spark, sf_dir), k=6, min_docs=2)
+    return s.select(
+        "doc_id",
+        F.col("span_start").cast("int").alias("span_start"),
+        F.col("span_end").cast("int").alias("span_end"),
+        "n_windows",
+    )
+
+
+O_DUP_SPANS = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+win AS (
+  SELECT doc_id, i - 1 AS pos,
+    cast('0x' || substring(md5(array_to_string(t[i:i+5], ' ')), 1, 8) AS bigint) AS h
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, len(t) - 5)) AS i) AS g
+  WHERE len(t) >= 6),
+dh AS (
+  SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM win GROUP BY h)
+  WHERE nd >= 2),
+dw AS (SELECT doc_id, pos FROM win JOIN dh USING (h)),
+runs AS (
+  SELECT doc_id, pos,
+    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dw)
+SELECT doc_id, cast(min(pos) AS int) AS span_start,
+  cast(max(pos) + 5 AS int) AS span_end,
+  cast(count(*) AS bigint) AS n_windows
+FROM runs GROUP BY doc_id, grp
+"""
+
+
 def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters via large-star/small-star contraction (Kiveris
     et al., SOCC'14) — same candidate graph and same recursive-closure
@@ -2942,6 +2984,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_lsh": q_ann_lsh,
     "ann_lsh_multi": q_ann_lsh_multi,
     "semantic_dedup": q_semantic_dedup,
+    "dup_spans": q_dup_spans,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_expr": q_ann_ivf_expr,
     "lang_id_trigram": q_lang_id_trigram,
@@ -3036,6 +3079,7 @@ ORACLES: dict[str, str] = {
     "ann_lsh": O_ANN_LSH,
     "ann_lsh_multi": O_ANN_LSH_MULTI,
     "semantic_dedup": O_SEMANTIC_DEDUP,
+    "dup_spans": O_DUP_SPANS,
     "ann_ivf": O_ANN_IVF,
     "ann_ivf_expr": O_ANN_IVF,
     "kgram_fingerprints": O_KGRAM_FINGERPRINTS,

@@ -850,6 +850,47 @@ class TestDedupKeepOne:
         assert kept == 4
 
 
+class TestDuplicateSpans:
+    """Windowed-hash substring-dedup spans (Lee et al. 2022 shape):
+    exact token offsets for a planted shared passage, no flags for
+    unique text or for repetition WITHIN one document."""
+
+    def test_planted_shared_passage(self, spark):
+        from ilogtail_spark.functions.dedup import duplicate_spans
+
+        shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 toks
+        docs = spark.createDataFrame(
+            [
+                (1, f"u1 u2 {shared} v1 v2"),          # shared at tokens 2..9
+                (2, f"{shared} w1 w2 w3"),             # shared at tokens 0..7
+                (3, "totally unrelated text with nothing shared here at all"),
+                # self-repetition only: the 4-gram repeats WITHIN doc 4
+                (4, "r1 r2 r3 r4 r1 r2 r3 r4 r1 r2 r3 r4"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {(r["doc_id"]): (r["span_start"], r["span_end"], r["n_windows"])
+               for r in duplicate_spans(docs, k=4, min_docs=2).collect()}
+        # doc 1: windows 2..6 duplicated (5 windows of the 8-token span)
+        assert out[1] == (2, 9, 5)
+        assert out[2] == (0, 7, 5)
+        assert 3 not in out
+        assert 4 not in out  # min_docs counts DISTINCT docs
+
+    def test_two_separate_runs_stay_separate(self, spark):
+        from ilogtail_spark.functions.dedup import duplicate_spans
+
+        a = "p1 p2 p3 p4"
+        b = "q1 q2 q3 q4"
+        docs = spark.createDataFrame(
+            [(1, f"{a} x1 x2 x3 {b}"), (2, f"{a} y1 {b} y2")],
+            "doc_id long, text string",
+        )
+        rows = duplicate_spans(docs, k=4, min_docs=2).collect()
+        spans = sorted((r["doc_id"], r["span_start"], r["span_end"]) for r in rows)
+        assert spans == [(1, 0, 3), (1, 7, 10), (2, 0, 3), (2, 5, 8)]
+
+
 class TestNoCacheAccumulation:
     """VERDICT r5 task 5: the pair-form queries used to persist() their
     bucketed relations and never unpersist — in a long-lived session

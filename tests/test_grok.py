@@ -242,6 +242,44 @@ class TestBacktrackingLint:
         # duplicate branches are ambiguous outright
         assert lint_backtracking(r"(?:abc|abc)+d")
 
+    def test_sardinas_patterson_matches_brute_force(self):
+        """Property check of the exact lint core: for every small
+        literal code over {a,b}, _uniquely_decodable must agree with a
+        brute-force search for a doubly-factorizable string (DP count
+        of factorizations over all strings up to length 14 — generous
+        vs the shortest-witness bound for words of length ≤ 3)."""
+        import random
+        from itertools import product
+
+        from ilogtail_spark.grok import _uniquely_decodable
+
+        def brute_ambiguous(words, max_len=14):
+            for length in range(1, max_len + 1):
+                for tup in product("ab", repeat=length):
+                    s = "".join(tup)
+                    dp = [0] * (length + 1)
+                    dp[0] = 1
+                    for i in range(1, length + 1):
+                        for w in words:
+                            if i >= len(w) and s[i - len(w):i] == w:
+                                dp[i] += dp[i - len(w)]
+                    if dp[length] >= 2:
+                        return True
+            return False
+
+        vocab = [a + b + c for a in "ab" for b in ["", "a", "b"]
+                 for c in ([""] if b == "" else ["", "a", "b"])]
+        vocab = sorted(set(w for w in vocab if w))
+        rng = random.Random(20260817)
+        cases = [["a", "aa"], ["ab", "a"], ["a", "ab", "ba"], ["ab", "ba"]]
+        while len(cases) < 40:
+            cases.append(rng.sample(vocab, rng.randrange(2, 4)))
+        for words in cases:
+            words = list(dict.fromkeys(words))
+            got = _uniquely_decodable(words)
+            want = not brute_ambiguous(words)
+            assert got == want, (words, got, want)
+
     def test_max_input_len_bounds_pathological_match(self, spark):
         """VERDICT r5 task 8: the lint is compile-time and approximate —
         `max_input_len` is the runtime backstop. A genuinely exponential
