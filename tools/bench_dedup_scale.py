@@ -149,6 +149,12 @@ def main() -> None:
             minhash_lsh_pairs(docs, threshold=0.5)
         ).count(),
     )
+    from ilogtail_spark.functions.dedup import duplicate_spans
+
+    timed(
+        "duplicate_spans_k8",
+        lambda: duplicate_spans(docs, k=8, min_docs=2).count(),
+    )
     # the WIDE simhash form (60-bit hash, 15-bit bands -> 32768
     # buckets per band) is the 10^5+ setting; the 32/4 default is a
     # small-corpus form (16 buckets per band -> quadratic past ~10^4)

@@ -65,6 +65,9 @@ CHECKS = {
     # multi-table LSH: per-(table,bucket) equi-join, broadcast query side
     "ann_lsh_multi": (["BroadcastHashJoin"],
                       ["SortMergeJoin", "CartesianProduct"]),
+    # substring spans: window-hash agg + join back + doc-keyed window;
+    # must never degenerate to a cartesian pair form
+    "dup_spans": (["HashAggregate", "Window"], ["CartesianProduct"]),
     # round 5 (VERDICT r4 #1): the keep-one cluster join must carry NO
     # forced broadcast hint — the cluster side is a stats-unknown
     # LogicalRDD, so the STATIC plan is a shuffle join (AQE upgrades it
