@@ -97,38 +97,76 @@ def embedding_cosine_pairs_lsh(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     n_planes: int = 8,
+    n_tables: int = 1,
     dim: int | None = None,
 ) -> DataFrame:
     """Scale path for embedding near-dup: hyperplane-LSH buckets, pairs
-    form only within a bucket (shuffle O(n), compute O(Σ bucket²)), then
-    exact cosine verifies. High-cosine pairs land in the same bucket with
-    probability (1 - θ/π)^n_planes — recall tunable via n_planes."""
+    form only within a bucket (shuffle O(n·tables), compute
+    O(Σ bucket²)), then exact cosine verifies. High-cosine pairs land in
+    one table's shared bucket with probability (1 − θ/π)^n_planes;
+    `n_tables` OR-amplifies recall to 1−(1−p)^T exactly as in
+    `lsh_bucket_topk`. At the near-dup threshold (cos ≥ 0.999) ONE
+    table already recalls every planted pair at 1M vectors (SCALE.md) —
+    the tables knob is for moderate thresholds, where multi-table
+    candidate pairs are deduplicated before the exact verify."""
     from ilogtail_spark.partitioning import spread_for_expansion
 
     df = spread_for_expansion(df, id_col)
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
 
-    bucketed = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        _table_signature(F.col(vec_col), dim, 0, n_planes).alias("bucket"),
-    ).localCheckpoint(eager=False)
-    # ^ both self-join sides: signatures computed ONCE, not twice. A lazy
-    # local checkpoint instead of persist(): persist pins CacheManager
-    # storage until an explicit unpersist, which accumulates across
-    # repeated invocations in a long-lived session; checkpoint blocks are
-    # reclaimed by the ContextCleaner once the plan is garbage collected.
-    return (
-        bucketed.alias("a")
-        .join(
+    # both self-join sides share ONE lazy local checkpoint: signatures
+    # computed once, and (unlike persist) no CacheManager entry outlives
+    # the plan — the ContextCleaner reclaims the blocks on GC.
+    if n_tables == 1:
+        bucketed = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            _table_signature(F.col(vec_col), dim, 0, n_planes).alias("bucket"),
+        ).localCheckpoint(eager=False)
+        pairs = bucketed.alias("a").join(
             bucketed.alias("b"),
             (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
+        ).select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+            F.col("a.v").alias("v_a"),
+            F.col("b.v").alias("v_b"),
+        )
+    else:
+        bucketed = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.posexplode(
+                F.array(
+                    *[
+                        _table_signature(F.col(vec_col), dim, t, n_planes)
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("tbl", "bucket"),
+        ).localCheckpoint(eager=False)
+        pairs = (
+            bucketed.alias("a")
+            .join(
+                bucketed.alias("b"),
+                (F.col("a.tbl") == F.col("b.tbl"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.v").alias("v_a"),
+                F.col("b.v").alias("v_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -181,6 +181,42 @@ class TestEmbeddingDedup:
                embedding_cosine_pairs_lsh(emb, threshold=0.95, n_planes=2).collect()}
         assert lsh <= exact  # no false positives (exact verify step)
 
+    def test_multi_table_pairs_lift_recall_monotonically(self, spark):
+        """OR-amplification in the PAIR form: more tables find a
+        superset of a single table's pairs, never exceed the exact set,
+        and each pair is emitted ONCE even when it collides in several
+        tables."""
+        import math
+
+        from ilogtail_spark.functions.similarity import (
+            embedding_cosine_pairs,
+            embedding_cosine_pairs_lsh,
+        )
+
+        # 15 base directions + a planted cos≈0.9 partner for each
+        a = 0.9 / math.sqrt(1 - 0.81)
+        rows = []
+        for i in range(15):
+            v = [math.sin(i * 1.7 + j) for j in range(8)]
+            w = [math.cos(i * 2.3 + 5 * j + 1) for j in range(8)]
+            nv = math.sqrt(sum(x * x for x in v))
+            nw = math.sqrt(sum(x * x for x in w))
+            rows.append((i, v))
+            rows.append((100 + i, [a * v[j] + (nv / nw) * w[j] for j in range(8)]))
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        exact = {(r["id_a"], r["id_b"]) for r in
+                 embedding_cosine_pairs(emb, threshold=0.8).collect()}
+        got = {}
+        for t in (1, 3):
+            rows_t = embedding_cosine_pairs_lsh(
+                emb, threshold=0.8, n_planes=6, n_tables=t, dim=8
+            ).collect()
+            pairs_t = [(r["id_a"], r["id_b"]) for r in rows_t]
+            assert len(pairs_t) == len(set(pairs_t)), "duplicate pair emitted"
+            got[t] = set(pairs_t)
+        assert got[1] <= got[3] <= exact
+        assert len(got[3]) >= len(got[1])
+
 
 class TestTextstats:
     def test_token_counts(self, spark):
