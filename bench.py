@@ -104,7 +104,7 @@ def main() -> None:
         "fingerprint", "container_log_parse", "apsara_parse", "otel_metric",
         "grok_apache", "prom_parse", "prom_relabel", "repetition", "pii_scrub",
         "dedup_clusters", "pack_sequences", "custom_flatten",
-        "corpus_pipeline",
+        "corpus_pipeline", "ann_ivf", "dup_spans",
     )
     noisy = {"minhash_lsh", "ngram_jaccard", "dedup_clusters", "spl_pipeline"}
     reps = {name: (3 if name in noisy else 2) for name in registry}
