@@ -527,11 +527,16 @@ def duplicate_spans(
     down-weights, rather than dropping whole near-identical documents.
 
     Shape at 100 TB: one explode O(total tokens) → map-side-combinable
-    distinct-doc count per window hash → hash join back → per-doc run
-    collapse (one doc-keyed window). Never materializes doc pairs.
-    Windows repeated only WITHIN one document are not flagged
-    (`min_docs` counts distinct docs) — self-repetition is
-    `textstats.repetition`'s job."""
+    per-hash aggregate → hash join back → per-doc run collapse (one
+    doc-keyed window). Never materializes doc pairs. Windows repeated
+    only WITHIN one document are not flagged (`min_docs` counts
+    distinct docs) — self-repetition is `textstats.repetition`'s job.
+    For the default ``min_docs=2`` the distinct-doc test is
+    ``min(id) != max(id)`` — two map-side-combinable scalars per hash,
+    instead of countDistinct's expanded (hash, id) shuffle."""
+    from ilogtail_spark.partitioning import spread_for_expansion
+
+    df = spread_for_expansion(df, id_col)
     toks = tokens(F.col(text_col))
     wins = df.select(
         F.col(id_col).alias("id"),
@@ -545,12 +550,20 @@ def duplicate_spans(
             ).otherwise(F.array().cast("array<long>"))
         ).alias("pos", "h"),
     )
-    dup_h = (
-        wins.groupBy("h")
-        .agg(F.countDistinct("id").alias("nd"))
-        .filter(F.col("nd") >= min_docs)
-        .select("h")
-    )
+    if min_docs <= 2:
+        dup_h = (
+            wins.groupBy("h")
+            .agg(F.min("id").alias("__lo__"), F.max("id").alias("__hi__"))
+            .filter(F.col("__lo__") != F.col("__hi__"))
+            .select("h")
+        )
+    else:
+        dup_h = (
+            wins.groupBy("h")
+            .agg(F.countDistinct("id").alias("nd"))
+            .filter(F.col("nd") >= min_docs)
+            .select("h")
+        )
     dw = wins.join(dup_h, "h")
     from pyspark.sql.window import Window
 
