@@ -623,6 +623,108 @@ def ngram_contamination(
     )
 
 
+def bloom_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_shared: int = 1,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """`ngram_contamination` behind a distributed Bloom pre-filter —
+    IDENTICAL output by construction (Bloom filters have no false
+    negatives; false positives only reach the exact confirm join, where
+    they cost work, never correctness), different scale path.
+
+    The plain inverted-index join ships EVERY train gram into the
+    shuffle even though almost none overlap the test set. Here the test
+    side is first compressed into an `n_bits`-bit Bloom bitmap:
+
+      * build — each distinct test gram sets `n_hashes` salted-xxhash64
+        bit positions; positions fold into 64-bit words via a map-side-
+        combinable `bit_or` aggregate, one O(n_bits/64)-row shuffle.
+        The grams themselves never shuffle.
+      * probe — each train gram checks its `n_hashes` bits through
+        broadcast hash joins on the word index. The bitmap is at most
+        `n_bits/64` rows (128 KiB of payload at the default) — bounded
+        by the PARAMETER, not the data, so the broadcast hint cannot hit
+        the ceiling that forbids hints on data-sized relations
+        (cf. `dedup_keep_one`). Canonically identical builds collapse to
+        one ReusedExchange.
+      * confirm — survivors (true overlaps + ~fpp of train grams) run
+        the exact `ngram_contamination` join.
+
+    At web scale this turns "shuffle every gram of a 100 TB corpus"
+    into "scan + broadcast-probe, shuffle only the ~0.1% candidate
+    grams". fpp ≈ (1 − e^(−n_hashes·G/n_bits))^n_hashes for G distinct
+    test grams; size `n_bits` ≈ 10 bits/gram for <1% at n_hashes=5."""
+
+    def grams(df: DataFrame, out: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out),
+            F.explode(
+                F.array_distinct(
+                    F.transform(_shingles(F.col(text_col), n), _hash32)
+                )
+            ).alias("g"),
+        )
+
+    def pos(g: Column, i: int) -> Column:
+        return F.pmod(F.xxhash64(g, F.lit(i)), F.lit(n_bits))
+
+    tr = grams(train, "train_id")
+    te = grams(test, "test_id")
+
+    bitmap = (
+        te.select("g")
+        .distinct()
+        .select(
+            F.explode(
+                F.array(*[pos(F.col("g"), i) for i in range(n_hashes)])
+            ).alias("pos")
+        )
+        .select(
+            F.shiftrightunsigned(F.col("pos"), 6).alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+            ).alias("m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+
+    cand = tr
+    for i in range(n_hashes):
+        bm = bitmap.select(
+            F.col("word").alias(f"__w{i}__"), F.col("bits").alias(f"__b{i}__")
+        )
+        cand = (
+            cand.withColumn(f"__p{i}__", pos(F.col("g"), i))
+            .join(
+                F.broadcast(bm),
+                F.shiftrightunsigned(F.col(f"__p{i}__"), 6)
+                == F.col(f"__w{i}__"),
+            )
+            .filter(
+                F.expr(
+                    f"(__b{i}__ & shiftleft(CAST(1 AS BIGINT), "
+                    f"CAST(__p{i}__ % 64 AS INT))) != 0"
+                )
+            )
+            .drop(f"__p{i}__", f"__w{i}__", f"__b{i}__")
+        )
+
+    return (
+        cand.join(te, "g")
+        .groupBy("train_id", "test_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") >= min_shared)
+    )
+
+
 def _sym(edges: DataFrame) -> DataFrame:
     """Undirected neighbor view: every edge in both directions."""
     return edges.unionAll(

@@ -1,0 +1,97 @@
+"""Lexical retrieval over the `documents` table: BM25 scoring and
+top-k keyword search — the sparse-retrieval complement to the
+embedding ANN tier (`functions/similarity.py`). A training-data
+pipeline uses this for targeted corpus slicing ("pull every document
+about X for inspection/curation") and as the lexical half of hybrid
+retrieval.
+
+Scale shape: the query's terms are LITERALS, so per-document term
+frequencies are array-filter expressions over the tokenized text —
+whole-stage-codegen projections, zero shuffle, no inverted index
+required for the score pass. Corpus statistics (N, avgdl, per-term
+document frequency) reduce through ONE map-side-combinable aggregate
+to a single row that broadcast-nested-loop joins back (1-row build
+side). Top-k is TakeOrderedAndProject: per-partition heaps of k, an
+O(k) driver merge — never a full sort. At 100 TB the stats pass is
+the only extra scan; production systems precompute (N, avgdl) and
+per-term df once per corpus snapshot and feed them as literals, which
+drops this to a single scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ilogtail_spark.functions.textstats import tokens
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 10,
+) -> DataFrame:
+    """BM25 (Robertson/Spärck Jones, the Lucene `+1`-smoothed idf form
+    — always non-negative) top-k over whitespace tokens:
+
+        idf(t)   = ln((N − df_t + 0.5)/(df_t + 0.5) + 1)
+        score(d) = Σ_t idf(t) · tf · (k1+1)/(tf + k1·(1−b+b·dl/avgdl))
+
+    Returns (doc_id, bm25) for the `topk` best-scoring documents that
+    contain at least one query term; bm25 rounded to 6 decimals, ties
+    broken by doc_id so the cut is deterministic. Term contributions
+    add in query-term order (a fixed left-associated chain, not a SQL
+    SUM whose partition order floats), so the float is reproducible
+    across engines."""
+    if not query_terms:
+        raise ValueError("bm25_topk requires at least one query term")
+
+    def tf(toks: Column, term: str) -> Column:
+        # single-arg lambda: a two-arg one would make F.filter pass the
+        # (element, index) pair and silently bind `term` to the index
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    toks = tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("dl"),
+        *[tf(toks, t).alias(f"tf{i}") for i, t in enumerate(query_terms)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+
+    def contrib(i: int) -> Column:
+        tf = F.col(f"tf{i}").cast("double")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+            + 1.0
+        )
+        norm = tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        return idf * tf * (k1 + 1.0) / norm
+
+    score = contrib(0)
+    for i in range(1, len(query_terms)):
+        score = score + contrib(i)
+
+    any_hit = F.col("tf0") > 0
+    for i in range(1, len(query_terms)):
+        any_hit = any_hit | (F.col(f"tf{i}") > 0)
+
+    return (
+        base.join(F.broadcast(stats))
+        .filter(any_hit)
+        .select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        .limit(topk)
+    )

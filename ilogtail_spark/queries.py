@@ -2334,6 +2334,73 @@ SELECT train_id, test_id, shared_ngrams FROM ov WHERE shared_ngrams >= 2
 """
 
 
+def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination behind the distributed Bloom pre-filter: the
+    test side compresses to a 2^14-bit bitmap (bit_or aggregate),
+    train grams probe it through broadcast word joins, and only the
+    survivors reach the exact confirm join. No false negatives, so the
+    oracle is `contamination`'s SQL VERBATIM — the Bloom tier must be
+    invisible in the result."""
+    from ilogtail_spark.functions.dedup import bloom_contamination
+
+    d = _docs(spark, sf_dir)
+    out = bloom_contamination(
+        d.filter(F.col("doc_id") % 29 != 0),
+        d.filter(F.col("doc_id") % 29 == 0),
+        n=3,
+        min_shared=2,
+        n_bits=1 << 14,
+        n_hashes=5,
+    )
+    return out.select("train_id", "test_id", "shared_ngrams")
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 keyword retrieval for the query ``spark vector
+    customer`` — corpus stats reduce to one broadcast row, term
+    frequencies are zero-shuffle array-filter projections, top-k is
+    TakeOrderedAndProject. Oracle recomputes the identical fixed-order
+    float chain in DuckDB."""
+    from ilogtail_spark.functions.retrieval import bm25_topk
+
+    return bm25_topk(
+        _docs(spark, sf_dir), ["spark", "vector", "customer"], topk=20
+    )
+
+
+O_BM25 = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+wt AS (
+  SELECT doc_id, len(t) AS dl,
+    len(list_filter(t, x -> x = 'spark')) AS tf0,
+    len(list_filter(t, x -> x = 'vector')) AS tf1,
+    len(list_filter(t, x -> x = 'customer')) AS tf2
+  FROM toks),
+st AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+    CAST(1.2 AS DOUBLE) AS k1, CAST(0.75 AS DOUBLE) AS bb,
+    CAST(0.5 AS DOUBLE) AS hf, CAST(1.0 AS DOUBLE) AS one
+  FROM wt)
+SELECT doc_id,
+  round(
+      ln((n_docs - df0 + hf)/(df0 + hf) + one)
+        * tf0 * (k1 + one) / (tf0 + k1 * (one - bb + bb * dl / avgdl))
+    + ln((n_docs - df1 + hf)/(df1 + hf) + one)
+        * tf1 * (k1 + one) / (tf1 + k1 * (one - bb + bb * dl / avgdl))
+    + ln((n_docs - df2 + hf)/(df2 + hf) + one)
+        * tf2 * (k1 + one) / (tf2 + k1 * (one - bb + bb * dl / avgdl)),
+    6) AS bm25
+FROM wt, st
+WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+"""
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated substring spans (windowed-hash
     approximation of Lee et al. 2022 exact substring dedup): maximal
@@ -2995,6 +3062,8 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_clusters_star": q_dedup_clusters_star,
     "dedup_keep_one": q_dedup_keep_one,
     "contamination": q_contamination,
+    "contamination_bloom": q_contamination_bloom,
+    "bm25": q_bm25,
     "stratified_sample": q_stratified_sample,
     "pack_sequences": q_pack_sequences,
     "normalize_dedup": q_normalize_dedup,
@@ -3089,6 +3158,8 @@ ORACLES: dict[str, str] = {
     "dedup_clusters_star": O_DEDUP_CLUSTERS,
     "dedup_keep_one": O_DEDUP_KEEP_ONE,
     "contamination": O_CONTAMINATION,
+    "contamination_bloom": O_CONTAMINATION,
+    "bm25": O_BM25,
     "stratified_sample": O_STRATIFIED_SAMPLE,
     "pack_sequences": O_PACK_SEQUENCES,
     "normalize_dedup": O_NORMALIZE_DEDUP,

@@ -995,6 +995,101 @@ class TestNgramContamination:
         assert len(hits1) == 1 and hits1[0]["shared_ngrams"] == 1
 
 
+class TestBloomContamination:
+    """The Bloom pre-filter must be invisible in the result: no false
+    negatives ever, and false positives die in the exact confirm join."""
+
+    def test_equals_exact_even_with_forced_false_positives(self, spark):
+        from ilogtail_spark.functions.dedup import (
+            bloom_contamination,
+            ngram_contamination,
+        )
+
+        # 40 docs, every 7th is held out; a 256-bit filter over ~400
+        # distinct test grams is saturated — nearly every probe is a
+        # false positive, so the confirm join does all the work.
+        docs = spark.range(40).selectExpr(
+            "id AS doc_id",
+            "array_join(transform(sequence(0, 19), "
+            "i -> concat('t', cast((id * 3 + i * i) % 37 AS string))), ' ')"
+            " AS text",
+        )
+        train = docs.filter("doc_id % 7 != 0")
+        test = docs.filter("doc_id % 7 = 0")
+        exact = {
+            (r["train_id"], r["test_id"]): r["shared_ngrams"]
+            for r in ngram_contamination(
+                train, test, n=3, min_shared=2
+            ).collect()
+        }
+        bloom = {
+            (r["train_id"], r["test_id"]): r["shared_ngrams"]
+            for r in bloom_contamination(
+                train, test, n=3, min_shared=2, n_bits=256, n_hashes=3
+            ).collect()
+        }
+        assert exact and bloom == exact
+
+    def test_unsaturated_filter_prunes(self, spark):
+        from ilogtail_spark.functions.dedup import bloom_contamination
+
+        train = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "completely different words entirely here now")],
+            "doc_id long, text string",
+        )
+        test = spark.createDataFrame(
+            [(100, "a quick brown fox jumps over fences")],
+            "doc_id long, text string",
+        )
+        out = {(r["train_id"], r["test_id"]): r["shared_ngrams"]
+               for r in bloom_contamination(
+                   train, test, n=3, min_shared=2).collect()}
+        assert out == {(1, 100): 3}
+
+
+class TestBm25:
+    def test_known_answer(self, spark):
+        import math
+
+        from ilogtail_spark.functions.retrieval import bm25_topk
+
+        rows = [(0, "apple banana apple"), (1, "banana cherry"),
+                (2, "cherry cherry cherry date")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r["bm25"]
+               for r in bm25_topk(docs, ["apple"], topk=3).collect()}
+
+        # only doc 0 contains 'apple': N=3, df=1, dl=3, avgdl=3, tf=2
+        idf = math.log((3 - 1 + 0.5) / (1 + 0.5) + 1.0)
+        expect = idf * 2.0 * 2.2 / (2.0 + 1.2 * (0.25 + 0.75 * 3 / 3.0))
+        assert list(out) == [0]
+        assert abs(out[0] - expect) < 1e-6
+
+    def test_ranking_and_topk_cut(self, spark):
+        from ilogtail_spark.functions.retrieval import bm25_topk
+
+        docs = spark.createDataFrame(
+            [(i, "filler " * 5 + "target " * (i % 4)) for i in range(20)],
+            "doc_id long, text string",
+        )
+        out = bm25_topk(docs, ["target"], topk=5).collect()
+        assert len(out) == 5
+        # highest tf (i%4==3) ranks first; ties break by doc_id
+        assert [r["doc_id"] for r in out] == [3, 7, 11, 15, 19]
+        assert all(a["bm25"] >= b["bm25"] for a, b in zip(out, out[1:]))
+
+    def test_empty_query_rejected(self, spark):
+        from ilogtail_spark.functions.retrieval import bm25_topk
+
+        docs = spark.range(1).selectExpr("id AS doc_id", "'x' AS text")
+        try:
+            bm25_topk(docs, [])
+            assert False, "expected ValueError"
+        except ValueError:
+            pass
+
+
 class TestConnectedComponentsStar:
     """Large-star/small-star contraction (Kiveris et al., SOCC'14) must
     agree with plain min-label propagation everywhere and converge in

@@ -74,6 +74,15 @@ CHECKS = {
     # to broadcast at runtime when the built side is small; both
     # regimes pinned in tests/test_functions.py)
     "dedup_keep_one": (["SortMergeJoin"], ["BroadcastHashJoin"]),
+    # round 5 extras: the Bloom probe is broadcast word joins (the
+    # bitmap is parameter-bounded, never data-sized) — the bulky train
+    # gram side must not sort-merge against the tiny bitmap
+    "contamination_bloom": (["BroadcastHashJoin", "bit_or"],
+                            ["CartesianProduct"]),
+    # BM25: 1-row stats broadcast (BNLJ) + per-partition top-k heaps —
+    # never a full sort or a shuffled join
+    "bm25": (["TakeOrderedAndProject", "BroadcastNestedLoopJoin"],
+             ["SortMergeJoin", "CartesianProduct"]),
 }
 
 # single-pass claims: at most N parquet scans in the physical plan
