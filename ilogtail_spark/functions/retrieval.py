@@ -95,3 +95,71 @@ def bm25_topk(
         .orderBy(F.col("bm25").desc(), F.col("doc_id"))
         .limit(topk)
     )
+
+
+def hybrid_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    topk: int = 10,
+    n_candidates: int = 50,
+    k0: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval: fuse the lexical (BM25) and dense (embedding
+    cosine) candidate lists with Reciprocal Rank Fusion
+    (Cormack/Clarke/Büttcher, SIGIR'09):
+
+        rrf(d) = Σ_lists 1/(k0 + rank_list(d))
+
+    RRF fuses RANKS, not scores — no cross-list score normalization,
+    and since ranks are exact integers the fused float is identical
+    across engines by construction. Each retriever contributes its
+    top-`n_candidates`; documents in only one list get that list's
+    term only. The query document itself is excluded from the dense
+    list (brute_force_topk semantics) but may rank lexically.
+
+    Scale shape: both candidate pulls are the full-corpus operators
+    (zero-shuffle BM25 scoring, broadcast-query dense scoring); the
+    fusion join and rank windows run over ≤ 2·n_candidates rows —
+    bounded by the PARAMETER, like the Bloom bitmap, so the
+    single-partition rank windows are O(n_candidates), never
+    corpus-sized."""
+    from pyspark.sql.window import Window
+
+    from ilogtail_spark.functions.similarity import brute_force_topk
+
+    lex = bm25_topk(
+        docs,
+        query_terms,
+        id_col=id_col,
+        text_col=text_col,
+        topk=n_candidates,
+    )
+    wl = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex = lex.select("doc_id", F.row_number().over(wl).alias("r_lex"))
+
+    q = embeddings.filter(F.col(vec_id_col) == query_vec_id)
+    dense = brute_force_topk(
+        embeddings, q, id_col=vec_id_col, vec_col=vec_col, k=n_candidates
+    ).select(F.col("n_id").alias("doc_id"), F.col("rank").alias("r_dense"))
+
+    one = F.lit(1.0)
+    k0d = F.lit(float(k0))
+    fused = (
+        lex.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(one / (k0d + F.col("r_lex")), F.lit(0.0))
+                + F.coalesce(one / (k0d + F.col("r_dense")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(topk)

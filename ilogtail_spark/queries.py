@@ -2401,6 +2401,62 @@ LIMIT 20
 """
 
 
+def q_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-50 for ``spark vector customer``
+    fused with the dense cosine top-50 for query vector 0 via
+    Reciprocal Rank Fusion (rank-based, so engine-exact). Oracle
+    recomputes both candidate lists and the fused rank sum."""
+    from ilogtail_spark.functions.retrieval import hybrid_topk
+
+    return hybrid_topk(
+        _docs(spark, sf_dir),
+        _emb(spark, sf_dir),
+        ["spark", "vector", "customer"],
+        0,
+        topk=15,
+        n_candidates=50,
+    )
+
+
+# the BM25 body minus its final ORDER/LIMIT, reused as the lexical CTE
+_O_BM25_CORE = O_BM25[: O_BM25.rindex("FROM wt, st")] + (
+    "FROM wt, st WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0"
+)
+assert _O_BM25_CORE.startswith("\nWITH ") and "LIMIT" not in _O_BM25_CORE
+
+O_HYBRID = (
+    _O_BM25_CORE.replace("\nWITH ", "\nWITH lex_all AS (\nWITH ", 1)
+    .replace("SELECT doc_id,\n  round(", "SELECT doc_id, round(", 1)
+    + """
+ORDER BY bm25 DESC, doc_id LIMIT 50),
+lexr AS (
+  SELECT doc_id,
+    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+  FROM lex_all),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec
+      FROM embeddings WHERE vec_id = 0),
+dscored AS (
+  SELECT e.vec_id AS n_id,
+    round(""" + _COS_SQL.format(a="q.q_vec", b="e.embedding") + """, 6)
+      AS cos_sim
+  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+denser AS (
+  SELECT n_id AS doc_id,
+    row_number() OVER (ORDER BY cos_sim DESC, n_id) AS r_dense
+  FROM dscored QUALIFY r_dense <= 50),
+fused AS (
+  SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+    round(
+      coalesce(CAST(1.0 AS DOUBLE) / (CAST(60 AS DOUBLE) + l.r_lex),
+               CAST(0 AS DOUBLE))
+    + coalesce(CAST(1.0 AS DOUBLE) / (CAST(60 AS DOUBLE) + d.r_dense),
+               CAST(0 AS DOUBLE)), 6) AS rrf
+  FROM lexr l FULL OUTER JOIN denser d ON l.doc_id = d.doc_id)
+SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 15
+"""
+)
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated substring spans (windowed-hash
     approximation of Lee et al. 2022 exact substring dedup): maximal
@@ -3064,6 +3120,7 @@ QUERIES: dict[str, QueryFn] = {
     "contamination": q_contamination,
     "contamination_bloom": q_contamination_bloom,
     "bm25": q_bm25,
+    "hybrid_retrieval": q_hybrid,
     "stratified_sample": q_stratified_sample,
     "pack_sequences": q_pack_sequences,
     "normalize_dedup": q_normalize_dedup,
@@ -3160,6 +3217,7 @@ ORACLES: dict[str, str] = {
     "contamination": O_CONTAMINATION,
     "contamination_bloom": O_CONTAMINATION,
     "bm25": O_BM25,
+    "hybrid_retrieval": O_HYBRID,
     "stratified_sample": O_STRATIFIED_SAMPLE,
     "pack_sequences": O_PACK_SEQUENCES,
     "normalize_dedup": O_NORMALIZE_DEDUP,

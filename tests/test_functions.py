@@ -1090,6 +1090,37 @@ class TestBm25:
             pass
 
 
+class TestHybridRetrieval:
+    def test_rrf_fuses_both_lists(self, spark):
+        from ilogtail_spark.functions.retrieval import hybrid_topk
+
+        # doc 1 is lexical-only, doc 3 dense-only, doc 2 in both lists;
+        # the query doc (0) is excluded from the dense side.
+        docs = spark.createDataFrame(
+            [(0, "zz"), (1, "apple apple apple"), (2, "apple"),
+             (3, "nothing relevant")],
+            "doc_id long, text string",
+        )
+        emb = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.9, 0.1]),
+             (3, [1.0, 0.05])],
+            "vec_id long, embedding array<float>",
+        )
+        out = {r["doc_id"]: r["rrf"]
+               for r in hybrid_topk(
+                   docs, emb, ["apple"], 0, topk=4, n_candidates=3
+               ).collect()}
+        # lexical ranks: 1 -> r1, 2 -> r2; dense ranks: 3 -> r1, 2 -> r2,
+        # 1 -> r3 (orthogonal). RRF with k0=60:
+        assert abs(out[2] - (1 / 62 + 1 / 62)) < 1e-6
+        assert abs(out[1] - (1 / 61 + 1 / 63)) < 1e-6
+        assert abs(out[3] - 1 / 61) < 1e-6
+        # any two-list doc beats any one-list doc; among the two-list
+        # docs 1/61+1/63 > 2/62 (convexity of 1/(k0+r))
+        assert out[1] > out[2] > out[3]
+        assert 0 not in out  # query doc has no lexical hit, dense-excluded
+
+
 class TestConnectedComponentsStar:
     """Large-star/small-star contraction (Kiveris et al., SOCC'14) must
     agree with plain min-label propagation everywhere and converge in

@@ -155,6 +155,29 @@ def main() -> None:
         "duplicate_spans_k8",
         lambda: duplicate_spans(docs, k=8, min_docs=2).count(),
     )
+    # decontamination at scale: a 1k-doc held-out set against the full
+    # corpus, exact inverted-index join vs the Bloom pre-filtered path.
+    # The bloom row's win is shuffle VOLUME (only candidate grams reach
+    # the confirm join) — on this box the exact join's test side
+    # already broadcasts, so wall-clock parity is the expected result;
+    # the tier exists for the regime where the test side cannot.
+    from ilogtail_spark.functions.dedup import (
+        bloom_contamination,
+        ngram_contamination,
+    )
+
+    train = docs.filter(F.col("doc_id") % 997 != 0)
+    test = docs.filter(F.col("doc_id") % 997 == 0)
+    timed(
+        "contamination_exact",
+        lambda: ngram_contamination(train, test, n=8, min_shared=1).count(),
+    )
+    timed(
+        "contamination_bloom",
+        lambda: bloom_contamination(
+            train, test, n=8, min_shared=1, n_bits=1 << 20, n_hashes=5
+        ).count(),
+    )
     # the WIDE simhash form (60-bit hash, 15-bit bands -> 32768
     # buckets per band) is the 10^5+ setting; the 32/4 default is a
     # small-corpus form (16 buckets per band -> quadratic past ~10^4)

@@ -83,6 +83,10 @@ CHECKS = {
     # never a full sort or a shuffled join
     "bm25": (["TakeOrderedAndProject", "BroadcastNestedLoopJoin"],
              ["SortMergeJoin", "CartesianProduct"]),
+    # RRF fusion: the only non-broadcast join (the full-outer fuse) runs
+    # over two parameter-bounded candidate lists; corpus-sized relations
+    # must stay on the broadcast/zero-shuffle paths
+    "hybrid_retrieval": (["TakeOrderedAndProject"], ["CartesianProduct"]),
 }
 
 # single-pass claims: at most N parquet scans in the physical plan
