@@ -342,3 +342,52 @@ def url_stats(
             F.count(F.lit(1)).alias("n_urls"),
         )
     )
+
+
+def vocab_topk(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 50,
+) -> DataFrame:
+    """Corpus vocabulary heavy hitters: the `top_k` most frequent
+    tokens with corpus share and document frequency — what a curation
+    pipeline inspects to discover stopwords, boilerplate, and
+    contamination markers before tuning filters (`quality_score`
+    stopword lists, `ngram_jaccard` max_df).
+
+    One explode → token-keyed hash aggregate. Zipf-distributed tokens
+    are exactly the map-side-combine-friendly case: each task collapses
+    its millions of 'the' rows to one partial before the shuffle, so
+    the exchange carries O(distinct tokens per task), not O(tokens) —
+    no salting needed even though the key distribution is maximally
+    skewed. Document frequency rides the same aggregate as a
+    count_distinct of a (token, doc) pre-distinct, and the corpus
+    total is a 1-row broadcast. Top-k is per-partition heaps
+    (TakeOrderedAndProject), never a full sort."""
+    tok = df.select(
+        F.col(id_col).alias("__doc__"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    per_doc = tok.groupBy("token", "__doc__").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    counts = per_doc.groupBy("token").agg(
+        F.sum("c").alias("n_occurrences"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    total = counts.agg(F.sum("n_occurrences").alias("__total__"))
+    return (
+        counts.join(F.broadcast(total))
+        .select(
+            "token",
+            "n_occurrences",
+            "n_docs",
+            F.round(F.col("n_occurrences") / F.col("__total__"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(top_k)
+    )

@@ -2401,6 +2401,34 @@ LIMIT 20
 """
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters: top-30 tokens with occurrence
+    count, document frequency, and corpus share — the stopword/
+    boilerplate discovery pass of a curation pipeline. One explode +
+    two-level token agg (bounded partials), 1-row total broadcast,
+    per-partition top-k heaps."""
+    from ilogtail_spark.functions.textstats import vocab_topk
+
+    return vocab_topk(_docs(spark, sf_dir), top_k=30)
+
+
+O_VOCAB_TOPK = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents),
+pd AS (SELECT token, doc_id, count(*) AS c FROM toks GROUP BY token, doc_id),
+counts AS (
+  SELECT token, CAST(sum(c) AS BIGINT) AS n_occurrences,
+    count(*) AS n_docs
+  FROM pd GROUP BY token),
+tot AS (SELECT CAST(sum(n_occurrences) AS BIGINT) AS t FROM counts)
+SELECT token, n_occurrences, n_docs, round(n_occurrences / t, 6) AS share
+FROM counts, tot
+ORDER BY n_occurrences DESC, token
+LIMIT 30
+"""
+
+
 def q_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: BM25 top-50 for ``spark vector customer``
     fused with the dense cosine top-50 for query vector 0 via
@@ -3121,6 +3149,7 @@ QUERIES: dict[str, QueryFn] = {
     "contamination_bloom": q_contamination_bloom,
     "bm25": q_bm25,
     "hybrid_retrieval": q_hybrid,
+    "vocab_topk": q_vocab_topk,
     "stratified_sample": q_stratified_sample,
     "pack_sequences": q_pack_sequences,
     "normalize_dedup": q_normalize_dedup,
@@ -3218,6 +3247,7 @@ ORACLES: dict[str, str] = {
     "contamination_bloom": O_CONTAMINATION,
     "bm25": O_BM25,
     "hybrid_retrieval": O_HYBRID,
+    "vocab_topk": O_VOCAB_TOPK,
     "stratified_sample": O_STRATIFIED_SAMPLE,
     "pack_sequences": O_PACK_SEQUENCES,
     "normalize_dedup": O_NORMALIZE_DEDUP,

@@ -1090,6 +1090,22 @@ class TestBm25:
             pass
 
 
+class TestVocabTopk:
+    def test_counts_share_and_cut(self, spark):
+        from ilogtail_spark.functions.textstats import vocab_topk
+
+        docs = spark.createDataFrame(
+            [(0, "a a a b"), (1, "a b c"), (2, "b b d")],
+            "doc_id long, text string",
+        )
+        rows = vocab_topk(docs, top_k=2).collect()
+        # 10 tokens total: a=4 (2 docs), b=4 (3 docs), c=1, d=1;
+        # a==b ties break alphabetically
+        assert [(r["token"], r["n_occurrences"], r["n_docs"]) for r in rows] \
+            == [("a", 4, 2), ("b", 4, 3)]
+        assert all(abs(r["share"] - 0.4) < 1e-9 for r in rows)
+
+
 class TestHybridRetrieval:
     def test_rrf_fuses_both_lists(self, spark):
         from ilogtail_spark.functions.retrieval import hybrid_topk
