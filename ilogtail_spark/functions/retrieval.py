@@ -26,6 +26,40 @@ from pyspark.sql import functions as F
 from ilogtail_spark.functions.textstats import tokens
 
 
+def bm25_corpus_stats(
+    docs: DataFrame,
+    query_terms: list[str],
+    *,
+    text_col: str = "text",
+) -> dict:
+    """The corpus-level BM25 inputs as one driver-side dict:
+    ``{"n_docs": int, "avgdl": float, "df": {term: int}}``. ONE
+    map-side-combinable aggregate, O(1) rows collected. At 100 TB this
+    is the write-time pass: compute once per corpus snapshot, feed the
+    dict to every `bm25_topk(stats=...)` query — each query is then a
+    single scan with literal statistics (no stats subquery, no join)."""
+    toks = tokens(F.col(text_col))
+    row = docs.select(
+        F.size(toks).alias("dl"),
+        *[
+            F.array_contains(toks, t).cast("long").alias(f"hit{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(f"hit{i}").alias(f"df{i}")
+            for i in range(len(query_terms))
+        ],
+    ).first()
+    return {
+        "n_docs": row["n_docs"],
+        "avgdl": row["avgdl"],
+        "df": {t: row[f"df{i}"] for i, t in enumerate(query_terms)},
+    }
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],
@@ -35,6 +69,7 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     topk: int = 10,
+    stats: dict | None = None,
 ) -> DataFrame:
     """BM25 (Robertson/Spärck Jones, the Lucene `+1`-smoothed idf form
     — always non-negative) top-k over whitespace tokens:
@@ -47,7 +82,13 @@ def bm25_topk(
     broken by doc_id so the cut is deterministic. Term contributions
     add in query-term order (a fixed left-associated chain, not a SQL
     SUM whose partition order floats), so the float is reproducible
-    across engines."""
+    across engines.
+
+    With ``stats`` (from `bm25_corpus_stats`, computed once per corpus
+    snapshot) the statistics become plan LITERALS: no stats subquery,
+    no join — the whole query is one scan → fused projection → top-k
+    heaps. Identical scores either way (the literals are the exact
+    doubles the inline aggregate produces)."""
     if not query_terms:
         raise ValueError("bm25_topk requires at least one query term")
 
@@ -62,14 +103,26 @@ def bm25_topk(
         F.size(toks).alias("dl"),
         *[tf(toks, t).alias(f"tf{i}") for i, t in enumerate(query_terms)],
     )
-    stats = base.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-        *[
-            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
-            for i in range(len(query_terms))
-        ],
-    )
+    if stats is not None:
+        scored = base.select(
+            "*",
+            F.lit(int(stats["n_docs"])).alias("n_docs"),
+            F.lit(float(stats["avgdl"])).alias("avgdl"),
+            *[
+                F.lit(int(stats["df"][t])).alias(f"df{i}")
+                for i, t in enumerate(query_terms)
+            ],
+        )
+    else:
+        stats_row = base.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+            *[
+                F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+                for i in range(len(query_terms))
+            ],
+        )
+        scored = base.join(F.broadcast(stats_row))
 
     def contrib(i: int) -> Column:
         tf = F.col(f"tf{i}").cast("double")
@@ -89,8 +142,7 @@ def bm25_topk(
         any_hit = any_hit | (F.col(f"tf{i}") > 0)
 
     return (
-        base.join(F.broadcast(stats))
-        .filter(any_hit)
+        scored.filter(any_hit)
         .select("doc_id", F.round(score, 6).alias("bm25"))
         .orderBy(F.col("bm25").desc(), F.col("doc_id"))
         .limit(topk)

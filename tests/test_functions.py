@@ -1089,6 +1089,27 @@ class TestBm25:
         except ValueError:
             pass
 
+    def test_precomputed_stats_path_identical_and_joinless(self, spark):
+        from ilogtail_spark.functions.retrieval import (
+            bm25_corpus_stats,
+            bm25_topk,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, ("alpha " * (i % 3 + 1) + "beta " * (i % 2)).strip())
+             for i in range(30)],
+            "doc_id long, text string",
+        )
+        terms = ["alpha", "beta"]
+        stats = bm25_corpus_stats(docs, terms)
+        assert stats["n_docs"] == 30 and stats["df"]["alpha"] == 30
+        inline = bm25_topk(docs, terms, topk=30).collect()
+        lit = bm25_topk(docs, terms, topk=30, stats=stats)
+        assert lit.collect() == inline  # exact doubles, same order
+        # the write-time-stats query is one scan, zero joins
+        plan = lit._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
+
 
 class TestVocabTopk:
     def test_counts_share_and_cut(self, spark):
