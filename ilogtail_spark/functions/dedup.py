@@ -694,6 +694,12 @@ def bloom_contamination(
         )
         .groupBy("word")
         .agg(F.bit_or("m").alias("bits"))
+        # materialize ONCE: each of the n_hashes probe joins broadcasts
+        # this relation, and (measured) ReuseExchange does not kick in
+        # across the differently-keyed joins — without this the test
+        # scan + bitmap build re-executes per probe. Bounded rows, so
+        # the checkpoint is O(n_bits/64); ContextCleaner reclaims it
+        .localCheckpoint(eager=True)
     )
 
     cand = tr

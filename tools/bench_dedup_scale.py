@@ -178,6 +178,25 @@ def main() -> None:
             train, test, n=8, min_shared=1, n_bits=1 << 20, n_hashes=5
         ).count(),
     )
+    # retrieval family over the same corpus: BM25 inline vs
+    # write-time-stats literal path, and the vocabulary heavy hitters
+    from ilogtail_spark.functions.retrieval import (
+        bm25_corpus_stats,
+        bm25_topk,
+    )
+    from ilogtail_spark.functions.textstats import vocab_topk
+
+    q_terms = ["w100", "w2000", "w30000"]
+    timed(
+        "bm25_topk_inline",
+        lambda: bm25_topk(docs, q_terms, topk=20).count(),
+    )
+    stats = bm25_corpus_stats(docs, q_terms)
+    timed(
+        "bm25_topk_prestats",
+        lambda: bm25_topk(docs, q_terms, topk=20, stats=stats).count(),
+    )
+    timed("vocab_topk", lambda: vocab_topk(docs, top_k=50).count())
     # the WIDE simhash form (60-bit hash, 15-bit bands -> 32768
     # buckets per band) is the 10^5+ setting; the 32/4 default is a
     # small-corpus form (16 buckets per band -> quadratic past ~10^4)

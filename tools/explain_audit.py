@@ -76,9 +76,11 @@ CHECKS = {
     "dedup_keep_one": (["SortMergeJoin"], ["BroadcastHashJoin"]),
     # round 5 extras: the Bloom probe is broadcast word joins (the
     # bitmap is parameter-bounded, never data-sized) — the bulky train
-    # gram side must not sort-merge against the tiny bitmap
-    "contamination_bloom": (["BroadcastHashJoin", "bit_or"],
-                            ["CartesianProduct"]),
+    # gram side must not sort-merge against the tiny bitmap. The
+    # bit_or bitmap build is localCheckpointed (materialized once), so
+    # it shows as an RDD scan, not an aggregate — the SCAN_LIMIT below
+    # asserts the n_hashes probe joins don't re-run the build
+    "contamination_bloom": (["BroadcastHashJoin"], ["CartesianProduct"]),
     # BM25: 1-row stats broadcast (BNLJ) + per-partition top-k heaps —
     # never a full sort or a shuffled join
     "bm25": (["TakeOrderedAndProject", "BroadcastNestedLoopJoin"],
@@ -104,6 +106,9 @@ SCAN_LIMIT = {
     "prom_relabel": 1,      # 6-rule chain fuses into the parse projection
     "influxdb_line": 1,
     "otlp_log": 1,
+    "contamination_bloom": 2,  # train grams + test confirm; the bitmap
+                               # build must NOT re-scan per probe join
+                               # (was 7 scans before the checkpoint)
 }
 
 # single-materialization claims: expensive expressions that must appear
