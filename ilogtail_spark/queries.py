@@ -2401,6 +2401,23 @@ LIMIT 20
 """
 
 
+def q_bm25_prestats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write-time-stats BM25 path: `bm25_corpus_stats` once (one
+    O(1)-row aggregate, the per-snapshot pass at scale), then the
+    query runs with literal statistics — one scan, zero joins
+    (plan-audited). Output must be IDENTICAL to `bm25`, so it shares
+    that oracle verbatim."""
+    from ilogtail_spark.functions.retrieval import (
+        bm25_corpus_stats,
+        bm25_topk,
+    )
+
+    d = _docs(spark, sf_dir)
+    terms = ["spark", "vector", "customer"]
+    stats = bm25_corpus_stats(d, terms)
+    return bm25_topk(d, terms, topk=20, stats=stats)
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary heavy hitters: top-30 tokens with occurrence
     count, document frequency, and corpus share — the stopword/
@@ -3148,6 +3165,7 @@ QUERIES: dict[str, QueryFn] = {
     "contamination": q_contamination,
     "contamination_bloom": q_contamination_bloom,
     "bm25": q_bm25,
+    "bm25_prestats": q_bm25_prestats,
     "hybrid_retrieval": q_hybrid,
     "vocab_topk": q_vocab_topk,
     "stratified_sample": q_stratified_sample,
@@ -3246,6 +3264,7 @@ ORACLES: dict[str, str] = {
     "contamination": O_CONTAMINATION,
     "contamination_bloom": O_CONTAMINATION,
     "bm25": O_BM25,
+    "bm25_prestats": O_BM25,
     "hybrid_retrieval": O_HYBRID,
     "vocab_topk": O_VOCAB_TOPK,
     "stratified_sample": O_STRATIFIED_SAMPLE,

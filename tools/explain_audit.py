@@ -85,6 +85,10 @@ CHECKS = {
     # never a full sort or a shuffled join
     "bm25": (["TakeOrderedAndProject", "BroadcastNestedLoopJoin"],
              ["SortMergeJoin", "CartesianProduct"]),
+    # the write-time-stats path must be join-FREE: literal statistics,
+    # one scan, fused projection, top-k heaps
+    "bm25_prestats": (["TakeOrderedAndProject"],
+                      ["Join", "Exchange", "HashAggregate"]),
     # RRF fusion: the only non-broadcast join (the full-outer fuse) runs
     # over two parameter-bounded candidate lists; corpus-sized relations
     # must stay on the broadcast/zero-shuffle paths
