@@ -253,6 +253,99 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_index(
+    corpus: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """The WRITE-TIME dedup index for continuous ingestion — the
+    corpus-side state an incremental pipeline materializes once per
+    snapshot instead of re-scanning 100 TB per arriving batch:
+
+      * exact index — distinct ``md5(text)``;
+      * near-dup index — the distinct (band, bucket) membership of the
+        banded MinHash relation (`minhash_bands`).
+
+    At scale both persist as parquet partitioned/bucketed on the hash
+    key, so each batch's probe join co-locates without shuffling the
+    index (same role as `assign_centroids` for IVF and
+    `bm25_corpus_stats` for BM25). Returned as DataFrames here; write
+    them wherever the pipeline keeps state."""
+    exact = corpus.select(F.md5(F.col(text_col)).alias("h")).distinct()
+    bucket_members = (
+        minhash_bands(
+            minhash_signatures(
+                corpus, id_col=id_col, text_col=text_col,
+                n=n, num_hashes=num_hashes,
+            ),
+            id_col=id_col,
+            bands=bands,
+            rows_per_band=num_hashes // bands,
+        )
+        .select("band", "bucket")
+        .distinct()
+    )
+    return exact, bucket_members
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    exact_index: DataFrame,
+    band_index: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Flag each INCOMING document against a `dedup_index` snapshot:
+    ``exact_dup`` (md5 membership in the corpus) and ``near_dup``
+    (shares ≥ 1 LSH band bucket with any corpus document — the banded
+    MinHash decision, same s-curve as `minhash_lsh_pairs` candidacy).
+    `batch.filter('NOT exact_dup AND NOT near_dup')` is what a
+    continuous-ingestion pipeline appends to the corpus.
+
+    Scale shape: only the BATCH computes shingles/signatures — the
+    corpus contributes pre-materialized hash relations, probed by two
+    equi-joins on the hash key. Per-batch cost is O(batch), not
+    O(corpus); the batch never self-joins and the index never
+    recomputes. An exact duplicate is necessarily a band-bucket match
+    too, so ``exact_dup`` implies ``near_dup``."""
+    ex = exact_index.select(F.col("h").alias("__h__")).distinct().withColumn(
+        "__e__", F.lit(1)
+    )
+    bb = minhash_bands(
+        minhash_signatures(
+            batch, id_col=id_col, text_col=text_col,
+            n=n, num_hashes=num_hashes,
+        ),
+        id_col=id_col,
+        bands=bands,
+        rows_per_band=num_hashes // bands,
+    )
+    near = (
+        bb.join(band_index.select("band", "bucket"), ["band", "bucket"])
+        .select(F.col("id").alias(id_col))
+        .distinct()
+        .withColumn("__n__", F.lit(1))
+    )
+    return (
+        batch.withColumn("__h__", F.md5(F.col(text_col)))
+        .join(ex, "__h__", "left")
+        .join(near, id_col, "left")
+        .select(
+            *[F.col(c) for c in batch.columns],
+            F.col("__e__").isNotNull().alias("exact_dup"),
+            F.col("__n__").isNotNull().alias("near_dup"),
+        )
+    )
+
+
 def simhash(
     df: DataFrame,
     *,

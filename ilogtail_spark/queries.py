@@ -2278,6 +2278,38 @@ GROUP BY n.node
 )
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup: documents with doc_id % 5 == 0 are
+    the ARRIVING batch, the rest the indexed corpus. `dedup_index`
+    materializes the write-time state (distinct md5 + distinct LSH
+    band buckets); `incremental_dedup` probes it with two equi-joins —
+    per-batch cost O(batch), never O(corpus). Oracle recomputes both
+    indexes and the membership flags from the shared banded-MinHash
+    machinery."""
+    from ilogtail_spark.functions.dedup import dedup_index, incremental_dedup
+
+    d = _docs(spark, sf_dir)
+    ex, bk = dedup_index(d.filter(F.col("doc_id") % 5 != 0))
+    out = incremental_dedup(d.filter(F.col("doc_id") % 5 == 0), ex, bk)
+    return out.select("doc_id", "exact_dup", "near_dup")
+
+
+_MH_PREFIX = O_MINHASH_LSH[: O_MINHASH_LSH.index("cand AS (")]
+assert _MH_PREFIX.rstrip().endswith("AS b),")
+O_INCREMENTAL_DEDUP = _MH_PREFIX + """corpus_ex AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 <> 0),
+corpus_bk AS (
+  SELECT DISTINCT band, bucket FROM banded WHERE doc_id % 5 <> 0),
+nh AS (
+  SELECT DISTINCT b.doc_id FROM banded b
+  JOIN corpus_bk USING (band, bucket) WHERE b.doc_id % 5 = 0)
+SELECT d.doc_id,
+  (md5(d.text) IN (SELECT h FROM corpus_ex)) AS exact_dup,
+  (d.doc_id IN (SELECT doc_id FROM nh)) AS near_dup
+FROM documents d WHERE d.doc_id % 5 = 0
+"""
+
+
 def q_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup KEEP DECISION: every document gets (cluster_id, keep) —
     keep = cluster representative (minimum id) or unclustered. This is
@@ -3164,6 +3196,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_keep_one": q_dedup_keep_one,
     "contamination": q_contamination,
     "contamination_bloom": q_contamination_bloom,
+    "incremental_dedup": q_incremental_dedup,
     "bm25": q_bm25,
     "bm25_prestats": q_bm25_prestats,
     "hybrid_retrieval": q_hybrid,
@@ -3263,6 +3296,7 @@ ORACLES: dict[str, str] = {
     "dedup_keep_one": O_DEDUP_KEEP_ONE,
     "contamination": O_CONTAMINATION,
     "contamination_bloom": O_CONTAMINATION,
+    "incremental_dedup": O_INCREMENTAL_DEDUP,
     "bm25": O_BM25,
     "bm25_prestats": O_BM25,
     "hybrid_retrieval": O_HYBRID,

@@ -995,6 +995,36 @@ class TestNgramContamination:
         assert len(hits1) == 1 and hits1[0]["shared_ngrams"] == 1
 
 
+class TestIncrementalDedup:
+    def test_flags_against_index(self, spark):
+        from ilogtail_spark.functions.dedup import (
+            dedup_index,
+            incremental_dedup,
+        )
+
+        corpus = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "pack my box with five dozen liquor jugs"),
+             (3, "completely unrelated sentence about nothing at all")],
+            "doc_id long, text string",
+        )
+        batch = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog"),  # exact
+             (101, "the quick brown fox jumps over the lazy cat"),  # near
+             (102, "entirely novel words never indexed anywhere ever")],
+            "doc_id long, text string",
+        )
+        ex, bk = dedup_index(corpus)
+        out = {r["doc_id"]: (r["exact_dup"], r["near_dup"])
+               for r in incremental_dedup(batch, ex, bk).collect()}
+        assert out[100] == (True, True)   # exact implies near
+        assert out[101] == (False, True)  # one-token edit shares buckets
+        assert out[102] == (False, False)
+        # the append decision: only the novel doc survives
+        survivors = [d for d, (e, nd) in out.items() if not e and not nd]
+        assert survivors == [102]
+
+
 class TestBloomContamination:
     """The Bloom pre-filter must be invisible in the result: no false
     negatives ever, and false positives die in the exact confirm join."""

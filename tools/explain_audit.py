@@ -81,6 +81,9 @@ CHECKS = {
     # it shows as an RDD scan, not an aggregate — the SCAN_LIMIT below
     # asserts the n_hashes probe joins don't re-run the build
     "contamination_bloom": (["BroadcastHashJoin"], ["CartesianProduct"]),
+    # incremental dedup probes the write-time index with hash equi-joins;
+    # the batch must never pair with itself or the corpus rows directly
+    "incremental_dedup": (["HashAggregate"], ["CartesianProduct"]),
     # BM25: 1-row stats broadcast (BNLJ) + per-partition top-k heaps —
     # never a full sort or a shuffled join
     "bm25": (["TakeOrderedAndProject", "BroadcastNestedLoopJoin"],
