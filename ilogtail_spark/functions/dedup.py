@@ -726,6 +726,7 @@ def bloom_contamination(
     min_shared: int = 1,
     n_bits: int = 1 << 20,
     n_hashes: int = 5,
+    bitmap_literal: bool = False,
 ) -> DataFrame:
     """`ngram_contamination` behind a distributed Bloom pre-filter —
     IDENTICAL output by construction (Bloom filters have no false
@@ -753,7 +754,19 @@ def bloom_contamination(
     At web scale this turns "shuffle every gram of a 100 TB corpus"
     into "scan + broadcast-probe, shuffle only the ~0.1% candidate
     grams". fpp ≈ (1 − e^(−n_hashes·G/n_bits))^n_hashes for G distinct
-    test grams; size `n_bits` ≈ 10 bits/gram for <1% at n_hashes=5."""
+    test grams; size `n_bits` ≈ 10 bits/gram for <1% at n_hashes=5.
+
+    With ``bitmap_literal=True`` the materialized bitmap is collected
+    into a dense ``array<long>`` PLAN LITERAL (n_bits/64 longs — 128
+    KiB at the default, a bounded driver pull like `bm25_corpus_stats`)
+    and all `n_hashes` probes become ONE fused `element_at`+mask
+    projection: zero probe joins, identical survivors (tested).
+    Measured at 1M docs the JOIN form is FASTER (21.6 s vs 34.3 s
+    warm): the broadcast probes run in whole-stage codegen over unsafe
+    rows while the literal path pays interpreted array-literal
+    indexing and a second hash evaluation per probe — so joins stay
+    the default; the literal form exists for plan-shape constraints
+    (e.g. join-count-limited downstream tooling)."""
 
     def grams(df: DataFrame, out: str) -> DataFrame:
         return df.select(
@@ -795,26 +808,47 @@ def bloom_contamination(
         .localCheckpoint(eager=True)
     )
 
-    cand = tr
-    for i in range(n_hashes):
-        bm = bitmap.select(
-            F.col("word").alias(f"__w{i}__"), F.col("bits").alias(f"__b{i}__")
-        )
-        cand = (
-            cand.withColumn(f"__p{i}__", pos(F.col("g"), i))
-            .join(
-                F.broadcast(bm),
-                F.shiftrightunsigned(F.col(f"__p{i}__"), 6)
-                == F.col(f"__w{i}__"),
-            )
-            .filter(
-                F.expr(
-                    f"(__b{i}__ & shiftleft(CAST(1 AS BIGINT), "
-                    f"CAST(__p{i}__ % 64 AS INT))) != 0"
+    if bitmap_literal:
+        words = [0] * (n_bits // 64)
+        for row in bitmap.collect():  # bounded: n_bits/64 rows max
+            words[row["word"]] = row["bits"]
+        arr = F.lit(words)
+        hit = None
+        for i in range(n_hashes):
+            p = pos(F.col("g"), i)
+            probe = (
+                F.get(arr, F.shiftrightunsigned(p, 6).cast("int")).bitwiseAND(
+                    F.expr(
+                        "shiftleft(CAST(1 AS BIGINT), "
+                        f"CAST(pmod(xxhash64(g, {i}), {n_bits}) % 64 AS INT))"
+                    )
                 )
+                != 0
             )
-            .drop(f"__p{i}__", f"__w{i}__", f"__b{i}__")
-        )
+            hit = probe if hit is None else (hit & probe)
+        cand = tr.filter(hit)
+    else:
+        cand = tr
+        for i in range(n_hashes):
+            bm = bitmap.select(
+                F.col("word").alias(f"__w{i}__"),
+                F.col("bits").alias(f"__b{i}__"),
+            )
+            cand = (
+                cand.withColumn(f"__p{i}__", pos(F.col("g"), i))
+                .join(
+                    F.broadcast(bm),
+                    F.shiftrightunsigned(F.col(f"__p{i}__"), 6)
+                    == F.col(f"__w{i}__"),
+                )
+                .filter(
+                    F.expr(
+                        f"(__b{i}__ & shiftleft(CAST(1 AS BIGINT), "
+                        f"CAST(__p{i}__ % 64 AS INT))) != 0"
+                    )
+                )
+                .drop(f"__p{i}__", f"__w{i}__", f"__b{i}__")
+            )
 
     return (
         cand.join(te, "g")

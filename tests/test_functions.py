@@ -1059,6 +1059,23 @@ class TestBloomContamination:
             ).collect()
         }
         assert exact and bloom == exact
+        lit_df = bloom_contamination(
+            train, test, n=3, min_shared=2, n_bits=256, n_hashes=3,
+            bitmap_literal=True,
+        )
+        lit = {(r["train_id"], r["test_id"]): r["shared_ngrams"]
+               for r in lit_df.collect()}
+        assert lit == exact
+        # the literal path fuses all probes into the scan projection —
+        # the plan's only join is the exact confirm join
+        plan = (
+            lit_df._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0]  # AQE prints the tree twice
+        )
+        n_joins = sum(plan.count(j) for j in (
+            "SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+            "BroadcastNestedLoopJoin"))
+        assert n_joins <= 1
 
     def test_unsaturated_filter_prunes(self, spark):
         from ilogtail_spark.functions.dedup import bloom_contamination

@@ -178,6 +178,23 @@ def main() -> None:
             train, test, n=8, min_shared=1, n_bits=1 << 20, n_hashes=5
         ).count(),
     )
+    # continuous ingestion: index the corpus once (the write-time cost),
+    # then flag a ~0.5% arriving batch — the per-batch probe must be
+    # O(batch), nowhere near the index-build cost
+    from ilogtail_spark.functions.dedup import dedup_index, incremental_dedup
+
+    i_corpus = docs.filter(F.col("doc_id") % 211 != 0)
+    i_batch = docs.filter(F.col("doc_id") % 211 == 0)
+    t0 = time.time()
+    ex_idx, bk_idx = dedup_index(i_corpus)
+    ex_idx = ex_idx.localCheckpoint(eager=True)
+    bk_idx = bk_idx.localCheckpoint(eager=True)
+    print(json.dumps({"op": "dedup_index_build", "n_docs": n,
+                      "sec": round(time.time() - t0, 1)}))
+    timed(
+        "incremental_dedup_probe",
+        lambda: incremental_dedup(i_batch, ex_idx, bk_idx).count(),
+    )
     # retrieval family over the same corpus: BM25 inline vs
     # write-time-stats literal path, and the vocabulary heavy hitters
     from ilogtail_spark.functions.retrieval import (
