@@ -106,6 +106,7 @@ def main() -> None:
         "dedup_clusters", "pack_sequences", "custom_flatten",
         "corpus_pipeline", "ann_ivf", "dup_spans", "bm25",
         "hybrid_retrieval", "contamination_bloom", "vocab_topk",
+        "incremental_dedup",
     )
     noisy = {"minhash_lsh", "ngram_jaccard", "dedup_clusters", "spl_pipeline"}
     reps = {name: (3 if name in noisy else 2) for name in registry}
