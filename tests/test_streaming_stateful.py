@@ -325,3 +325,81 @@ class TestStreamingCuration:
                 for r in build_pipeline(kept, FLAGSHIP_SPEC)
                 .groupBy("route").agg(F.count(F.lit(1)).alias("cnt")).collect()}
         assert got == want and sum(got.values()) > 0
+
+
+class TestStreamingIncrementalDedup:
+    """Continuous-ingestion deployment shape of `incremental_dedup`: a
+    file-source stream of arriving batches, each micro-batch probed
+    against the STATIC write-time index inside foreachBatch. Validates
+    the index relations survive across micro-batches (localCheckpoint),
+    and that per-doc flags equal the batch twin — flags depend only on
+    the index, so streaming order must not change them. (Cross-batch
+    dups WITHIN the stream are `stream_exact_dedup`'s job, composable
+    upstream of this probe.)"""
+
+    IN_DIR = "/tmp/ilogtail_spark_sincr_in"
+    OUT = "/tmp/ilogtail_spark_sincr_out"
+
+    def test_stream_flags_match_batch_twin(self, spark):
+        import shutil
+        import time as _time
+
+        from ilogtail_spark.functions.dedup import (
+            dedup_index,
+            incremental_dedup,
+        )
+
+        shutil.rmtree(self.IN_DIR, ignore_errors=True)
+        shutil.rmtree(self.OUT, ignore_errors=True)
+
+        corpus = spark.createDataFrame(
+            [(i, f"corpus doc number {i} with some shared words here")
+             for i in range(20)],
+            "doc_id long, text string",
+        )
+        ex, bk = dedup_index(corpus)
+        ex = ex.localCheckpoint(eager=True)
+        bk = bk.localCheckpoint(eager=True)
+
+        b1 = spark.createDataFrame(
+            [(100, "corpus doc number 3 with some shared words here"),
+             (101, "corpus doc number 3 with some shared words also"),
+             (102, "totally novel arrival nothing indexed matches it")],
+            "doc_id long, text string",
+        )
+        b2 = spark.createDataFrame(
+            [(200, "corpus doc number 7 with some shared words here"),
+             (201, "another novel arrival entirely distinct again yes")],
+            "doc_id long, text string",
+        )
+        for b in (b1, b2):
+            b.coalesce(1).write.mode("append").parquet(self.IN_DIR)
+            _time.sleep(1.1)
+
+        schema = spark.read.parquet(self.IN_DIR).schema
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(self.IN_DIR)
+        )
+
+        def _sink(batch_df, batch_id):
+            (incremental_dedup(batch_df, ex, bk)
+             .withColumn("batch_id", F.lit(batch_id))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_id").parquet(f"{self.OUT}/flags"))
+
+        q = (src.writeStream.foreachBatch(_sink)
+             .option("checkpointLocation", f"{self.OUT}/_ckpt")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+        got = {r["doc_id"]: (r["exact_dup"], r["near_dup"])
+               for r in spark.read.parquet(f"{self.OUT}/flags").collect()}
+        want = {r["doc_id"]: (r["exact_dup"], r["near_dup"])
+                for r in incremental_dedup(b1.unionAll(b2), ex, bk).collect()}
+        assert got == want
+        assert got[100] == (True, True) and got[200] == (True, True)
+        assert got[101] == (False, True)  # one-token edit: near only
+        assert got[102] == (False, False) and got[201] == (False, False)
