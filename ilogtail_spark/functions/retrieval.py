@@ -162,6 +162,7 @@ def hybrid_topk(
     topk: int = 10,
     n_candidates: int = 50,
     k0: int = 60,
+    dense_rank: DataFrame | None = None,
 ) -> DataFrame:
     """Hybrid retrieval: fuse the lexical (BM25) and dense (embedding
     cosine) candidate lists with Reciprocal Rank Fusion
@@ -181,7 +182,13 @@ def hybrid_topk(
     fusion join and rank windows run over ≤ 2·n_candidates rows —
     bounded by the PARAMETER, like the Bloom bitmap, so the
     single-partition rank windows are O(n_candidates), never
-    corpus-sized."""
+    corpus-sized.
+
+    ``dense_rank`` swaps the dense retriever: pass any
+    (doc_id, r_dense) ranking — e.g. `ivf_topk`/`lsh_bucket_topk`
+    output — and RRF fuses it instead of the brute-force tier. At
+    corpus scale the dense candidates come from the ANN tiers; brute
+    force is the default because it is the exact/oracle tier."""
     from pyspark.sql.window import Window
 
     from ilogtail_spark.functions.similarity import brute_force_topk
@@ -196,10 +203,14 @@ def hybrid_topk(
     wl = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
     lex = lex.select("doc_id", F.row_number().over(wl).alias("r_lex"))
 
-    q = embeddings.filter(F.col(vec_id_col) == query_vec_id)
-    dense = brute_force_topk(
-        embeddings, q, id_col=vec_id_col, vec_col=vec_col, k=n_candidates
-    ).select(F.col("n_id").alias("doc_id"), F.col("rank").alias("r_dense"))
+    if dense_rank is not None:
+        dense = dense_rank.select("doc_id", "r_dense")
+    else:
+        q = embeddings.filter(F.col(vec_id_col) == query_vec_id)
+        dense = brute_force_topk(
+            embeddings, q, id_col=vec_id_col, vec_col=vec_col,
+            k=n_candidates,
+        ).select(F.col("n_id").alias("doc_id"), F.col("rank").alias("r_dense"))
 
     one = F.lit(1.0)
     k0d = F.lit(float(k0))

@@ -2450,6 +2450,31 @@ def q_bm25_prestats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(d, terms, topk=20, stats=stats)
 
 
+def q_hybrid_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with the dense list from the IVF ANN tier
+    (coarse-centroid probing — the corpus-scale dense retriever)
+    instead of brute force: same RRF fusion, `dense_rank` plug-in.
+    Oracle composes the BM25 lexical CTEs with the IVF
+    assignment/probe/re-rank machinery of `ann_ivf`."""
+    from ilogtail_spark.functions.retrieval import hybrid_topk
+    from ilogtail_spark.functions.similarity import ivf_topk
+
+    d = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    dense = ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") == 0),
+        k=50,
+        n_centroids=16,
+        n_probes=2,
+        centroids=_ivf_centroids(emb),
+    ).select(F.col("n_id").alias("doc_id"), F.col("rank").alias("r_dense"))
+    return hybrid_topk(
+        d, emb, ["spark", "vector", "customer"], 0,
+        topk=15, n_candidates=50, dense_rank=dense,
+    )
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary heavy hitters: top-30 tokens with occurrence
     count, document frequency, and corpus share — the stopword/
@@ -2531,6 +2556,46 @@ fused AS (
   FROM lexr l FULL OUTER JOIN denser d ON l.doc_id = d.doc_id)
 SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 15
 """
+)
+
+# hybrid with the IVF dense tier: splice ann_ivf's assignment/probe/
+# re-rank CTEs in place of the brute-force dense block (everything from
+# the `q AS` CTE to `fused AS` exclusive); the lexical and fusion parts
+# are shared verbatim
+_HY_DENSE_START = O_HYBRID.index("q AS (SELECT vec_id AS q_id")
+_HY_FUSED_START = O_HYBRID.index("fused AS (")
+O_HYBRID_IVF = (
+    O_HYBRID[:_HY_DENSE_START]
+    + """cent AS (
+  SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 16),
+affin AS (
+  SELECT e.vec_id, c.c_id,
+    """ + _COS_SQL.format(a="e.embedding", b="c.c_vec") + """
+      + c.c_id * 1e-9 AS score
+  FROM embeddings e, cent c),
+ranked_c AS (
+  SELECT vec_id, c_id,
+    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC) AS rn
+  FROM affin),
+corpus AS (
+  SELECT e.vec_id AS n_id, e.embedding AS c_vec, r.c_id AS centroid
+  FROM embeddings e JOIN ranked_c r ON r.vec_id = e.vec_id AND r.rn = 1),
+probes AS (
+  SELECT q.vec_id AS q_id, q.embedding AS q_vec, r.c_id AS centroid
+  FROM embeddings q JOIN ranked_c r ON r.vec_id = q.vec_id AND r.rn <= 2
+  WHERE q.vec_id = 0),
+dscored AS (
+  SELECT p.q_id, c.n_id,
+    round(""" + _COS_SQL.format(a="p.q_vec", b="c.c_vec") + """, 6)
+      AS cos_sim
+  FROM corpus c JOIN probes p ON c.centroid = p.centroid
+  WHERE p.q_id <> c.n_id),
+denser AS (
+  SELECT n_id AS doc_id,
+    row_number() OVER (ORDER BY cos_sim DESC, n_id) AS r_dense
+  FROM dscored QUALIFY r_dense <= 50),
+"""
+    + O_HYBRID[_HY_FUSED_START:]
 )
 
 
@@ -3200,6 +3265,7 @@ QUERIES: dict[str, QueryFn] = {
     "bm25": q_bm25,
     "bm25_prestats": q_bm25_prestats,
     "hybrid_retrieval": q_hybrid,
+    "hybrid_ivf": q_hybrid_ivf,
     "vocab_topk": q_vocab_topk,
     "stratified_sample": q_stratified_sample,
     "pack_sequences": q_pack_sequences,
@@ -3300,6 +3366,7 @@ ORACLES: dict[str, str] = {
     "bm25": O_BM25,
     "bm25_prestats": O_BM25,
     "hybrid_retrieval": O_HYBRID,
+    "hybrid_ivf": O_HYBRID_IVF,
     "vocab_topk": O_VOCAB_TOPK,
     "stratified_sample": O_STRATIFIED_SAMPLE,
     "pack_sequences": O_PACK_SEQUENCES,

@@ -1204,6 +1204,27 @@ class TestHybridRetrieval:
         assert out[1] > out[2] > out[3]
         assert 0 not in out  # query doc has no lexical hit, dense-excluded
 
+    def test_pluggable_dense_rank(self, spark):
+        from ilogtail_spark.functions.retrieval import hybrid_topk
+
+        docs = spark.createDataFrame(
+            [(1, "apple"), (2, "apple apple"), (3, "pear")],
+            "doc_id long, text string",
+        )
+        # custom dense ranking (e.g. from an ANN tier): doc 3 first
+        dense = spark.createDataFrame(
+            [(3, 1), (1, 2)], "doc_id long, r_dense int"
+        )
+        out = {r["doc_id"]: r["rrf"]
+               for r in hybrid_topk(
+                   docs, None, ["apple"], 0, topk=3, n_candidates=3,
+                   dense_rank=dense,
+               ).collect()}
+        # lexical ranks: 2 -> r1, 1 -> r2 (tf, then doc_id)
+        assert abs(out[1] - (1 / 62 + 1 / 62)) < 1e-6
+        assert abs(out[2] - 1 / 61) < 1e-6
+        assert abs(out[3] - 1 / 61) < 1e-6
+
 
 class TestConnectedComponentsStar:
     """Large-star/small-star contraction (Kiveris et al., SOCC'14) must

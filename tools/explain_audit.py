@@ -96,6 +96,7 @@ CHECKS = {
     # over two parameter-bounded candidate lists; corpus-sized relations
     # must stay on the broadcast/zero-shuffle paths
     "hybrid_retrieval": (["TakeOrderedAndProject"], ["CartesianProduct"]),
+    "hybrid_ivf": (["TakeOrderedAndProject"], ["CartesianProduct"]),
     # vocab heavy hitters: map-side-combinable token aggs + 1-row
     # broadcast total + per-partition top-k heaps, never a full sort
     "vocab_topk": (["HashAggregate", "partial_", "TakeOrderedAndProject"],
