@@ -105,7 +105,7 @@ def main() -> None:
         "grok_apache", "prom_parse", "prom_relabel", "repetition", "pii_scrub",
         "dedup_clusters", "pack_sequences", "custom_flatten",
         "corpus_pipeline", "ann_ivf", "dup_spans", "bm25",
-        "hybrid_retrieval", "contamination_bloom", "vocab_topk",
+        "hybrid_retrieval", "hybrid_ivf", "contamination_bloom", "vocab_topk",
         "incremental_dedup",
     )
     noisy = {"minhash_lsh", "ngram_jaccard", "dedup_clusters", "spl_pipeline"}
