@@ -391,3 +391,42 @@ def vocab_topk(
         .orderBy(F.desc("n_occurrences"), F.asc("token"))
         .limit(top_k)
     )
+
+
+def length_quantiles(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    group_col: str = "lang",
+    quantiles: tuple = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-group EXACT token-length quantiles (sort-based, linear
+    interpolation — Spark `percentile`, DuckDB `quantile_cont`; the two
+    agree to the last ulp, oracle-verified) plus the doc count: the
+    length-distribution diagnostic a curation pipeline reads before
+    setting `quality_score` min/max-length cutoffs per language/source.
+
+    Exact percentile buffers each GROUP's values on one reducer — the
+    right tool when the group count is bounded (languages, sources:
+    dozens). For high-cardinality groups at corpus scale swap in
+    `approx_percentile` (t-digest sketch, map-side combinable,
+    bounded memory) — kept out of the oracle registry because sketch
+    internals differ across engines; exact is the oracle tier."""
+    toks = tokens(F.col(text_col))
+    qarr = "array(" + ", ".join(str(q) for q in quantiles) + ")"
+    agged = (
+        df.select(F.col(group_col), F.size(toks).alias("__n__"))
+        .groupBy(group_col)
+        .agg(
+            F.expr(f"percentile(__n__, {qarr})").alias("__qs__"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+    return agged.select(
+        group_col,
+        *[
+            F.round(F.get("__qs__", i), 6).alias(f"p{round(q * 100)}")
+            for i, q in enumerate(quantiles)
+        ],
+        "n_docs",
+    )

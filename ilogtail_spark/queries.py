@@ -2450,6 +2450,30 @@ def q_bm25_prestats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(d, terms, topk=20, stats=stats)
 
 
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language EXACT token-length quantiles (p50/p90/p99) + doc
+    count — the length-distribution diagnostic behind per-language
+    curation cutoffs. Spark `percentile` and DuckDB `quantile_cont`
+    implement the same linear-interpolation definition and agree to
+    the last ulp."""
+    from ilogtail_spark.functions.textstats import length_quantiles
+
+    return length_quantiles(_docs(spark, sf_dir))
+
+
+O_LENGTH_QUANTILES = r"""
+WITH t AS (
+  SELECT lang, len(string_split_regex(trim(text), '\s+')) AS n
+  FROM documents)
+SELECT lang,
+  round(quantile_cont(n, 0.5), 6) AS p50,
+  round(quantile_cont(n, 0.9), 6) AS p90,
+  round(quantile_cont(n, 0.99), 6) AS p99,
+  count(*) AS n_docs
+FROM t GROUP BY lang
+"""
+
+
 def q_hybrid_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval with the dense list from the IVF ANN tier
     (coarse-centroid probing — the corpus-scale dense retriever)
@@ -3267,6 +3291,7 @@ QUERIES: dict[str, QueryFn] = {
     "hybrid_retrieval": q_hybrid,
     "hybrid_ivf": q_hybrid_ivf,
     "vocab_topk": q_vocab_topk,
+    "length_quantiles": q_length_quantiles,
     "stratified_sample": q_stratified_sample,
     "pack_sequences": q_pack_sequences,
     "normalize_dedup": q_normalize_dedup,
@@ -3368,6 +3393,7 @@ ORACLES: dict[str, str] = {
     "hybrid_retrieval": O_HYBRID,
     "hybrid_ivf": O_HYBRID_IVF,
     "vocab_topk": O_VOCAB_TOPK,
+    "length_quantiles": O_LENGTH_QUANTILES,
     "stratified_sample": O_STRATIFIED_SAMPLE,
     "pack_sequences": O_PACK_SEQUENCES,
     "normalize_dedup": O_NORMALIZE_DEDUP,

@@ -1158,6 +1158,21 @@ class TestBm25:
         assert "Join" not in plan
 
 
+class TestLengthQuantiles:
+    def test_exact_interpolated(self, spark):
+        from ilogtail_spark.functions.textstats import length_quantiles
+
+        docs = spark.createDataFrame(
+            [(i, "en", "w " * (i + 1)) for i in range(4)],
+            "doc_id long, lang string, text string",
+        )
+        row = length_quantiles(docs).collect()[0]
+        # lengths 1..4: p50 = 2.5 (linear interpolation), p90 = 3.7
+        assert row["lang"] == "en" and row["n_docs"] == 4
+        assert abs(row["p50"] - 2.5) < 1e-9
+        assert abs(row["p90"] - 3.7) < 1e-9
+
+
 class TestVocabTopk:
     def test_counts_share_and_cut(self, spark):
         from ilogtail_spark.functions.textstats import vocab_topk

@@ -101,6 +101,9 @@ CHECKS = {
     # broadcast total + per-partition top-k heaps, never a full sort
     "vocab_topk": (["HashAggregate", "partial_", "TakeOrderedAndProject"],
                    ["SortMergeJoin", "CartesianProduct"]),
+    # exact per-group percentile: one group-keyed aggregate, no joins,
+    # no row expansion
+    "length_quantiles": (["Aggregate"], ["Join", "Generate"]),
 }
 
 # single-pass claims: at most N parquet scans in the physical plan
