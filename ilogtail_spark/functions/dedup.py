@@ -122,6 +122,14 @@ def ngram_jaccard_pairs(
     # A (lazy) local checkpoint materializes once per action, is shared
     # by all three consumers, and its blocks are reclaimed by the
     # ContextCleaner when the plan is garbage collected.
+    # TRADE-OFF (applies to every localCheckpoint in this module): the
+    # blocks are non-replicated and the lineage is TRUNCATED, so losing
+    # an executor mid-job fails the job instead of recomputing — fine
+    # for this sandbox's single JVM and for jobs cheap to re-run, but a
+    # multi-hour 100 TB pass on preemptible executors should use
+    # persist(StorageLevel.MEMORY_AND_DISK) + explicit unpersist after
+    # the action (recomputable lineage), or a reliable checkpoint to
+    # the cluster FS.
     sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     pairs = (
@@ -809,7 +817,12 @@ def bloom_contamination(
     )
 
     if bitmap_literal:
-        words = [0] * (n_bits // 64)
+        # ceil sizing: bit positions are pmod(hash, n_bits), so the top
+        # word index is (n_bits-1)>>6 — an n_bits//64 array would raise
+        # on fill (or worse, F.get returns NULL on an out-of-range probe
+        # and silently DROPS true candidates, breaking the no-false-
+        # negative contract) whenever n_bits is not a multiple of 64
+        words = [0] * ((n_bits + 63) // 64)
         for row in bitmap.collect():  # bounded: n_bits/64 rows max
             words[row["word"]] = row["bits"]
         arr = F.lit(words)

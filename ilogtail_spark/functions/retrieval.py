@@ -53,10 +53,15 @@ def bm25_corpus_stats(
             for i in range(len(query_terms))
         ],
     ).first()
+    # empty corpus: avg() is NULL → avgdl 0.0 (and df NULLs → 0) so the
+    # stats dict stays well-typed; bm25_topk then returns an empty
+    # result just like the inline-stats path does on the same corpus
     return {
         "n_docs": row["n_docs"],
-        "avgdl": row["avgdl"],
-        "df": {t: row[f"df{i}"] for i, t in enumerate(query_terms)},
+        "avgdl": float(row["avgdl"]) if row["avgdl"] is not None else 0.0,
+        "df": {
+            t: int(row[f"df{i}"] or 0) for i, t in enumerate(query_terms)
+        },
     }
 
 

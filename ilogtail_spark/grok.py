@@ -529,7 +529,14 @@ def _branches_overlap(branches: list[str]) -> bool:
     quantifiers falls back to the approximate first-character overlap
     (unknown sets never overlap — the conservative, zero-false-positive-
     on-the-library heuristic)."""
-    lits = [_literal_branch(br) for br in branches if br]
+    if any(not br for br in branches):
+        # an EMPTY branch inside an iterated alternation — (a||b)+ —
+        # is catastrophic outright: the empty word matches at every
+        # position, so every input decomposes exponentially many ways.
+        # Must be decided before any filtering; dropping empty branches
+        # here previously let this class through both paths.
+        return True
+    lits = [_literal_branch(br) for br in branches]
     if all(lit is not None for lit in lits):
         return not _uniquely_decodable([lit for lit in lits if lit is not None])
     sets = [_first_set(br) for br in branches if br]

@@ -119,3 +119,71 @@ class TestMultimodalNullPayload:
         assert extract_features(df).count() == 1
         assert resize_media(df, 8, 8).first()["payload"] is not None
         assert sample_frames(df, every_ms=1000).count() == 3
+
+
+class TestAdviceRound5:
+    """Regression tests for the round-5 ADVICE findings."""
+
+    def test_bloom_literal_nonmultiple_of_64_bits(self, spark):
+        # ADVICE: words was sized n_bits//64, so n_bits=100 either
+        # raised IndexError during fill or silently dropped candidates
+        # whose probe landed in the last partial word (false negatives)
+        from ilogtail_spark.functions.dedup import (
+            bloom_contamination,
+            ngram_contamination,
+        )
+
+        docs = spark.range(40).selectExpr(
+            "id AS doc_id",
+            "array_join(transform(sequence(0, 19), "
+            "i -> concat('t', cast((id * 3 + i * i) % 37 AS string))), ' ')"
+            " AS text",
+        )
+        train = docs.filter("doc_id % 7 != 0")
+        test = docs.filter("doc_id % 7 = 0")
+        exact = {
+            (r["train_id"], r["test_id"]): r["shared_ngrams"]
+            for r in ngram_contamination(
+                train, test, n=3, min_shared=2
+            ).collect()
+        }
+        assert exact
+        for literal in (False, True):
+            got = {
+                (r["train_id"], r["test_id"]): r["shared_ngrams"]
+                for r in bloom_contamination(
+                    train, test, n=3, min_shared=2,
+                    n_bits=100, n_hashes=3, bitmap_literal=literal,
+                ).collect()
+            }
+            assert got == exact, f"bitmap_literal={literal}"
+
+    def test_grok_empty_alternation_branch_flagged(self):
+        # ADVICE: (a||b)+ — empty branch means the empty word matches
+        # at every position (genuinely catastrophic); the branch filter
+        # used to drop it before the Sardinas-Patterson check
+        from ilogtail_spark.grok import lint_backtracking
+
+        assert lint_backtracking(r"(a||b)+c")
+        assert lint_backtracking(r"(?:x||y)+z")
+        # non-literal variant with an empty branch hits the same guard
+        assert lint_backtracking(r"(\d+||[a-f]+)+!")
+        with pytest.raises(ValueError, match="backtrack"):
+            compile_grok(r"(a||b)+c", custom_patterns={})
+
+    def test_bm25_stats_empty_corpus(self, spark):
+        # ADVICE: bm25_corpus_stats on an empty corpus returned
+        # avgdl=None and bm25_topk(stats=...) crashed on float(None)
+        from ilogtail_spark.functions.retrieval import (
+            bm25_corpus_stats,
+            bm25_topk,
+        )
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        stats = bm25_corpus_stats(empty, ["spark", "vector"])
+        assert stats == {
+            "n_docs": 0, "avgdl": 0.0, "df": {"spark": 0, "vector": 0},
+        }
+        assert bm25_topk(empty, ["spark", "vector"], stats=stats).count() == 0
+        # inline-stats path on the same corpus stays graceful too
+        assert bm25_topk(empty, ["spark", "vector"]).count() == 0
