@@ -58,7 +58,12 @@ def main() -> None:
         shuffle_partitions=cpus,
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
-    spark.sparkContext.setLogLevel("ERROR")
+    # FATAL, not ERROR: benign cancelled-stage/cleanup traces at ERROR
+    # level interleave with stdout and left BENCH_r05's captured tail
+    # opening with an unexplained JVM stack fragment. Real failures are
+    # caught per-query below and reported by exception class in the
+    # JSON itself, so the artifact self-explains.
+    spark.sparkContext.setLogLevel("FATAL")
 
     data_path = _ensure_bench_data(spark, n_convs)
     src = spark.read.parquet(data_path)
@@ -111,24 +116,35 @@ def main() -> None:
     noisy = {"minhash_lsh", "ngram_jaccard", "dedup_clusters", "spl_pipeline"}
     reps = {name: (3 if name in noisy else 2) for name in registry}
     runs: dict[str, list[float]] = {name: [] for name in registry}
+    errors: dict[str, str] = {}
     for rnd in range(max(reps.values())):
         for name in registry:
-            if rnd >= reps[name]:
+            if rnd >= reps[name] or name in errors:
                 continue
             fn = QUERIES[name]
             t0 = time.time()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # name the failure in the artifact
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                continue
             runs[name].append(time.time() - t0)
     for name in registry:
-        timings[name] = round(min(runs[name]), 3)
+        if runs[name]:
+            timings[name] = round(min(runs[name]), 3)
+    # {best, median, runs} for EVERY query (not just the noisy set):
+    # rounds 3-5 each produced phantom regressions outside whatever
+    # subset carried spreads — on this multi-tenant box every delta
+    # needs to ship with its own refutation
     query_stats = {
         name: {
             "best": round(min(runs[name]), 3),
             "median": round(sorted(runs[name])[len(runs[name]) // 2], 3),
             "runs": [round(x, 3) for x in runs[name]],
         }
-        for name in sorted(noisy)
+        for name in registry
+        if runs[name]
     }
 
     total = round(sum(timings.values()), 3)
@@ -147,7 +163,10 @@ def main() -> None:
         "cpus": cpus,
         "sink_counts": {r["route"]: r["count"] for r in counts},
     }
+    if errors:
+        result["errors"] = errors
     print(json.dumps(result))
+    sys.stdout.flush()
     spark.stop()
 
 

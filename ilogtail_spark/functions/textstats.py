@@ -399,33 +399,57 @@ def length_quantiles(
     text_col: str = "text",
     group_col: str = "lang",
     quantiles: tuple = (0.5, 0.9, 0.99),
+    approx: bool = True,
+    accuracy: int = 10000,
 ) -> DataFrame:
-    """Per-group EXACT token-length quantiles (sort-based, linear
-    interpolation — Spark `percentile`, DuckDB `quantile_cont`; the two
-    agree to the last ulp, oracle-verified) plus the doc count: the
+    """Per-group token-length quantiles plus the doc count: the
     length-distribution diagnostic a curation pipeline reads before
     setting `quality_score` min/max-length cutoffs per language/source.
 
-    Exact percentile buffers each GROUP's values on one reducer — the
-    right tool when the group count is bounded (languages, sources:
-    dozens). For high-cardinality groups at corpus scale swap in
-    `approx_percentile` (t-digest sketch, map-side combinable,
-    bounded memory) — kept out of the oracle registry because sketch
-    internals differ across engines; exact is the oracle tier."""
+    The DEFAULT tier is ``approx=True``: Spark `approx_percentile`
+    (Greenwald–Khanna summary, relative rank error ≤ 1/accuracy). Its
+    partial state is O(accuracy·log n) and MAP-SIDE COMBINABLE, so
+    memory is bounded no matter how large a single group is. That
+    matters because the hazard here is group SIZE, not group count:
+    exact `percentile` is an ObjectHashAggregate that buffers each
+    group's ENTIRE value vector on one reducer — with a dozen
+    languages at 10^12 turns the largest language alone is ~10^11
+    int64s (~800 GB) on a single task. Exact stays available as
+    ``approx=False`` — the oracle/verification tier for bounded
+    inputs, never the corpus-scale default.
+
+    Semantics and oracles: exact = linear interpolation (Spark
+    `percentile` == DuckDB `quantile_cont` to the last ulp). Approx
+    returns an ELEMENT of the group — and whenever accuracy ≥ group
+    size the GK summary keeps every sample, making the result the
+    exact discrete quantile (== DuckDB `quantile_disc`; verified over
+    adversarial group sizes 1..997 at q ∈ {0, .01, .25, .5, .75, .9,
+    .99, 1}). So the approx tier is itself oracle-checkable at test
+    scale, and its sub-accuracy regime is pinned by a rank-tolerance
+    pytest against the exact tier."""
     toks = tokens(F.col(text_col))
     qarr = "array(" + ", ".join(str(q) for q in quantiles) + ")"
+    pct = (
+        f"approx_percentile(__n__, {qarr}, {accuracy})"
+        if approx
+        else f"percentile(__n__, {qarr})"
+    )
     agged = (
         df.select(F.col(group_col), F.size(toks).alias("__n__"))
         .groupBy(group_col)
         .agg(
-            F.expr(f"percentile(__n__, {qarr})").alias("__qs__"),
+            F.expr(pct).alias("__qs__"),
             F.count(F.lit(1)).alias("n_docs"),
         )
     )
+    # cast: approx returns the input integer type, exact returns double
+    # — one output schema for both tiers (and for the shared oracles)
     return agged.select(
         group_col,
         *[
-            F.round(F.get("__qs__", i), 6).alias(f"p{round(q * 100)}")
+            F.round(F.get("__qs__", i).cast("double"), 6).alias(
+                f"p{round(q * 100)}"
+            )
             for i, q in enumerate(quantiles)
         ],
         "n_docs",

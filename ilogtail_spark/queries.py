@@ -2455,10 +2455,39 @@ def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     count — the length-distribution diagnostic behind per-language
     curation cutoffs. Spark `percentile` and DuckDB `quantile_cont`
     implement the same linear-interpolation definition and agree to
-    the last ulp."""
+    the last ulp. This is the ORACLE tier: exact percentile buffers a
+    group's whole value vector on one reducer, so at corpus scale the
+    default is the approx twin (`length_quantiles_approx`)."""
     from ilogtail_spark.functions.textstats import length_quantiles
 
-    return length_quantiles(_docs(spark, sf_dir))
+    return length_quantiles(_docs(spark, sf_dir), approx=False)
+
+
+def q_length_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scale quantile tier: `approx_percentile`
+    (Greenwald–Khanna, rank error ≤ 1/accuracy, map-side-combinable
+    bounded-memory partials — O(accuracy·log n) per task instead of
+    the exact tier's O(group) single-reducer buffer). With accuracy ≥
+    group size the GK summary retains every sample and the answer is
+    the exact DISCRETE quantile, so the oracle is DuckDB's
+    `quantile_disc` — the sub-accuracy sketch regime is pinned by a
+    rank-tolerance pytest against the exact tier instead."""
+    from ilogtail_spark.functions.textstats import length_quantiles
+
+    return length_quantiles(_docs(spark, sf_dir), approx=True)
+
+
+O_LENGTH_QUANTILES_APPROX = r"""
+WITH t AS (
+  SELECT lang, len(string_split_regex(trim(text), '\s+')) AS n
+  FROM documents)
+SELECT lang,
+  round(CAST(quantile_disc(n, 0.5) AS DOUBLE), 6) AS p50,
+  round(CAST(quantile_disc(n, 0.9) AS DOUBLE), 6) AS p90,
+  round(CAST(quantile_disc(n, 0.99) AS DOUBLE), 6) AS p99,
+  count(*) AS n_docs
+FROM t GROUP BY lang
+"""
 
 
 O_LENGTH_QUANTILES = r"""
@@ -3292,6 +3321,7 @@ QUERIES: dict[str, QueryFn] = {
     "hybrid_ivf": q_hybrid_ivf,
     "vocab_topk": q_vocab_topk,
     "length_quantiles": q_length_quantiles,
+    "length_quantiles_approx": q_length_quantiles_approx,
     "stratified_sample": q_stratified_sample,
     "pack_sequences": q_pack_sequences,
     "normalize_dedup": q_normalize_dedup,
@@ -3394,6 +3424,7 @@ ORACLES: dict[str, str] = {
     "hybrid_ivf": O_HYBRID_IVF,
     "vocab_topk": O_VOCAB_TOPK,
     "length_quantiles": O_LENGTH_QUANTILES,
+    "length_quantiles_approx": O_LENGTH_QUANTILES_APPROX,
     "stratified_sample": O_STRATIFIED_SAMPLE,
     "pack_sequences": O_PACK_SEQUENCES,
     "normalize_dedup": O_NORMALIZE_DEDUP,

@@ -1166,11 +1166,48 @@ class TestLengthQuantiles:
             [(i, "en", "w " * (i + 1)) for i in range(4)],
             "doc_id long, lang string, text string",
         )
-        row = length_quantiles(docs).collect()[0]
+        row = length_quantiles(docs, approx=False).collect()[0]
         # lengths 1..4: p50 = 2.5 (linear interpolation), p90 = 3.7
         assert row["lang"] == "en" and row["n_docs"] == 4
         assert abs(row["p50"] - 2.5) < 1e-9
         assert abs(row["p90"] - 3.7) < 1e-9
+
+    def test_approx_is_discrete_exact_when_accuracy_covers_group(self, spark):
+        # accuracy >= group size: GK keeps every sample, result is the
+        # exact discrete quantile (an element, no interpolation)
+        from ilogtail_spark.functions.textstats import length_quantiles
+
+        docs = spark.createDataFrame(
+            [(i, "en", "w " * (i + 1)) for i in range(4)],
+            "doc_id long, lang string, text string",
+        )
+        row = length_quantiles(docs).collect()[0]  # approx is the default
+        assert row["n_docs"] == 4
+        # lengths 1..4: smallest element with cume_dist >= q
+        assert row["p50"] == 2.0 and row["p90"] == 4.0 and row["p99"] == 4.0
+
+    def test_approx_rank_tolerance_in_sketch_regime(self, spark):
+        """accuracy << group size — the genuinely approximate regime.
+        GK guarantees rank error <= n/accuracy; assert the returned
+        value sits within twice that rank window of the exact discrete
+        quantile (deterministic data, generous bound)."""
+        from ilogtail_spark.functions.textstats import length_quantiles
+
+        n, accuracy = 20000, 200
+        # skewed lengths 1..~460, zipf-ish via squares
+        lens = [(i * i) % 459 + 1 for i in range(n)]
+        docs = spark.createDataFrame(
+            [(i, "en", "w " * ln) for i, ln in enumerate(lens)],
+            "doc_id long, lang string, text string",
+        )
+        row = length_quantiles(docs, accuracy=accuracy).collect()[0]
+        sorted_lens = sorted(lens)
+        tol = 2 * n // accuracy  # 2x the GK guarantee
+        for q, col in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+            target_rank = int(q * n)
+            lo = sorted_lens[max(0, target_rank - tol)]
+            hi = sorted_lens[min(n - 1, target_rank + tol)]
+            assert lo <= row[col] <= hi, (col, row[col], lo, hi)
 
 
 class TestVocabTopk:
