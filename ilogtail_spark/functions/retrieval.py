@@ -231,3 +231,214 @@ def hybrid_topk(
         )
     )
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(topk)
+
+
+def bm25_multi_topk(
+    docs: DataFrame,
+    queries: dict[str, list[str]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 10,
+    stats: dict | None = None,
+) -> DataFrame:
+    """BM25 top-k for a BATCH of queries in ONE corpus scan — the
+    corpus-slicing pass a curation run actually executes (hundreds of
+    topic queries over one snapshot), where per-query jobs would each
+    re-scan the corpus and the scans, not the scoring, dominate at
+    100 TB.
+
+    Shape: term frequencies are computed once per DISTINCT term across
+    all queries (shared zero-shuffle array-filter projections, exactly
+    `bm25_topk`'s scoring kernel); each query's score is its own
+    fixed-order chain over the shared tf/df columns, so scores are
+    bit-identical to the single-query operator. Per-document hits fold
+    into an array of (query_id, bm25) structs, null-scored entries are
+    filtered BEFORE the explode, and `inline` emits only real hits —
+    the exploded relation is Σ_q |hits_q| rows, never docs × queries.
+
+    Per-query top-k is a rank-limit window (`row_number() <= k`
+    partitioned by query_id): Spark rewrites that filter into a
+    WindowGroupLimit, which prunes each map task's output to its local
+    top-k per query BEFORE the exchange — the shuffle carries
+    O(tasks · queries · k) rows, so this is the same per-partition-heap
+    discipline as TakeOrderedAndProject, generalized per group
+    (plan-audited).
+
+    Returns (query_id, doc_id, bm25, rank), rank 1-based, ties broken
+    by doc_id. `stats` (from `bm25_corpus_stats` over the distinct-term
+    union) turns the statistics into plan literals — one scan total.
+    """
+    if not queries or any(not t for t in queries.values()):
+        raise ValueError("bm25_multi_topk requires non-empty term lists")
+    # distinct union, first-occurrence order (deterministic tf columns)
+    union_terms: list[str] = []
+    for terms in queries.values():
+        for t in terms:
+            if t not in union_terms:
+                union_terms.append(t)
+    tidx = {t: i for i, t in enumerate(union_terms)}
+
+    def tf(toks: Column, term: str) -> Column:
+        # single-arg lambda (two-arg binds (element, index) — see bm25_topk)
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    toks = tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("dl"),
+        *[tf(toks, t).alias(f"tf{i}") for i, t in enumerate(union_terms)],
+    )
+    if stats is not None:
+        scored = base.select(
+            "*",
+            F.lit(int(stats["n_docs"])).alias("n_docs"),
+            F.lit(float(stats["avgdl"])).alias("avgdl"),
+            *[
+                F.lit(int(stats["df"][t])).alias(f"df{i}")
+                for i, t in enumerate(union_terms)
+            ],
+        )
+    else:
+        stats_row = base.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+            *[
+                F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+                for i in range(len(union_terms))
+            ],
+        )
+        scored = base.join(F.broadcast(stats_row))
+
+    def contrib(i: int) -> Column:
+        tfc = F.col(f"tf{i}").cast("double")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+            + 1.0
+        )
+        norm = tfc + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        return idf * tfc * (k1 + 1.0) / norm
+
+    entries = []
+    for qid, terms in queries.items():
+        idxs = [tidx[t] for t in terms]
+        score = contrib(idxs[0])
+        for i in idxs[1:]:
+            score = score + contrib(i)
+        any_hit = F.col(f"tf{idxs[0]}") > 0
+        for i in idxs[1:]:
+            any_hit = any_hit | (F.col(f"tf{i}") > 0)
+        entries.append(
+            F.struct(
+                F.lit(qid).alias("query_id"),
+                F.when(any_hit, F.round(score, 6)).alias("bm25"),
+            )
+        )
+    hits = scored.select(
+        "doc_id",
+        F.inline(
+            F.filter(F.array(*entries), lambda s: s["bm25"].isNotNull())
+        ),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("bm25"), F.asc("doc_id")
+    )
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "doc_id", "bm25", "rank")
+    )
+
+
+def hybrid_multi_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    queries: dict[str, dict],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    topk: int = 10,
+    n_candidates: int = 50,
+    k0: int = 60,
+    stats: dict | None = None,
+) -> DataFrame:
+    """`hybrid_topk` for a BATCH of queries: ONE scan of the document
+    corpus (batched BM25) + ONE scan of the embedding corpus (all query
+    vectors in one broadcast against `brute_force_topk`, whose window
+    is already partitioned per query), RRF-fused per query_id.
+
+    ``queries`` maps query_id -> {"terms": [...], "vec_id": int}. The
+    fusion join runs over ≤ 2 · n_queries · n_candidates rows — bounded
+    by parameters, like the single-query operator. Returns
+    (query_id, doc_id, rrf), top-`topk` per query.
+    """
+    from pyspark.sql.window import Window
+
+    from ilogtail_spark.functions.similarity import brute_force_topk
+
+    lex = bm25_multi_topk(
+        docs,
+        {qid: spec["terms"] for qid, spec in queries.items()},
+        id_col=id_col,
+        text_col=text_col,
+        topk=n_candidates,
+        stats=stats,
+    ).select("query_id", "doc_id", F.col("rank").alias("r_lex"))
+
+    vec_to_qids: dict[int, list[str]] = {}
+    for qid, spec in queries.items():
+        vec_to_qids.setdefault(int(spec["vec_id"]), []).append(qid)
+    qvecs = embeddings.filter(
+        F.col(vec_id_col).isin(list(vec_to_qids))
+    )
+    dense_raw = brute_force_topk(
+        embeddings, qvecs, id_col=vec_id_col, vec_col=vec_col,
+        k=n_candidates,
+    )
+    # fan each neighbor row back out to the query ids sharing its
+    # vector — an array/when explode (parameter-sized literals) rather
+    # than a map lookup, since a map could return only ONE qid per vec
+    dense = dense_raw.select(
+        F.explode(
+            F.array(
+                *[
+                    F.when(
+                        F.col("q_id") == F.lit(vid), F.lit(qid)
+                    )
+                    for vid, qids in vec_to_qids.items()
+                    for qid in qids
+                ]
+            )
+        ).alias("query_id"),
+        F.col("n_id").alias("doc_id"),
+        F.col("rank").alias("r_dense"),
+    ).filter(F.col("query_id").isNotNull())
+
+    one = F.lit(1.0)
+    k0d = F.lit(float(k0))
+    fused = (
+        lex.join(dense, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.coalesce(one / (k0d + F.col("r_lex")), F.lit(0.0))
+                + F.coalesce(one / (k0d + F.col("r_dense")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "doc_id", "rrf", "rank")
+    )

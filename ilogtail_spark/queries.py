@@ -2652,6 +2652,194 @@ denser AS (
 )
 
 
+# ---- batch-of-queries retrieval -------------------------------------
+# The corpus-slicing pass a curation run actually executes: N topic
+# queries over ONE snapshot scan, not one Spark job (and one 100 TB
+# scan) per query. Fixture: three queries sharing a term so the
+# distinct-term union (7 tf columns for 8 query terms) is exercised.
+
+_BM25_MULTI_QUERIES = {
+    "q1": ["spark", "vector", "customer"],
+    "q2": ["data", "pipeline"],
+    "q3": ["model", "training", "vector"],
+}
+
+
+def _bm25_multi_union_terms(queries: dict[str, list[str]]) -> list[str]:
+    out: list[str] = []
+    for ts in queries.values():
+        for t in ts:
+            if t not in out:
+                out.append(t)
+    return out
+
+
+def _bm25_multi_scored_sql(queries: dict[str, list[str]]) -> str:
+    """The shared WITH prefix ending in a `scored(query_id, doc_id,
+    bm25)` CTE — DuckDB twin of `bm25_multi_topk`'s scoring: tf per
+    DISTINCT term, one stats row, each query's fixed-order float chain
+    over the shared columns (float-identical to the single-query
+    oracle by construction)."""
+    union = _bm25_multi_union_terms(queries)
+    idx = {t: i for i, t in enumerate(union)}
+    tf_lines = ",\n".join(
+        f"    len(list_filter(t, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(union)
+    )
+    df_lines = ",\n".join(
+        f"    sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(union))
+    )
+
+    def contrib(i: int) -> str:
+        return (
+            f"ln((n_docs - df{i} + hf)/(df{i} + hf) + one)\n"
+            f"        * tf{i} * (k1 + one) / (tf{i} + k1 * (one - bb + bb * dl / avgdl))"
+        )
+
+    blocks = []
+    for qid, ts in queries.items():
+        idxs = [idx[t] for t in ts]
+        chain = "\n      + ".join(contrib(i) for i in idxs)
+        hits = " OR ".join(f"tf{i} > 0" for i in idxs)
+        blocks.append(
+            f"  SELECT '{qid}' AS query_id, doc_id,\n"
+            f"    round({chain}, 6) AS bm25\n"
+            f"  FROM wt, st WHERE {hits}"
+        )
+    union_sql = "\n  UNION ALL\n".join(blocks)
+    return (
+        "\nWITH toks AS (\n"
+        r"  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t"
+        " FROM documents),\n"
+        "wt AS (\n  SELECT doc_id, len(t) AS dl,\n"
+        f"{tf_lines}\n  FROM toks),\n"
+        "st AS (\n  SELECT count(*) AS n_docs, avg(dl) AS avgdl,\n"
+        f"{df_lines},\n"
+        "    CAST(1.2 AS DOUBLE) AS k1, CAST(0.75 AS DOUBLE) AS bb,\n"
+        "    CAST(0.5 AS DOUBLE) AS hf, CAST(1.0 AS DOUBLE) AS one\n"
+        "  FROM wt),\n"
+        f"scored AS (\n{union_sql})"
+    )
+
+
+def q_bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BM25: three queries (8 terms, 7 distinct) scored in ONE
+    documents scan. Stats are write-time literals (`bm25_corpus_stats`
+    over the distinct-term union — the per-snapshot pass), so the
+    query plan is scan → fused tf/score projection → inline explode of
+    per-query hits → WindowGroupLimit top-k per query: zero joins, one
+    window exchange over Σ hits rows (plan-audited)."""
+    from ilogtail_spark.functions.retrieval import (
+        bm25_corpus_stats,
+        bm25_multi_topk,
+    )
+
+    d = _docs(spark, sf_dir)
+    stats = bm25_corpus_stats(
+        d, _bm25_multi_union_terms(_BM25_MULTI_QUERIES)
+    )
+    return bm25_multi_topk(d, _BM25_MULTI_QUERIES, topk=10, stats=stats)
+
+
+O_BM25_MULTI = _bm25_multi_scored_sql(_BM25_MULTI_QUERIES) + """
+SELECT query_id, doc_id, bm25, rank FROM (
+  SELECT query_id, doc_id, bm25,
+    CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS INT) AS rank
+  FROM scored)
+WHERE rank <= 10
+"""
+
+
+_HYBRID_MULTI_QUERIES = {
+    "q1": {"terms": ["spark", "vector"], "vec_id": 5},
+    "q2": {"terms": ["data", "pipeline"], "vec_id": 6},
+}
+
+
+def q_hybrid_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched hybrid retrieval: both queries' lexical lists come from
+    ONE documents scan (`bm25_multi_topk`) and both dense lists from
+    ONE corpus-sized embeddings scan (`brute_force_topk` with both
+    query vectors in a single broadcast; the query-vector pull itself
+    is a pushed-down point lookup, not a second corpus scan). Lexical
+    stats are write-time literals (`bm25_corpus_stats`, the
+    per-snapshot pass), so the documents side is 1 in-plan scan. RRF
+    fusion joins per (query_id, doc_id) over parameter-bounded
+    candidate sets."""
+    from ilogtail_spark.functions.retrieval import (
+        bm25_corpus_stats,
+        hybrid_multi_topk,
+    )
+
+    d = _docs(spark, sf_dir)
+    stats = bm25_corpus_stats(
+        d,
+        _bm25_multi_union_terms(
+            {q: s["terms"] for q, s in _HYBRID_MULTI_QUERIES.items()}
+        ),
+    )
+    return hybrid_multi_topk(
+        d,
+        _emb(spark, sf_dir),
+        _HYBRID_MULTI_QUERIES,
+        topk=10,
+        n_candidates=50,
+        stats=stats,
+    )
+
+
+def _hybrid_multi_oracle() -> str:
+    lex_core = _bm25_multi_scored_sql(
+        {qid: spec["terms"] for qid, spec in _HYBRID_MULTI_QUERIES.items()}
+    )
+    vec_cases = " ".join(
+        f"WHEN {spec['vec_id']} THEN '{qid}'"
+        for qid, spec in _HYBRID_MULTI_QUERIES.items()
+    )
+    vec_ids = ", ".join(
+        str(spec["vec_id"]) for spec in _HYBRID_MULTI_QUERIES.values()
+    )
+    return lex_core + f""",
+lex AS (
+  SELECT query_id, doc_id,
+    row_number() OVER (
+      PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS r_lex
+  FROM scored QUALIFY r_lex <= 50),
+qv AS (SELECT vec_id AS q_id, embedding AS q_vec
+       FROM embeddings WHERE vec_id IN ({vec_ids})),
+dscored AS (
+  SELECT q.q_id, e.vec_id AS n_id,
+    round({_COS_SQL.format(a="q.q_vec", b="e.embedding")}, 6) AS cos_sim
+  FROM embeddings e, qv q WHERE e.vec_id <> q.q_id),
+dense AS (
+  SELECT CASE q_id {vec_cases} END AS query_id, n_id AS doc_id,
+    row_number() OVER (
+      PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS r_dense
+  FROM dscored QUALIFY r_dense <= 50),
+fused AS (
+  SELECT coalesce(l.query_id, d.query_id) AS query_id,
+         coalesce(l.doc_id, d.doc_id) AS doc_id,
+    round(
+      coalesce(CAST(1.0 AS DOUBLE) / (CAST(60 AS DOUBLE) + l.r_lex),
+               CAST(0 AS DOUBLE))
+    + coalesce(CAST(1.0 AS DOUBLE) / (CAST(60 AS DOUBLE) + d.r_dense),
+               CAST(0 AS DOUBLE)), 6) AS rrf
+  FROM lex l FULL OUTER JOIN dense d
+    ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
+SELECT query_id, doc_id, rrf, rank FROM (
+  SELECT query_id, doc_id, rrf,
+    CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS INT) AS rank
+  FROM fused)
+WHERE rank <= 10
+"""
+
+
+O_HYBRID_MULTI = _hybrid_multi_oracle()
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated substring spans (windowed-hash
     approximation of Lee et al. 2022 exact substring dedup): maximal
@@ -3319,6 +3507,8 @@ QUERIES: dict[str, QueryFn] = {
     "bm25_prestats": q_bm25_prestats,
     "hybrid_retrieval": q_hybrid,
     "hybrid_ivf": q_hybrid_ivf,
+    "bm25_multi": q_bm25_multi,
+    "hybrid_multi": q_hybrid_multi,
     "vocab_topk": q_vocab_topk,
     "length_quantiles": q_length_quantiles,
     "length_quantiles_approx": q_length_quantiles_approx,
@@ -3422,6 +3612,8 @@ ORACLES: dict[str, str] = {
     "bm25_prestats": O_BM25,
     "hybrid_retrieval": O_HYBRID,
     "hybrid_ivf": O_HYBRID_IVF,
+    "bm25_multi": O_BM25_MULTI,
+    "hybrid_multi": O_HYBRID_MULTI,
     "vocab_topk": O_VOCAB_TOPK,
     "length_quantiles": O_LENGTH_QUANTILES,
     "length_quantiles_approx": O_LENGTH_QUANTILES_APPROX,

@@ -1475,3 +1475,147 @@ class TestInt8Quantization:
         ]
         # int8 scalar quantization keeps cosine ranks nearly intact
         assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+class TestBm25Multi:
+    def test_one_query_batch_matches_single(self, spark):
+        """A one-query batch must be bit-identical to bm25_topk — the
+        batched operator reuses the same scoring kernel."""
+        from ilogtail_spark.functions.retrieval import (
+            bm25_multi_topk,
+            bm25_topk,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, ("apple " * (i % 3 + 1)) + ("pear " * (i % 2)) + "x")
+             for i in range(30)],
+            "doc_id long, text string",
+        )
+        single = [(r["doc_id"], r["bm25"])
+                  for r in bm25_topk(docs, ["apple", "pear"], topk=7).collect()]
+        multi = sorted(
+            bm25_multi_topk(docs, {"q": ["apple", "pear"]}, topk=7).collect(),
+            key=lambda r: r["rank"],
+        )
+        assert [(r["doc_id"], r["bm25"]) for r in multi] == single
+        assert [r["rank"] for r in multi] == list(range(1, len(multi) + 1))
+
+    def test_each_query_scored_over_own_terms(self, spark):
+        from ilogtail_spark.functions.retrieval import (
+            bm25_multi_topk,
+            bm25_topk,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "apple apple banana"), (2, "banana cherry"),
+             (3, "cherry cherry cherry"), (4, "durian")],
+            "doc_id long, text string",
+        )
+        qs = {"qa": ["apple", "banana"], "qc": ["cherry"]}
+        out = bm25_multi_topk(docs, qs, topk=10).collect()
+        got = {qid: sorted((r["doc_id"], r["bm25"]) for r in out
+                           if r["query_id"] == qid) for qid in qs}
+        for qid, terms in qs.items():
+            want = sorted((r["doc_id"], r["bm25"])
+                          for r in bm25_topk(docs, terms, topk=10).collect())
+            assert got[qid] == want, qid
+        # doc 4 matches nothing — must appear in no list
+        assert all(r["doc_id"] != 4 for r in out)
+
+    def test_single_scan_and_window_group_limit(self, spark):
+        """The production claims: with prestats the plan is ONE scan,
+        zero joins, and the per-query top-k is a WindowGroupLimit
+        (map-side group heaps before the exchange)."""
+        from ilogtail_spark.functions.retrieval import (
+            bm25_corpus_stats,
+            bm25_multi_topk,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "apple pear plum"[: 5 + (i % 3) * 5]) for i in range(20)],
+            "doc_id long, text string",
+        )
+        stats = bm25_corpus_stats(docs, ["apple", "pear"])
+        df = bm25_multi_topk(
+            docs, {"q1": ["apple"], "q2": ["pear", "apple"]},
+            topk=3, stats=stats,
+        )
+        plan = (
+            df._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert "WindowGroupLimit" in plan
+        assert "Join" not in plan
+
+    def test_rejects_empty(self, spark):
+        import pytest
+
+        from ilogtail_spark.functions.retrieval import bm25_multi_topk
+
+        docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            bm25_multi_topk(docs, {})
+        with pytest.raises(ValueError):
+            bm25_multi_topk(docs, {"q": []})
+
+
+class TestHybridMulti:
+    def test_matches_single_hybrid_per_query(self, spark):
+        from ilogtail_spark.functions.retrieval import (
+            hybrid_multi_topk,
+            hybrid_topk,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "zz"), (1, "apple apple apple"), (2, "apple"),
+             (3, "nothing relevant"), (4, "pear pear")],
+            "doc_id long, text string",
+        )
+        emb = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.9, 0.1]),
+             (3, [1.0, 0.05]), (4, [0.5, 0.5])],
+            "vec_id long, embedding array<float>",
+        )
+        out = hybrid_multi_topk(
+            docs, emb,
+            {"qa": {"terms": ["apple"], "vec_id": 0},
+             "qp": {"terms": ["pear"], "vec_id": 1}},
+            topk=4, n_candidates=3,
+        ).collect()
+        for qid, terms, vid in [("qa", ["apple"], 0), ("qp", ["pear"], 1)]:
+            want = sorted(
+                (r["doc_id"], r["rrf"])
+                for r in hybrid_topk(
+                    docs, emb, terms, vid, topk=4, n_candidates=3
+                ).collect()
+            )
+            got = sorted((r["doc_id"], r["rrf"])
+                         for r in out if r["query_id"] == qid)
+            assert got == want, qid
+
+    def test_shared_query_vector_fans_out(self, spark):
+        # two queries sharing one vector: each still gets a full dense
+        # list (the array/when fan-out, where a map would keep only one)
+        from ilogtail_spark.functions.retrieval import hybrid_multi_topk
+
+        docs = spark.createDataFrame(
+            [(1, "apple"), (2, "pear"), (3, "plum")],
+            "doc_id long, text string",
+        )
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+            "vec_id long, embedding array<float>",
+        )
+        out = hybrid_multi_topk(
+            docs, emb,
+            {"qa": {"terms": ["apple"], "vec_id": 1},
+             "qb": {"terms": ["pear"], "vec_id": 1}},
+            topk=3, n_candidates=2,
+        ).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], set()).add(r["doc_id"])
+        # both queries got dense neighbors of vec 1 (docs 2 and 3's
+        # cosine ranks) fused with their own lexical hit
+        assert by_q["qa"] and by_q["qb"]
+        assert 2 in by_q["qa"] and 2 in by_q["qb"]

@@ -104,6 +104,21 @@ CHECKS = {
     # exact per-group percentile: one group-keyed aggregate, no joins,
     # no row expansion
     "length_quantiles": (["Aggregate"], ["Join", "Generate"]),
+    # round 6: the approx tier must keep the same single-aggregate
+    # shape AND show a map-side partial (the GK summary combines before
+    # the exchange — the whole point of the twin)
+    "length_quantiles_approx": (["ObjectHashAggregate", "partial_"],
+                                ["Join", "Generate"]),
+    # round 6: batched BM25 — one scan, literal stats, inline explode
+    # of per-query hits, and the per-query top-k must be a
+    # WindowGroupLimit (map-side per-group heaps before the exchange);
+    # no joins, no corpus-wide aggregate in the plan
+    "bm25_multi": (["WindowGroupLimit", "Generate"],
+                   ["Join", "HashAggregate"]),
+    # batched hybrid: both rank pulls feed WindowGroupLimit windows;
+    # fusion may shuffle-join (parameter-bounded lists) but never
+    # cartesian
+    "hybrid_multi": (["WindowGroupLimit"], ["CartesianProduct"]),
 }
 
 # single-pass claims: at most N parquet scans in the physical plan
@@ -120,6 +135,11 @@ SCAN_LIMIT = {
     "contamination_bloom": 2,  # train grams + test confirm; the bitmap
                                # build must NOT re-scan per probe join
                                # (was 7 scans before the checkpoint)
+    "bm25_multi": 1,           # N queries, ONE corpus scan — the point
+    "hybrid_multi": 3,         # documents once (literal stats) +
+                               # embeddings corpus + pushed-down
+                               # query-vector point lookup
+    "length_quantiles_approx": 1,
 }
 
 # single-materialization claims: expensive expressions that must appear
@@ -153,6 +173,8 @@ EXCHANGE_LIMIT = {
     "custom_flatten": 1,     # transcripts window only
     "custom_single": 1,
     "corpus_pipeline": 1,    # the md5(norm) dedup window — nothing else
+    "bm25_multi": 1,         # the per-query top-k window — nothing else
+    "length_quantiles_approx": 1,  # the group-keyed agg exchange
 }
 
 
