@@ -724,6 +724,53 @@ def ngram_contamination(
     )
 
 
+def bloom_bitmap(
+    test: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """The (word, bits) Bloom bitmap of the TEST side's distinct token
+    n-gram hashes — the build stage of `bloom_contamination`, exposed
+    separately so a snapshot can materialize it once per held-out-set
+    revision (`plans/snapshot.py`) and every later decontamination pass
+    probes the reloaded parquet instead of re-scanning the test corpus.
+    Always at most ``ceil(n_bits/64)`` rows (128 KiB at the default) —
+    bounded by the PARAMETER, not the data. The probe side must use the
+    same (n, n_bits, n_hashes); `bloom_contamination(bitmap=...)`
+    re-derives nothing, so persist the parameters with the bitmap."""
+
+    def pos(g: Column, i: int) -> Column:
+        return F.pmod(F.xxhash64(g, F.lit(i)), F.lit(n_bits))
+
+    return (
+        test.select(
+            F.explode(
+                F.array_distinct(
+                    F.transform(_shingles(F.col(text_col), n), _hash32)
+                )
+            ).alias("g")
+        )
+        .distinct()
+        .select(
+            F.explode(
+                F.array(*[pos(F.col("g"), i) for i in range(n_hashes)])
+            ).alias("pos")
+        )
+        .select(
+            F.shiftrightunsigned(F.col("pos"), 6).alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+            ).alias("m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+
+
 def bloom_contamination(
     train: DataFrame,
     test: DataFrame,
@@ -735,6 +782,7 @@ def bloom_contamination(
     n_bits: int = 1 << 20,
     n_hashes: int = 5,
     bitmap_literal: bool = False,
+    bitmap: DataFrame | None = None,
 ) -> DataFrame:
     """`ngram_contamination` behind a distributed Bloom pre-filter —
     IDENTICAL output by construction (Bloom filters have no false
@@ -774,7 +822,12 @@ def bloom_contamination(
     rows while the literal path pays interpreted array-literal
     indexing and a second hash evaluation per probe — so joins stay
     the default; the literal form exists for plan-shape constraints
-    (e.g. join-count-limited downstream tooling)."""
+    (e.g. join-count-limited downstream tooling).
+
+    Pass ``bitmap`` (a `bloom_bitmap` relation, e.g. reloaded from a
+    `plans/snapshot.py` snapshot built with the SAME n/n_bits/n_hashes)
+    to skip the build entirely — the test corpus is then never scanned
+    for the filter stage, only for the final exact confirm join."""
 
     def grams(df: DataFrame, out: str) -> DataFrame:
         return df.select(
@@ -792,29 +845,18 @@ def bloom_contamination(
     tr = grams(train, "train_id")
     te = grams(test, "test_id")
 
-    bitmap = (
-        te.select("g")
-        .distinct()
-        .select(
-            F.explode(
-                F.array(*[pos(F.col("g"), i) for i in range(n_hashes)])
-            ).alias("pos")
-        )
-        .select(
-            F.shiftrightunsigned(F.col("pos"), 6).alias("word"),
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
-            ).alias("m"),
-        )
-        .groupBy("word")
-        .agg(F.bit_or("m").alias("bits"))
+    if bitmap is None:
         # materialize ONCE: each of the n_hashes probe joins broadcasts
         # this relation, and (measured) ReuseExchange does not kick in
         # across the differently-keyed joins — without this the test
         # scan + bitmap build re-executes per probe. Bounded rows, so
-        # the checkpoint is O(n_bits/64); ContextCleaner reclaims it
-        .localCheckpoint(eager=True)
-    )
+        # the checkpoint is O(n_bits/64); ContextCleaner reclaims it.
+        # A caller-supplied bitmap is already parquet/file-backed, so it
+        # needs no checkpoint — each probe join re-reads ≤128 KiB.
+        bitmap = bloom_bitmap(
+            test, id_col=id_col, text_col=text_col,
+            n=n, n_bits=n_bits, n_hashes=n_hashes,
+        ).localCheckpoint(eager=True)
 
     if bitmap_literal:
         # ceil sizing: bit positions are pmod(hash, n_bits), so the top

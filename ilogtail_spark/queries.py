@@ -2310,6 +2310,33 @@ FROM documents d WHERE d.doc_id % 5 = 0
 """
 
 
+def q_incremental_dedup_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`incremental_dedup` with the index going THROUGH DISK: the
+    write-time state is persisted as a bucketed-parquet corpus snapshot
+    (`plans/snapshot.py`), the catalog entries are dropped (the part of
+    a session restart that loses anything), and the probe runs against
+    the RELOADED state — the resumable-ingestion shape, where the index
+    is built once per corpus revision and every later session probes
+    it from disk without re-shuffling it (bucketed scans satisfy the
+    probe joins' distribution). Output must be IDENTICAL to
+    `incremental_dedup`, so it shares that oracle verbatim."""
+    import tempfile
+
+    from ilogtail_spark.functions.dedup import dedup_index, incremental_dedup
+    from ilogtail_spark.plans.snapshot import CorpusSnapshot
+
+    d = _docs(spark, sf_dir)
+    ex, bk = dedup_index(d.filter(F.col("doc_id") % 5 != 0))
+    path = tempfile.mkdtemp(prefix="ilogtail_snap_")
+    snap = CorpusSnapshot(spark, path)
+    snap.write_dedup_index(ex, bk, params={"n": 3, "num_hashes": 64, "bands": 16})
+    for part in ("exact", "bands"):
+        spark.sql(f"DROP TABLE IF EXISTS {snap._table('latest', part)}")
+    ex2, bk2, _ = CorpusSnapshot(spark, path).load_dedup_index()
+    out = incremental_dedup(d.filter(F.col("doc_id") % 5 == 0), ex2, bk2)
+    return out.select("doc_id", "exact_dup", "near_dup")
+
+
 def q_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup KEEP DECISION: every document gets (cluster_id, keep) —
     keep = cluster representative (minimum id) or unclustered. This is
@@ -3503,6 +3530,7 @@ QUERIES: dict[str, QueryFn] = {
     "contamination": q_contamination,
     "contamination_bloom": q_contamination_bloom,
     "incremental_dedup": q_incremental_dedup,
+    "incremental_dedup_snapshot": q_incremental_dedup_snapshot,
     "bm25": q_bm25,
     "bm25_prestats": q_bm25_prestats,
     "hybrid_retrieval": q_hybrid,
@@ -3608,6 +3636,10 @@ ORACLES: dict[str, str] = {
     "contamination": O_CONTAMINATION,
     "contamination_bloom": O_CONTAMINATION,
     "incremental_dedup": O_INCREMENTAL_DEDUP,
+    # snapshot twin probes state reloaded from disk — same output by
+    # construction, same oracle verbatim (the contamination_bloom /
+    # bm25_prestats precedent)
+    "incremental_dedup_snapshot": O_INCREMENTAL_DEDUP,
     "bm25": O_BM25,
     "bm25_prestats": O_BM25,
     "hybrid_retrieval": O_HYBRID,

@@ -1,0 +1,190 @@
+"""Corpus-snapshot state round-trip (plans/snapshot.py): every
+write-time artifact survives a session restart — build state, wipe the
+session catalog (the part of a restart that actually loses anything:
+the in-memory catalog; the data and commit records are on disk), load
+from the commit payload alone, probe with identical output. Plus the
+plan guarantee the bucketed index exists for: the probe join must NOT
+re-shuffle the index side.
+
+Restart simulation: `DROP TABLE` on the external bucketed tables
+removes the catalog entries without touching data — exactly the state
+a brand-new SparkSession starts from (fresh in-memory catalog, same
+disk). The loader must re-register from the checkpoint payload.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ilogtail_spark.functions.dedup import (
+    bloom_bitmap,
+    bloom_contamination,
+    dedup_index,
+    incremental_dedup,
+)
+from ilogtail_spark.plans.snapshot import CorpusSnapshot
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.fixture()
+def snap_dir(tmp_path):
+    return str(tmp_path / "snapshot")
+
+
+class TestDedupIndexRoundTrip:
+    def test_reload_probe_identical_after_catalog_wipe(
+        self, spark, docs, snap_dir
+    ):
+        corpus = docs.filter(F.col("doc_id") % 5 != 0)
+        batch = docs.filter(F.col("doc_id") % 5 == 0)
+        ex, bk = dedup_index(corpus)
+        direct = _rows(
+            incremental_dedup(batch, ex, bk).select(
+                "doc_id", "exact_dup", "near_dup"
+            )
+        )
+
+        snap = CorpusSnapshot(spark, snap_dir)
+        snap.write_dedup_index(
+            ex, bk, params={"n": 3, "num_hashes": 64, "bands": 16}
+        )
+        for part in ("exact", "bands"):
+            spark.sql(f"DROP TABLE IF EXISTS {snap._table('latest', part)}")
+
+        # a separate CorpusSnapshot instance — nothing carried over but
+        # the path, as after a restart
+        ex2, bk2, params = CorpusSnapshot(spark, snap_dir).load_dedup_index()
+        assert params == {"n": 3, "num_hashes": 64, "bands": 16}
+        reloaded = _rows(
+            incremental_dedup(batch, ex2, bk2).select(
+                "doc_id", "exact_dup", "near_dup"
+            )
+        )
+        assert reloaded == direct and len(reloaded) > 0
+
+    def test_uncommitted_state_refused(self, spark, snap_dir):
+        with pytest.raises(ValueError, match="no committed"):
+            CorpusSnapshot(spark, snap_dir).load_dedup_index()
+
+    def test_bucketed_probe_no_index_shuffle(self, spark, docs, snap_dir):
+        """The reason the index is written BUCKETED on its join keys:
+        the probe equi-joins must read it pre-distributed. Pinned two
+        ways: (a) both index scans are bucketed scans; (b) the same
+        probe against a plain-parquet reload of the same files costs
+        exactly two more Exchanges — the index-side shuffles bucketing
+        removes. (Broadcast and auto-bucketed-scan heuristics disabled
+        so the shuffle-join regime — the regime that exists at corpus
+        scale, where the index outgrows any broadcast ceiling — is
+        what's planned.)"""
+        corpus = docs.filter(F.col("doc_id") % 5 != 0)
+        batch = docs.filter(F.col("doc_id") % 5 == 0)
+        ex, bk = dedup_index(corpus)
+        snap = CorpusSnapshot(spark, snap_dir)
+        snap.write_dedup_index(ex, bk)
+
+        old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        old_abs = spark.conf.get(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        )
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+                "false",
+            )
+            ex2, bk2, _ = snap.load_dedup_index()
+
+            def n_exchanges(df):
+                # AQE's toString appends '== Initial Plan ==' — count
+                # only the final plan
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                final = plan.split("== Initial Plan ==")[0]
+                return final.count("Exchange hashpartitioning"), plan
+
+            bucketed_n, bplan = n_exchanges(
+                incremental_dedup(batch, ex2, bk2)
+            )
+            assert bplan.count("Bucketed: true") == 2
+
+            plain_ex = spark.read.parquet(f"{snap_dir}/latest/exact")
+            plain_bk = spark.read.parquet(f"{snap_dir}/latest/bands")
+            plain_n, _ = n_exchanges(
+                incremental_dedup(batch, plain_ex, plain_bk)
+            )
+            assert bucketed_n == plain_n - 2
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+                old_abs,
+            )
+
+
+class TestDriverStateRoundTrip:
+    def test_bm25_stats_identical_plan_literals(self, spark, docs, snap_dir):
+        from ilogtail_spark.functions.retrieval import (
+            bm25_corpus_stats,
+            bm25_topk,
+        )
+
+        terms = ["spark", "vector", "customer"]
+        stats = bm25_corpus_stats(docs, terms)
+        snap = CorpusSnapshot(spark, snap_dir)
+        snap.write_bm25_stats(stats)
+        loaded = CorpusSnapshot(spark, snap_dir).load_bm25_stats()
+        assert loaded == stats
+        assert isinstance(loaded["n_docs"], int)
+        assert all(isinstance(c, int) for c in loaded["df"].values())
+        assert _rows(bm25_topk(docs, terms, topk=20, stats=loaded)) == _rows(
+            bm25_topk(docs, terms, topk=20, stats=stats)
+        )
+
+    def test_centroids_identical_probe(self, spark, snap_dir):
+        import os
+
+        from ilogtail_spark.functions.similarity import (
+            ivf_topk,
+            train_centroids,
+        )
+
+        emb = spark.read.parquet(
+            os.path.join("/root/testdata/sf0.001", "embeddings.parquet")
+        )
+        cents = train_centroids(emb, 8, sample_rows=64, iters=3)
+        snap = CorpusSnapshot(spark, snap_dir)
+        snap.write_centroids(cents)
+        loaded = CorpusSnapshot(spark, snap_dir).load_centroids()
+        assert loaded == cents
+        qs = emb.filter(F.col("vec_id") < 2)
+        assert _rows(ivf_topk(emb, qs, centroids=loaded)) == _rows(
+            ivf_topk(emb, qs, centroids=cents)
+        )
+
+
+class TestBloomBitmapRoundTrip:
+    def test_probe_reloaded_bitmap_identical(self, spark, docs, snap_dir):
+        train = docs.filter(F.col("doc_id") % 29 != 0)
+        test = docs.filter(F.col("doc_id") % 29 == 0)
+        kw = dict(n=8, n_bits=1 << 16, n_hashes=5)
+        fresh = _rows(bloom_contamination(train, test, min_shared=2, **kw))
+
+        snap = CorpusSnapshot(spark, snap_dir)
+        snap.write_bloom_bitmap(bloom_bitmap(test, **kw), **kw)
+        bm, params = CorpusSnapshot(spark, snap_dir).load_bloom_bitmap()
+        assert params == kw
+        reloaded = _rows(
+            bloom_contamination(
+                train,
+                test,
+                min_shared=2,
+                n=params["n"],
+                n_bits=params["n_bits"],
+                n_hashes=params["n_hashes"],
+                bitmap=bm,
+            )
+        )
+        assert reloaded == fresh and len(reloaded) > 0

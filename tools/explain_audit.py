@@ -84,6 +84,13 @@ CHECKS = {
     # incremental dedup probes the write-time index with hash equi-joins;
     # the batch must never pair with itself or the corpus rows directly
     "incremental_dedup": (["HashAggregate"], ["CartesianProduct"]),
+    # round 6: the snapshot twin probes the RELOADED bucketed index —
+    # both index scans must read as bucketed scans (catalog metadata
+    # recovered from the commit payload), which is what lets the probe
+    # join skip the index-side shuffle at corpus scale (the exchange
+    # differential is pinned in tests/test_snapshot.py)
+    "incremental_dedup_snapshot": (
+        ["Bucketed: true"], ["CartesianProduct"]),
     # BM25: 1-row stats broadcast (BNLJ) + per-partition top-k heaps —
     # never a full sort or a shuffled join
     "bm25": (["TakeOrderedAndProject", "BroadcastNestedLoopJoin"],
