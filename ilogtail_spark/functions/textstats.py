@@ -42,6 +42,96 @@ def bpe_ish_token_count(
     )
 
 
+def tokenizer_backend() -> str | None:
+    """Which real-tokenizer library is importable, if any — the
+    availability gate for `token_count_exact` (same pattern as the
+    PIL/pyvips gates in `functions/multimodal.py`). Neither ships in
+    this sandbox; on a production image either makes token budgets
+    exact."""
+    for mod in ("tiktoken", "tokenizers"):
+        try:
+            __import__(mod)
+            return mod
+        except ImportError:
+            continue
+    return None
+
+
+def token_count_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "n_tokens_exact",
+    *,
+    tokenizer="auto",
+    encoding: str = "cl100k_base",
+) -> DataFrame:
+    """EXACT token counts through a real tokenizer, as an Arrow-batched
+    pandas_udf — the production form of `bpe_ish_token_count` wherever
+    a tokenizer library is installed. `pack_greedy` budgets fed from
+    this column are exact in model tokens, not estimates.
+
+    ``tokenizer`` is the pluggable surface:
+      * a callable ``list[str] -> list[int]`` (counts per text) — any
+        picklable batch tokenizer; the encoder itself should be built
+        lazily inside the callable so executors construct it once
+        (see `_tiktoken_counter` for the shape);
+      * ``"auto"`` — use tiktoken (``encoding``) or HuggingFace
+        `tokenizers` when importable, else FALL BACK to the
+        `bpe_ish_token_count` regex estimate (same output column, so
+        downstream budget logic is oblivious to which tier ran);
+      * ``None`` — force the bpe_ish fallback.
+
+    Scale shape: one Arrow stage (ArrowEvalPython), batch-at-a-time
+    encode — tokenizers are the rare case where Python is unavoidable,
+    and the Arrow batch transfer keeps it off the row-at-a-time path.
+    No shuffle; composes with the scan like every per-doc projection."""
+    fn = tokenizer if callable(tokenizer) else None
+    if fn is None and tokenizer == "auto":
+        backend = tokenizer_backend()
+        if backend == "tiktoken":
+            fn = _tiktoken_counter(encoding)
+        elif backend == "tokenizers":
+            fn = _hf_counter()
+    if fn is None:
+        return bpe_ish_token_count(df, text_col, out)
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def count(texts):
+        return pd.Series(
+            fn(texts.fillna("").tolist()), index=texts.index, dtype="int64"
+        )
+
+    # real type objects, not strings: postponed annotation evaluation
+    # (module-level `from __future__ import annotations`) breaks
+    # pandas_udf's string-hint resolution — same fix as the IVF kernel
+    count.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return df.withColumn(out, pandas_udf(count, "long")(F.col(text_col)))
+
+
+def _tiktoken_counter(encoding: str):
+    def counts(texts: list) -> list:
+        import tiktoken
+
+        enc = tiktoken.get_encoding(encoding)
+        return [len(t) for t in enc.encode_ordinary_batch(texts)]
+
+    return counts
+
+
+def _hf_counter():
+    def counts(texts: list) -> list:
+        from tokenizers import Tokenizer
+
+        if not hasattr(Tokenizer, "_ils_cached"):
+            Tokenizer._ils_cached = Tokenizer.from_pretrained("gpt2")
+        enc = Tokenizer._ils_cached
+        return [len(e.ids) for e in enc.encode_batch(texts)]
+
+    return counts
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality features + composite score:
     length, mean token length, punctuation ratio, stopword ratio,

@@ -1568,6 +1568,29 @@ FROM documents
 """
 
 
+def q_token_count_plug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pluggable-tokenizer Arrow kernel (`token_count_exact`) with
+    a deterministic stand-in tokenizer — ceil(len/4) "tokens", the
+    classic chars-per-token rule — so the Arrow batch plumbing (the
+    exact path a real tiktoken/HF tokenizer rides, this sandbox ships
+    neither) is oracle-checked end to end. With a library installed the
+    same query shape yields exact model-token counts (gated pytest in
+    tests/test_functions.py)."""
+    from ilogtail_spark.functions.textstats import token_count_exact
+
+    d = token_count_exact(
+        _docs(spark, sf_dir),
+        tokenizer=lambda texts: [(len(t) + 3) // 4 for t in texts],
+    )
+    return d.select("doc_id", "n_tokens_exact")
+
+
+O_TOKEN_COUNT_PLUG = """
+SELECT doc_id, CAST((length(text) + 3) // 4 AS BIGINT) AS n_tokens_exact
+FROM documents
+"""
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = quality_score(_docs(spark, sf_dir))
     return d.select("doc_id", "n_tokens", "mean_token_len", "punct_ratio",
@@ -3503,6 +3526,7 @@ QUERIES: dict[str, QueryFn] = {
     "lineitem_pricing": q_lineitem_pricing,
     "exact_dedup": q_exact_dedup,
     "token_count": q_token_count,
+    "token_count_plug": q_token_count_plug,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -3612,6 +3636,7 @@ ORACLES: dict[str, str] = {
     "lineitem_pricing": O_LINEITEM_PRICING,
     "exact_dedup": O_EXACT_DEDUP,
     "token_count": O_TOKEN_COUNT,
+    "token_count_plug": O_TOKEN_COUNT_PLUG,
     "quality_score": O_QUALITY_SCORE,
     "lang_id": O_LANG_ID,
     "fingerprint": O_FINGERPRINT,

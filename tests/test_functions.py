@@ -1619,3 +1619,100 @@ class TestHybridMulti:
         # cosine ranks) fused with their own lexical hit
         assert by_q["qa"] and by_q["qb"]
         assert 2 in by_q["qa"] and 2 in by_q["qb"]
+
+
+class TestTokenCountExact:
+    def test_callable_tokenizer_arrow_kernel(self, spark, docs):
+        """The pluggable surface with a deterministic callable: counts
+        must match a driver-side replay exactly, and the plan must run
+        it as ONE ArrowEvalPython stage (batch transfer, not
+        row-at-a-time)."""
+        from ilogtail_spark.functions.textstats import token_count_exact
+
+        fake = lambda texts: [(len(t) + 3) // 4 for t in texts]  # noqa: E731
+        out = token_count_exact(docs, tokenizer=fake)
+        got = {r["doc_id"]: r["n_tokens_exact"] for r in out.collect()}
+        want = {
+            r["doc_id"]: (len(r["text"]) + 3) // 4
+            for r in docs.select("doc_id", "text").collect()
+        }
+        assert got == want
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ArrowEvalPython") == 1
+        assert "BatchEvalPython" not in plan  # the row-at-a-time path
+
+    def test_auto_without_library_falls_back_to_bpe_ish(self, spark, docs):
+        from ilogtail_spark.functions.textstats import (
+            bpe_ish_token_count,
+            token_count_exact,
+            tokenizer_backend,
+        )
+
+        if tokenizer_backend() is not None:
+            pytest.skip("a real tokenizer is installed; fallback not taken")
+        out = token_count_exact(docs, out="n")
+        ref = bpe_ish_token_count(docs, out="n")
+        assert sorted(map(tuple, out.select("doc_id", "n").collect())) == sorted(
+            map(tuple, ref.select("doc_id", "n").collect())
+        )
+
+    def test_real_tokenizer_when_available(self, spark, docs):
+        """Exact model-token counts where tiktoken/tokenizers exists —
+        validated against a driver-side encode of the same rows.
+        Skipped in this sandbox (no tokenizer library baked in)."""
+        from ilogtail_spark.functions.textstats import (
+            token_count_exact,
+            tokenizer_backend,
+        )
+
+        backend = tokenizer_backend()
+        if backend is None:
+            pytest.skip("no tokenizer library available")
+        sample = docs.limit(20)
+        got = {
+            r["doc_id"]: r["n_tokens_exact"]
+            for r in token_count_exact(sample).collect()
+        }
+        rows = sample.select("doc_id", "text").collect()
+        if backend == "tiktoken":
+            import tiktoken
+
+            enc = tiktoken.get_encoding("cl100k_base")
+            want = {
+                r["doc_id"]: len(enc.encode_ordinary(r["text"])) for r in rows
+            }
+        else:
+            from tokenizers import Tokenizer
+
+            enc = Tokenizer.from_pretrained("gpt2")
+            want = {
+                r["doc_id"]: len(enc.encode(r["text"]).ids) for r in rows
+            }
+        assert got == want
+
+    def test_budgets_thread_through_pack_greedy(self, spark):
+        """`pack_greedy` consuming the pluggable column packs on the
+        tokenizer's exact counts — bins never overflow the budget and
+        every fill matches a driver-side greedy replay."""
+        from ilogtail_spark.functions.packing import pack_greedy
+        from ilogtail_spark.functions.textstats import token_count_exact
+
+        docs = spark.createDataFrame(
+            [(i, "s", "x" * (7 * i % 95 + 1)) for i in range(40)],
+            "doc_id long, source string, text string",
+        )
+        fake = lambda texts: [(len(t) + 3) // 4 for t in texts]  # noqa: E731
+        counted = token_count_exact(docs, tokenizer=fake)
+        packed = pack_greedy(
+            counted, group_col="source", order_col="doc_id",
+            token_col="n_tokens_exact", max_tokens=30,
+        ).collect()
+        rows = sorted(packed, key=lambda r: r["doc_id"])
+        bin_id, acc = 0, 0
+        for r in rows:
+            tok = (7 * r["doc_id"] % 95 + 1 + 3) // 4
+            if acc and acc + tok > 30:
+                bin_id, acc = bin_id + 1, 0
+            acc += tok
+            assert (r["bin_id"], r["bin_fill"]) == (bin_id, acc)
+            assert r["bin_fill"] <= 30 or r["bin_id"] != rows[0]["bin_id"]
