@@ -300,6 +300,38 @@ def dedup_index(
     return exact, bucket_members
 
 
+def extend_dedup_index(
+    exact_index: DataFrame,
+    band_index: DataFrame,
+    new_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """Fold newly-ACCEPTED documents into a `dedup_index` — the state
+    update half of the incremental cycle (probe with
+    `incremental_dedup`, keep the clean rows, extend the index with
+    exactly those, repeat next batch). Parameters must match the
+    index's build parameters (`plans/snapshot.py` persists them).
+
+    Deliberately a pure APPEND — union WITHOUT distinct: the probe
+    joins are membership tests (`incremental_dedup` distincts the exact
+    side and distincts matched ids after the band join), so duplicate
+    index rows cannot change any flag, and skipping the dedup keeps the
+    update O(batch) — no re-shuffle of the accumulated corpus-sized
+    index, matching how the bucketed snapshot grows by appending files.
+    Correctness pinned by the `incremental_dedup_cycle` oracle, which
+    recomputes membership over the unioned corpus directly."""
+    ex_delta, bk_delta = dedup_index(
+        new_docs, id_col=id_col, text_col=text_col,
+        n=n, num_hashes=num_hashes, bands=bands,
+    )
+    return exact_index.union(ex_delta), band_index.union(bk_delta)
+
+
 def incremental_dedup(
     batch: DataFrame,
     exact_index: DataFrame,

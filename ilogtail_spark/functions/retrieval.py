@@ -48,6 +48,7 @@ def bm25_corpus_stats(
     ).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avgdl"),
+        F.sum("dl").alias("sum_dl"),
         *[
             F.sum(f"hit{i}").alias(f"df{i}")
             for i in range(len(query_terms))
@@ -55,13 +56,45 @@ def bm25_corpus_stats(
     ).first()
     # empty corpus: avg() is NULL → avgdl 0.0 (and df NULLs → 0) so the
     # stats dict stays well-typed; bm25_topk then returns an empty
-    # result just like the inline-stats path does on the same corpus
+    # result just like the inline-stats path does on the same corpus.
+    # sum_dl rides along for merge_bm25_stats: the exact integer sum is
+    # what makes incremental merging bit-identical to a full recompute
+    # (merging AVERAGES re-rounds; merging exact sums cannot).
     return {
         "n_docs": row["n_docs"],
         "avgdl": float(row["avgdl"]) if row["avgdl"] is not None else 0.0,
+        "sum_dl": int(row["sum_dl"] or 0),
         "df": {
             t: int(row[f"df{i}"] or 0) for i, t in enumerate(query_terms)
         },
+    }
+
+
+def merge_bm25_stats(*stats: dict) -> dict:
+    """Merge per-batch `bm25_corpus_stats` dicts into the UNION corpus's
+    stats without rescanning anything — the incremental-ingestion path:
+    compute stats once per arriving batch, fold into the snapshot's
+    running stats (`plans/snapshot.py` persists the dict), and every
+    count stays exact.
+
+    Bit-identical to a single-pass recompute over the union, not just
+    close: n_docs/df are integer sums, and avgdl is re-derived as
+    (Σ sum_dl)/(Σ n_docs) — the same two exact integers Spark's `avg`
+    divides (doc lengths are ints, so their double-accumulated sum is
+    exact below 2^53; addition order cannot change it). Merging the
+    AVERAGES instead ((n₁·avg₁+n₂·avg₂)/n) would re-round twice and
+    drift in the last ulp — pinned by the shared `bm25` oracle on the
+    `bm25_incremental` registry query."""
+    n_docs = sum(s["n_docs"] for s in stats)
+    sum_dl = sum(s["sum_dl"] for s in stats)
+    terms: list[str] = []
+    for s in stats:
+        terms.extend(t for t in s["df"] if t not in terms)
+    return {
+        "n_docs": n_docs,
+        "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
+        "sum_dl": sum_dl,
+        "df": {t: sum(s["df"].get(t, 0) for s in stats) for t in terms},
     }
 
 

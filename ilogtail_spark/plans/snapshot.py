@@ -152,6 +152,37 @@ class CorpusSnapshot:
             meta["params"],
         )
 
+    def append_dedup_index(
+        self,
+        exact_delta: DataFrame,
+        band_delta: DataFrame,
+        *,
+        snapshot_id: str = "latest",
+    ) -> None:
+        """Fold a batch's index delta (e.g. `dedup_index` over newly
+        accepted documents — the durable form of
+        `functions.dedup.extend_dedup_index`) into the persisted index:
+        a bucketed APPEND, new files only, no re-shuffle of the
+        accumulated index — O(batch) per generation, which is what
+        keeps continuous ingestion viable at corpus scale. Duplicate
+        rows across generations are harmless: the probe joins are
+        membership tests (see extend_dedup_index). A fresh commit
+        marker is written so a crash mid-append leaves the previous
+        commit's state loadable."""
+        meta = self._require(snapshot_id, "dedup_index")
+        for delta, part in ((exact_delta, "exact"), (band_delta, "bands")):
+            m = meta[part]
+            self._load_bucketed(m)  # ensure the catalog entry exists
+            (
+                delta.write.format("parquet")
+                .option("path", m["location"])
+                .bucketBy(m["buckets"], *m["keys"])
+                .sortBy(*m["keys"])
+                .mode("append")
+                .saveAsTable(m["table"])
+            )
+        self.ckpt.commit(snapshot_id, "dedup_index", meta)
+
     # -- IVF centroids -------------------------------------------------
 
     def write_centroids(
@@ -183,11 +214,14 @@ class CorpusSnapshot:
         stats = self._require(snapshot_id, "bm25_stats")["stats"]
         # round-trip hygiene: json keeps float/int distinction, but df
         # counts must come back int (they are compared/planned as longs)
-        return {
+        out = {
             "n_docs": int(stats["n_docs"]),
             "avgdl": float(stats["avgdl"]),
             "df": {t: int(c) for t, c in stats["df"].items()},
         }
+        if "sum_dl" in stats:  # mergeable form (merge_bm25_stats)
+            out["sum_dl"] = int(stats["sum_dl"])
+        return out
 
     # -- Bloom bitmap --------------------------------------------------
 

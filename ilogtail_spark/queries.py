@@ -2360,6 +2360,63 @@ def q_incremental_dedup_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "exact_dup", "near_dup")
 
 
+def q_incremental_dedup_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL incremental-curation cycle, two generations deep:
+    index the base corpus (doc_id % 5 ≥ 2), probe batch 1 (% 5 == 1),
+    keep its clean rows, EXTEND the index with exactly those
+    (`extend_dedup_index` — append-only, O(batch)), then probe batch 2
+    (% 5 == 0) against the extended index. Returns batch 2's flags.
+    The oracle recomputes membership over the unioned corpus directly,
+    so it pins that append-extension ≡ rebuild-over-union."""
+    from ilogtail_spark.functions.dedup import (
+        dedup_index,
+        extend_dedup_index,
+        incremental_dedup,
+    )
+
+    d = _docs(spark, sf_dir)
+    ex0, bk0 = dedup_index(d.filter(F.col("doc_id") % 5 >= 2))
+    b1 = d.filter(F.col("doc_id") % 5 == 1)
+    p1 = incremental_dedup(b1, ex0, bk0)
+    kept1 = p1.filter(~F.col("exact_dup") & ~F.col("near_dup")).drop(
+        "exact_dup", "near_dup"
+    )
+    ex1, bk1 = extend_dedup_index(ex0, bk0, kept1)
+    out = incremental_dedup(d.filter(F.col("doc_id") % 5 == 0), ex1, bk1)
+    return out.select("doc_id", "exact_dup", "near_dup")
+
+
+O_INCREMENTAL_DEDUP_CYCLE = _MH_PREFIX + """corpus0_ex AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 >= 2),
+corpus0_bk AS (
+  SELECT DISTINCT band, bucket FROM banded WHERE doc_id % 5 >= 2),
+b1_near AS (
+  SELECT DISTINCT b.doc_id FROM banded b
+  JOIN corpus0_bk USING (band, bucket) WHERE b.doc_id % 5 = 1),
+kept1 AS (
+  SELECT d.doc_id FROM documents d
+  WHERE d.doc_id % 5 = 1
+    AND md5(d.text) NOT IN (SELECT h FROM corpus0_ex)
+    AND d.doc_id NOT IN (SELECT doc_id FROM b1_near)),
+corpus1_ex AS (
+  SELECT h FROM corpus0_ex
+  UNION ALL
+  SELECT md5(d.text) FROM documents d JOIN kept1 USING (doc_id)),
+corpus1_bk AS (
+  SELECT band, bucket FROM corpus0_bk
+  UNION ALL
+  SELECT b.band, b.bucket FROM banded b JOIN kept1 USING (doc_id)),
+b2_near AS (
+  SELECT DISTINCT b.doc_id FROM banded b
+  JOIN (SELECT DISTINCT band, bucket FROM corpus1_bk) c USING (band, bucket)
+  WHERE b.doc_id % 5 = 0)
+SELECT d.doc_id,
+  (md5(d.text) IN (SELECT h FROM corpus1_ex)) AS exact_dup,
+  (d.doc_id IN (SELECT doc_id FROM b2_near)) AS near_dup
+FROM documents d WHERE d.doc_id % 5 = 0
+"""
+
+
 def q_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup KEEP DECISION: every document gets (cluster_id, keep) —
     keep = cluster representative (minimum id) or unclustered. This is
@@ -2498,6 +2555,29 @@ def q_bm25_prestats(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = ["spark", "vector", "customer"]
     stats = bm25_corpus_stats(d, terms)
     return bm25_topk(d, terms, topk=20, stats=stats)
+
+
+def q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-MERGED corpus statistics: per-batch
+    `bm25_corpus_stats` over the even/odd doc_id halves folded with
+    `merge_bm25_stats` — no rescan of the union, exact integer sums, and
+    an avgdl re-derived from Σsum_dl/Σn_docs that is bit-identical to
+    the single-pass aggregate (merging the averages would re-round).
+    Scoring with the merged stats must therefore be IDENTICAL to `bm25`,
+    whose oracle it shares verbatim."""
+    from ilogtail_spark.functions.retrieval import (
+        bm25_corpus_stats,
+        bm25_topk,
+        merge_bm25_stats,
+    )
+
+    d = _docs(spark, sf_dir)
+    terms = ["spark", "vector", "customer"]
+    merged = merge_bm25_stats(
+        bm25_corpus_stats(d.filter(F.col("doc_id") % 2 == 0), terms),
+        bm25_corpus_stats(d.filter(F.col("doc_id") % 2 == 1), terms),
+    )
+    return bm25_topk(d, terms, topk=20, stats=merged)
 
 
 def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3555,7 +3635,9 @@ QUERIES: dict[str, QueryFn] = {
     "contamination_bloom": q_contamination_bloom,
     "incremental_dedup": q_incremental_dedup,
     "incremental_dedup_snapshot": q_incremental_dedup_snapshot,
+    "incremental_dedup_cycle": q_incremental_dedup_cycle,
     "bm25": q_bm25,
+    "bm25_incremental": q_bm25_incremental,
     "bm25_prestats": q_bm25_prestats,
     "hybrid_retrieval": q_hybrid,
     "hybrid_ivf": q_hybrid_ivf,
@@ -3665,6 +3747,10 @@ ORACLES: dict[str, str] = {
     # construction, same oracle verbatim (the contamination_bloom /
     # bm25_prestats precedent)
     "incremental_dedup_snapshot": O_INCREMENTAL_DEDUP,
+    "incremental_dedup_cycle": O_INCREMENTAL_DEDUP_CYCLE,
+    # merged-stats scoring is bit-identical to single-pass by design —
+    # shares the bm25 oracle verbatim (the bm25_prestats precedent)
+    "bm25_incremental": O_BM25,
     "bm25": O_BM25,
     "bm25_prestats": O_BM25,
     "hybrid_retrieval": O_HYBRID,

@@ -188,3 +188,128 @@ class TestBloomBitmapRoundTrip:
             )
         )
         assert reloaded == fresh and len(reloaded) > 0
+
+
+class TestIncrementalExtension:
+    def test_merge_bm25_stats_bit_identical(self, spark, docs):
+        from ilogtail_spark.functions.retrieval import (
+            bm25_corpus_stats,
+            merge_bm25_stats,
+        )
+
+        terms = ["spark", "vector", "customer"]
+        full = bm25_corpus_stats(docs, terms)
+        merged = merge_bm25_stats(
+            bm25_corpus_stats(docs.filter(F.col("doc_id") % 3 == 0), terms),
+            bm25_corpus_stats(docs.filter(F.col("doc_id") % 3 == 1), terms),
+            bm25_corpus_stats(docs.filter(F.col("doc_id") % 3 == 2), terms),
+        )
+        # bit-identical, not approximately equal — avgdl re-derives
+        # from the exact integer sums
+        assert merged == full
+
+    def test_merge_with_empty_batch(self, spark, docs):
+        from ilogtail_spark.functions.retrieval import (
+            bm25_corpus_stats,
+            merge_bm25_stats,
+        )
+
+        terms = ["spark"]
+        full = bm25_corpus_stats(docs, terms)
+        empty = bm25_corpus_stats(docs.filter(F.lit(False)), terms)
+        assert merge_bm25_stats(full, empty) == full
+        assert merge_bm25_stats(empty, empty)["avgdl"] == 0.0
+
+    def test_extend_flags_dup_of_accepted_doc(self, spark):
+        """A batch-2 document duplicating a batch-1 ACCEPTED document is
+        flagged only because the index was extended — the planted case
+        extension exists for. A duplicate of a batch-1 REJECTED
+        document must flag too (its twin already sat in the base
+        corpus)."""
+        from ilogtail_spark.functions.dedup import (
+            dedup_index,
+            extend_dedup_index,
+            incremental_dedup,
+        )
+
+        base = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon")],
+            "doc_id long, text string",
+        )
+        b1 = spark.createDataFrame(
+            [
+                (10, "zeta eta theta iota kappa"),       # novel -> accepted
+                (11, "alpha beta gamma delta epsilon"),  # dup of base -> rejected
+            ],
+            "doc_id long, text string",
+        )
+        ex0, bk0 = dedup_index(base)
+        p1 = incremental_dedup(b1, ex0, bk0)
+        kept = p1.filter(~F.col("exact_dup") & ~F.col("near_dup")).drop(
+            "exact_dup", "near_dup"
+        )
+        assert [r["doc_id"] for r in kept.collect()] == [10]
+        ex1, bk1 = extend_dedup_index(ex0, bk0, kept)
+
+        b2 = spark.createDataFrame(
+            [
+                (20, "zeta eta theta iota kappa"),       # dup of ACCEPTED b1 doc
+                (21, "alpha beta gamma delta epsilon"),  # dup of base twin
+                (22, "lambda mu nu xi omicron"),         # novel
+            ],
+            "doc_id long, text string",
+        )
+        flags = {
+            r["doc_id"]: (r["exact_dup"], r["near_dup"])
+            for r in incremental_dedup(b2, ex1, bk1).collect()
+        }
+        assert flags[20] == (True, True)   # caught ONLY via extension
+        assert flags[21] == (True, True)
+        assert flags[22] == (False, False)
+        # without extension doc 20 would sail through — the control
+        flags0 = {
+            r["doc_id"]: r["exact_dup"]
+            for r in incremental_dedup(b2, ex0, bk0).collect()
+        }
+        assert flags0[20] is False
+
+    def test_durable_append_matches_functional_extension(
+        self, spark, docs, snap_dir
+    ):
+        """CorpusSnapshot.append_dedup_index == extend_dedup_index
+        through disk: probe flags identical, index still bucketed."""
+        from ilogtail_spark.functions.dedup import (
+            dedup_index,
+            extend_dedup_index,
+            incremental_dedup,
+        )
+
+        base = docs.filter(F.col("doc_id") % 5 >= 2)
+        b1 = docs.filter(F.col("doc_id") % 5 == 1)
+        b2 = docs.filter(F.col("doc_id") % 5 == 0)
+
+        ex0, bk0 = dedup_index(base)
+        p1 = incremental_dedup(b1, ex0, bk0)
+        kept = p1.filter(~F.col("exact_dup") & ~F.col("near_dup")).drop(
+            "exact_dup", "near_dup"
+        )
+        ex1, bk1 = extend_dedup_index(ex0, bk0, kept)
+        want = _rows(
+            incremental_dedup(b2, ex1, bk1).select(
+                "doc_id", "exact_dup", "near_dup"
+            )
+        )
+
+        snap = CorpusSnapshot(spark, snap_dir)
+        snap.write_dedup_index(ex0, bk0)
+        exd, bkd = dedup_index(kept)
+        snap.append_dedup_index(exd, bkd)
+        ex2, bk2, _ = snap.load_dedup_index()
+        got = _rows(
+            incremental_dedup(b2, ex2, bk2).select(
+                "doc_id", "exact_dup", "near_dup"
+            )
+        )
+        assert got == want
+        plan = ex2.groupBy("h").count()._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
