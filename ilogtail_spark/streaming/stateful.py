@@ -338,3 +338,73 @@ def stream_exact_dedup(
         .dropDuplicatesWithinWatermark(["__text_md5__"])
         .drop("__text_md5__")
     )
+
+
+def curation_ingest_sink(
+    snapshot_path: str,
+    out_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """The GROWING-index streaming curation loop, durable edition: a
+    `foreachBatch` sink that, per micro-batch,
+
+      1. loads the dedup index from the `CorpusSnapshot` at
+         ``snapshot_path`` (bucketed parquet + commit marker — survives
+         any restart, unlike the localCheckpointed static-index twin in
+         tests/test_streaming_stateful.py);
+      2. probes the batch (`incremental_dedup`) with the snapshot's own
+         stored build parameters;
+      3. writes the ACCEPTED rows to ``out_path`` partitioned by
+         batch_id with dynamic partition overwrite — the repo's
+         standard idempotent-replay sink (a replayed batch overwrites
+         its own partition, never duplicates);
+      4. appends exactly the accepted rows' index delta back to the
+         snapshot (`append_dedup_index` — O(batch), new files only).
+
+    So a duplicate of a document ACCEPTED three batches ago is flagged,
+    which the static-index probe cannot do, and the state is on disk:
+    kill the stream, restart from the streaming checkpoint, and both
+    the index and the output continue where they stopped. On a replayed
+    batch step 4 re-appends the same delta — duplicate index rows are
+    membership-harmless (`extend_dedup_index` doctrine), so replay
+    stays exactly-once where it matters (the output) and merely
+    idempotent-in-effect where duplication is free (the index).
+
+    Use: ``src.writeStream.foreachBatch(curation_ingest_sink(snap, out))
+    .option("checkpointLocation", ...).start()`` — the snapshot must
+    already hold a committed `dedup_index` (write the base corpus's
+    index once, batch-side).
+    """
+    from ilogtail_spark.functions.dedup import dedup_index, incremental_dedup
+    from ilogtail_spark.plans.snapshot import CorpusSnapshot
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        snap = CorpusSnapshot(spark, snapshot_path)
+        ex, bk, params = snap.load_dedup_index()
+        flagged = incremental_dedup(
+            batch_df, ex, bk, id_col=id_col, text_col=text_col, **params
+        )
+        # one materialization: consumed by the output write AND the
+        # delta build — without this the double consumption re-runs
+        # the probe joins (and re-reads the index) per consumer
+        kept = (
+            flagged.filter(~F.col("exact_dup") & ~F.col("near_dup"))
+            .drop("exact_dup", "near_dup")
+            .localCheckpoint(eager=True)
+        )
+        (
+            kept.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
+        ex_delta, bk_delta = dedup_index(
+            kept, id_col=id_col, text_col=text_col, **params
+        )
+        snap.append_dedup_index(ex_delta, bk_delta)
+
+    return _sink

@@ -182,7 +182,8 @@ class TestAdviceRound5:
         empty = spark.createDataFrame([], "doc_id long, text string")
         stats = bm25_corpus_stats(empty, ["spark", "vector"])
         assert stats == {
-            "n_docs": 0, "avgdl": 0.0, "df": {"spark": 0, "vector": 0},
+            "n_docs": 0, "avgdl": 0.0, "sum_dl": 0,
+            "df": {"spark": 0, "vector": 0},
         }
         assert bm25_topk(empty, ["spark", "vector"], stats=stats).count() == 0
         # inline-stats path on the same corpus stays graceful too

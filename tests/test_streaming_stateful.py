@@ -403,3 +403,93 @@ class TestStreamingIncrementalDedup:
         assert got[100] == (True, True) and got[200] == (True, True)
         assert got[101] == (False, True)  # one-token edit: near only
         assert got[102] == (False, False) and got[201] == (False, False)
+
+
+class TestStreamingCurationIngest:
+    """The GROWING-index durable curation loop (`curation_ingest_sink`):
+    each micro-batch probes the on-disk snapshot, writes accepted rows,
+    and appends their index delta — so a duplicate of a document
+    accepted in an EARLIER batch is rejected (the static-index twin
+    above cannot do that), and a brand-new stream over the same
+    snapshot keeps rejecting it after a 'restart'."""
+
+    IN_DIR = "/tmp/ilogtail_spark_scur_in"
+    IN_DIR2 = "/tmp/ilogtail_spark_scur_in2"
+    OUT = "/tmp/ilogtail_spark_scur_out"
+
+    def _run_stream(self, spark, in_dir, ckpt):
+        from ilogtail_spark.streaming.stateful import curation_ingest_sink
+
+        schema = spark.read.parquet(in_dir).schema
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            src.writeStream.foreachBatch(
+                curation_ingest_sink(f"{self.OUT}/snap", f"{self.OUT}/kept")
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+
+    def test_cross_batch_and_cross_restart_dedup(self, spark):
+        import shutil
+        import time as _time
+
+        from ilogtail_spark.functions.dedup import dedup_index
+        from ilogtail_spark.plans.snapshot import CorpusSnapshot
+
+        for d in (self.IN_DIR, self.IN_DIR2, self.OUT):
+            shutil.rmtree(d, ignore_errors=True)
+
+        corpus = spark.createDataFrame(
+            [(i, f"corpus doc number {i} with some shared words here")
+             for i in range(20)],
+            "doc_id long, text string",
+        )
+        snap = CorpusSnapshot(spark, f"{self.OUT}/snap")
+        ex, bk = dedup_index(corpus)
+        snap.write_dedup_index(
+            ex, bk, params={"n": 3, "num_hashes": 64, "bands": 16}
+        )
+
+        b1 = spark.createDataFrame(
+            [(100, "a totally novel arrival nothing indexed matches it"),
+             (101, "corpus doc number 3 with some shared words here")],
+            "doc_id long, text string",
+        )
+        b2 = spark.createDataFrame(
+            # exact dup of doc 100 — accepted in the PREVIOUS batch;
+            # only the growing index can catch it
+            [(200, "a totally novel arrival nothing indexed matches it"),
+             (201, "some other fresh document with different words too")],
+            "doc_id long, text string",
+        )
+        for b in (b1, b2):
+            b.coalesce(1).write.mode("append").parquet(self.IN_DIR)
+            _time.sleep(1.1)
+
+        self._run_stream(spark, self.IN_DIR, f"{self.OUT}/_ckpt1")
+        kept = {r["doc_id"] for r in
+                spark.read.parquet(f"{self.OUT}/kept").collect()}
+        assert kept == {100, 201}  # 101 = corpus dup; 200 = batch-1 dup
+
+        # 'restart': a brand-new stream (new source dir, new streaming
+        # checkpoint, fresh CorpusSnapshot instance) over the SAME
+        # snapshot — doc 300 duplicates doc 201, accepted before the
+        # restart, and must still be rejected from disk state alone
+        b3 = spark.createDataFrame(
+            [(300, "some other fresh document with different words too"),
+             (301, "yet another genuinely new arrival for the corpus")],
+            "doc_id long, text string",
+        )
+        b3.coalesce(1).write.mode("append").parquet(self.IN_DIR2)
+        self._run_stream(spark, self.IN_DIR2, f"{self.OUT}/_ckpt2")
+        kept2 = {r["doc_id"] for r in
+                 spark.read.parquet(f"{self.OUT}/kept").collect()}
+        assert 301 in kept2 and 300 not in kept2
