@@ -111,7 +111,9 @@ def main() -> None:
         "dedup_clusters", "pack_sequences", "custom_flatten",
         "corpus_pipeline", "ann_ivf", "dup_spans", "bm25",
         "hybrid_retrieval", "hybrid_ivf", "contamination_bloom", "vocab_topk",
-        "incremental_dedup",
+        "incremental_dedup", "bm25_multi", "hybrid_multi",
+        "length_quantiles_approx", "bm25_incremental",
+        "incremental_dedup_cycle", "token_count_plug",
     )
     noisy = {"minhash_lsh", "ngram_jaccard", "dedup_clusters", "spl_pipeline"}
     reps = {name: (3 if name in noisy else 2) for name in registry}
