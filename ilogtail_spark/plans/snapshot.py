@@ -183,6 +183,49 @@ class CorpusSnapshot:
             )
         self.ckpt.commit(snapshot_id, "dedup_index", meta)
 
+    def compact_dedup_index(self, *, snapshot_id: str = "latest") -> dict:
+        """Periodic maintenance for an append-grown index: distinct each
+        relation and rewrite it as a fresh generation of bucketed files.
+        Append-only growth (`append_dedup_index`) is O(batch) per batch
+        but accumulates (a) duplicate rows across generations (replays,
+        re-accepted near-identical deltas) and (b) small files — both
+        inflate every probe's scan. Compaction pays one distinct-shuffle
+        per relation (the bucketed scan already satisfies the distinct's
+        distribution, so it is exchange-free — same property the probe
+        joins exploit) and cuts the steady-state probe cost back to one
+        row per key. Run it like any table-maintenance job: off the
+        ingest path, every N generations. Probe output is identical
+        before/after by the membership-test argument. Returns
+        {'exact': (rows_before, rows_after), 'bands': (...)}."""
+        meta = self._require(snapshot_id, "dedup_index")
+        out = {}
+        for part in ("exact", "bands"):
+            m = meta[part]
+            df = self._load_bucketed(m)
+            before = df.count()
+            compacted = df.distinct()
+            staging = f"{self.path}/{snapshot_id}/_compact_{part}"
+            compacted.write.mode("overwrite").parquet(staging)
+            fresh = self.spark.read.schema(df.schema).parquet(staging)
+            self.spark.sql(f"DROP TABLE IF EXISTS {m['table']}")
+            (
+                fresh.write.format("parquet")
+                .option("path", m["location"])
+                .bucketBy(m["buckets"], *m["keys"])
+                .sortBy(*m["keys"])
+                .mode("overwrite")
+                .saveAsTable(m["table"])
+            )
+            after = self.spark.table(m["table"]).count()
+            jvm = self.spark._jvm
+            sp = jvm.org.apache.hadoop.fs.Path(staging)
+            sp.getFileSystem(self.spark._jsc.hadoopConfiguration()).delete(
+                sp, True
+            )
+            out[part] = (before, after)
+        self.ckpt.commit(snapshot_id, "dedup_index", meta)
+        return out
+
     # -- IVF centroids -------------------------------------------------
 
     def write_centroids(

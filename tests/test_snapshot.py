@@ -313,3 +313,49 @@ class TestIncrementalExtension:
         assert got == want
         plan = ex2.groupBy("h").count()._jdf.queryExecution().executedPlan().toString()
         assert "Bucketed: true" in plan
+
+
+class TestCompaction:
+    def test_compact_shrinks_and_preserves_probe(self, spark, docs, snap_dir):
+        """After duplicate-accumulating appends (a replayed batch),
+        compaction must shrink the index, keep it bucketed, and leave
+        probe output byte-identical — the membership-test guarantee."""
+        corpus = docs.filter(F.col("doc_id") % 5 != 0)
+        batch = docs.filter(F.col("doc_id") % 5 == 0)
+        ex, bk = dedup_index(corpus)
+        snap = CorpusSnapshot(spark, snap_dir)
+        snap.write_dedup_index(ex, bk)
+        # simulate a replayed append: the same delta lands twice
+        delta_ex, delta_bk = dedup_index(batch.limit(20))
+        snap.append_dedup_index(delta_ex, delta_bk)
+        snap.append_dedup_index(delta_ex, delta_bk)
+
+        ex1, bk1, _ = snap.load_dedup_index()
+        before = _rows(
+            incremental_dedup(batch, ex1, bk1).select(
+                "doc_id", "exact_dup", "near_dup"
+            )
+        )
+        shrink = snap.compact_dedup_index()
+        assert shrink["exact"][1] < shrink["exact"][0]
+        assert shrink["bands"][1] < shrink["bands"][0]
+
+        ex2, bk2, _ = snap.load_dedup_index()
+        after = _rows(
+            incremental_dedup(batch, ex2, bk2).select(
+                "doc_id", "exact_dup", "near_dup"
+            )
+        )
+        assert after == before
+        plan = (
+            ex2.groupBy("h").count()
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Bucketed: true" in plan
+        # staging dirs cleaned up
+        import os
+
+        assert not any(
+            name.startswith("_compact_")
+            for name in os.listdir(f"{snap_dir}/latest")
+        )
