@@ -163,6 +163,51 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("quality_score", F.round(score, 2))
 
 
+# stand-in coefficients for the pluggable linear quality model below —
+# hand-set to rank obviously-good text above obviously-bad, documented
+# as the slot where a TRAINED model's weights go
+DEFAULT_QUALITY_WEIGHTS = {
+    "log_n_tokens": 0.8,
+    "mean_token_len": 0.1,
+    "punct_ratio": -4.0,
+    "stopword_ratio": 3.0,
+    "upper_ratio": -2.0,
+}
+
+
+def quality_logistic(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    weights: dict[str, float] | None = None,
+    bias: float = -2.0,
+    out: str = "quality_prob",
+) -> DataFrame:
+    """Linear quality model over the heuristic features — the shape of
+    the trained quality filters real curation pipelines run (CCNet's
+    fastText LM filter, the LLaMA/Gopher quality classifiers): a
+    logistic score σ(bias + w·features) with PLUGGABLE weights, so a
+    model trained offline drops in as a dict and the plan stays one
+    fused whole-stage-codegen projection — zero shuffle, zero Python.
+
+    Features are `quality_score`'s rounded ratios plus a rounded
+    log1p(token count); rounding each feature BEFORE the dot product is
+    what keeps the score reproducible across engines (libm log/exp may
+    differ in the last ulp; a 6-decimal feature grid absorbs it, and
+    the final σ is rounded to 6 as well). The accumulation is a fixed
+    left-associated chain in `weights` order — same discipline as the
+    BM25 score chain."""
+    d = quality_score(df, text_col).withColumn(
+        "log_n_tokens", F.round(F.log1p(F.col("n_tokens")), 6)
+    )
+    z = F.lit(float(bias))
+    for feat, w in (weights or DEFAULT_QUALITY_WEIGHTS).items():
+        z = z + F.lit(float(w)) * F.col(feat)
+    return d.withColumn(
+        out, F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    )
+
+
 # tiny character-trigram profiles (most frequent trigrams incl. spaces,
 # standard n-gram language-ID features)
 EN_TRIGRAMS = [" th", "the", "he ", "ing", "nd ", " an", "and", " of", "of ", "ed "]

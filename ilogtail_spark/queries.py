@@ -1597,6 +1597,19 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "stopword_ratio", "upper_ratio", "quality_score")
 
 
+def q_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pluggable linear quality model (`quality_logistic`) with the
+    documented stand-in weights — σ(bias + w·features) as one fused
+    projection; a trained fastText/CCNet-style model drops its weights
+    into the same slot. Oracle replays the identical fixed-order chain
+    (features rounded to a 6-decimal grid first, so libm log/exp ulp
+    differences cannot surface)."""
+    from ilogtail_spark.functions.textstats import quality_logistic
+
+    d = quality_logistic(_docs(spark, sf_dir))
+    return d.select("doc_id", "quality_prob")
+
+
 _EN_STOP_SQL = "['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this']"
 
 O_QUALITY_SCORE = rf"""
@@ -1620,6 +1633,21 @@ SELECT doc_id, n_tokens, mean_token_len, punct_ratio, stopword_ratio, upper_rati
       + (CASE WHEN stopword_ratio >= 0.05 THEN 0.3 ELSE 0.0 END)
       + (CASE WHEN punct_ratio <= 0.2 THEN 0.2 ELSE 0.0 END)
       + (CASE WHEN upper_ratio <= 0.3 THEN 0.1 ELSE 0.0 END) AS double), 2) AS quality_score
+FROM feat2
+"""
+
+# the logistic model shares quality_score's feature CTEs; the score is
+# the same fixed-order chain quality_logistic builds (weights in
+# DEFAULT_QUALITY_WEIGHTS order), features pre-rounded to a 6-decimal
+# grid so libm ln/exp ulp differences cannot reach the output
+O_QUALITY_LOGISTIC = O_QUALITY_SCORE[: O_QUALITY_SCORE.index("SELECT doc_id, n_tokens")] + """\
+SELECT doc_id,
+  round(1.0 / (1.0 + exp(-(CAST(-2.0 AS DOUBLE)
+    + CAST(0.8 AS DOUBLE) * round(ln(1 + n_tokens), 6)
+    + CAST(0.1 AS DOUBLE) * mean_token_len
+    + CAST(-4.0 AS DOUBLE) * punct_ratio
+    + CAST(3.0 AS DOUBLE) * stopword_ratio
+    + CAST(-2.0 AS DOUBLE) * upper_ratio))), 6) AS quality_prob
 FROM feat2
 """
 
@@ -3618,6 +3646,7 @@ QUERIES: dict[str, QueryFn] = {
     "token_count": q_token_count,
     "token_count_plug": q_token_count_plug,
     "quality_score": q_quality_score,
+    "quality_logistic": q_quality_logistic,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "ngram_jaccard": q_ngram_jaccard,
@@ -3730,6 +3759,7 @@ ORACLES: dict[str, str] = {
     "token_count": O_TOKEN_COUNT,
     "token_count_plug": O_TOKEN_COUNT_PLUG,
     "quality_score": O_QUALITY_SCORE,
+    "quality_logistic": O_QUALITY_LOGISTIC,
     "lang_id": O_LANG_ID,
     "fingerprint": O_FINGERPRINT,
     "ngram_jaccard": O_NGRAM_JACCARD,

@@ -1716,3 +1716,41 @@ class TestTokenCountExact:
             acc += tok
             assert (r["bin_id"], r["bin_fill"]) == (bin_id, acc)
             assert r["bin_fill"] <= 30 or r["bin_id"] != rows[0]["bin_id"]
+
+
+class TestQualityLogistic:
+    def test_pluggable_weights_and_fused_plan(self, spark, docs):
+        from ilogtail_spark.functions.textstats import quality_logistic
+
+        out = quality_logistic(docs)
+        rows = out.select("doc_id", "quality_prob").collect()
+        assert all(0.0 <= r["quality_prob"] <= 1.0 for r in rows)
+        # pluggable surface: a punctuation-only model must produce a
+        # different ranking than the default
+        alt = quality_logistic(docs, weights={"punct_ratio": -20.0})
+        alt_rows = alt.select("doc_id", "quality_prob").collect()
+        assert {r["doc_id"]: r["quality_prob"] for r in rows} != {
+            r["doc_id"]: r["quality_prob"] for r in alt_rows
+        }
+        # one fused projection: no shuffle, no Python
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan.split("== Initial Plan ==")[0]
+        assert "EvalPython" not in plan
+
+    def test_monotone_in_a_single_feature(self, spark):
+        """With a single positive stopword weight, more stopwords →
+        strictly higher probability (sanity of the σ(w·x) chain)."""
+        from ilogtail_spark.functions.textstats import quality_logistic
+
+        docs = spark.createDataFrame(
+            [(1, "zebra quux binary"),
+             (2, "the of and zebra quux binary")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["quality_prob"]
+            for r in quality_logistic(
+                docs, weights={"stopword_ratio": 5.0}
+            ).collect()
+        }
+        assert got[2] > got[1]

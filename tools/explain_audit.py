@@ -45,6 +45,9 @@ CHECKS = {
     # per-doc projections: no distribution requirement, no Exchange
     "token_count": (["ReadSchema"], ["Join", "Exchange"]),
     "quality_score": (["ReadSchema"], ["Join", "Exchange"]),
+    # round 6: the logistic model must stay a single fused projection —
+    # trained weights plug in without changing the plan shape
+    "quality_logistic": (["ReadSchema"], ["Join", "Exchange"]),
     "kgram_fingerprints": (["ReadSchema"], ["Join", "Exchange"]),
     # round 4: flatten/nested converters are ONE fused projection over
     # the transcripts scan (classification + dedup fold + JSON render);
