@@ -114,6 +114,7 @@ def main() -> None:
         "incremental_dedup", "bm25_multi", "hybrid_multi",
         "length_quantiles_approx", "bm25_incremental",
         "incremental_dedup_cycle", "token_count_plug",
+        "quality_logistic", "training_shards", "mixture_sample",
     )
     noisy = {"minhash_lsh", "ngram_jaccard", "dedup_clusters", "spl_pipeline"}
     reps = {name: (3 if name in noisy else 2) for name in registry}

@@ -436,6 +436,104 @@ def stratified_sample(
     return df.where(draw < frac)
 
 
+def training_shards(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    salt: str = "shuf",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training-order
+    writes — the last step of a curation pipeline before the trainer
+    reads: every example gets
+
+      * ``shuffle_key`` — md5(salt || ':' || id): the within-shard
+        training ORDER (lexicographic = a pseudo-random permutation,
+        reproducible across runs/retries, re-rollable by changing
+        `salt` per epoch);
+      * ``shard``       — the key's first 60 bits mod n_shards: a
+        uniform shard assignment derived from the SAME hash (one md5
+        per row, and the md5-prefix-to-bigint form keeps the whole op
+        DuckDB-reproducible — the r2 trick that made the LSH family
+        oracle-checkable, vs the engine-internal xxhash64 that forced
+        `shard_hash` to rows-only).
+
+    Deliberately emits a sort KEY, not an integer rank: a global
+    row_number would funnel the corpus through one window task, while
+    key + shard lets `write_training_shards` produce fully-shuffled,
+    in-order shard files with a range-free partitionBy write and a
+    per-partition sort — every step map-side or per-shard. Pure
+    projection here: no shuffle, no Python (plan shape shared with
+    `stratified_sample`)."""
+    key = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col)))
+    return df.select(
+        "*",
+        F.pmod(
+            F.conv(F.substring(key, 1, 15), 16, 10).cast("long"),
+            F.lit(n_shards),
+        )
+        .cast("int")
+        .alias("shard"),
+        key.alias("shuffle_key"),
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    salt: str = "shuf",
+) -> None:
+    """Materialize `training_shards` as one directory per shard with
+    rows in shuffle_key order inside each file: repartition on the
+    shard id (ONE hash shuffle, no range sampling, no skew — xxhash64
+    is uniform), sort within partitions, write partitionBy(shard). A
+    trainer streams shard=K in file order and sees the deterministic
+    permutation."""
+    sharded = training_shards(
+        df, id_col=id_col, n_shards=n_shards, salt=salt
+    )
+    (
+        sharded.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "shuffle_key")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
+def mixture_rates(
+    counts: dict[str, int], temperature: float = 0.7, *, target_frac: float | None = None
+) -> dict[str, float]:
+    """Temperature-scaled mixing rates over per-source/-language
+    document counts — the standard multilingual/multi-source rebalance
+    (sample source i proportional to p_i^T, T<1 upweights tails; the
+    mBERT/XLM-R exponent-smoothing scheme). Driver-side arithmetic on
+    a bounded dict (sources/languages: dozens).
+
+    Returns per-stratum KEEP fractions for `stratified_sample`, scaled
+    so the largest is 1.0 (pure downsampling — no replication), or so
+    the expected kept total is ``target_frac`` of the corpus when
+    given. rate_i ∝ p_i^T / p_i = count_i^(T-1)·total^(1-T): applying
+    it to stratum i's count yields kept_i ∝ p_i^T, the temperature
+    distribution."""
+    if not counts:
+        return {}
+    total = sum(counts.values())
+    raw = {
+        k: (c / total) ** (temperature - 1.0) if c else 0.0
+        for k, c in counts.items()
+    }
+    if target_frac is None:
+        top = max(raw.values())
+        return {k: v / top for k, v in raw.items()}
+    kept = sum(counts[k] * raw[k] for k in counts)
+    scale = target_frac * total / kept if kept else 0.0
+    return {k: min(1.0, v * scale) for k, v in raw.items()}
+
+
 def normalize_text(
     df: DataFrame,
     text_col: str = "text",

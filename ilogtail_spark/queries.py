@@ -1568,6 +1568,64 @@ FROM documents
 """
 
 
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding (`training_shards`) —
+    the write-order step before a trainer reads: shuffle_key = md5
+    permutation key, shard = its first 60 bits mod 64. Pure projection
+    (zero Exchange, plan-audited); the materialized form is
+    `write_training_shards` (partitionBy(shard) + per-partition sort,
+    pinned in pytest)."""
+    from ilogtail_spark.functions.textstats import training_shards
+
+    d = training_shards(_docs(spark, sf_dir))
+    return d.select("doc_id", "shard", "shuffle_key")
+
+
+O_TRAINING_SHARDS = """
+SELECT doc_id,
+  CAST(CAST('0x' || substring(md5('shuf:' || doc_id), 1, 15) AS BIGINT)
+       % 64 AS INT) AS shard,
+  md5('shuf:' || doc_id) AS shuffle_key
+FROM documents
+"""
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced corpus mixing: per-language counts →
+    `mixture_rates` (T=0.7 exponent smoothing, the multilingual
+    rebalance scheme) → the deterministic `stratified_sample` keep
+    rule. The counts collect is O(languages); the sample is a pure map
+    stage. Oracle recomputes the rate arithmetic in SQL — double pow/
+    division both sides, same draw hash."""
+    from ilogtail_spark.functions.textstats import (
+        mixture_rates,
+        stratified_sample,
+    )
+
+    d = _docs(spark, sf_dir)
+    counts = {
+        r["lang"]: r["n"]
+        for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rates = mixture_rates(counts, temperature=0.7)
+    out = stratified_sample(d, "lang", rates, salt="mix")
+    return out.select("doc_id", "lang")
+
+
+O_MIXTURE_SAMPLE = """
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM c),
+r AS (SELECT lang, pow(n / t, CAST(0.7 AS DOUBLE) - CAST(1.0 AS DOUBLE)) AS raw
+      FROM c, tot),
+m AS (SELECT max(raw) AS top FROM r),
+rates AS (SELECT lang, raw / top AS rate FROM r, m)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN rates USING (lang)
+WHERE CAST(CAST('0x' || substring(md5('mix:' || d.doc_id), 1, 15) AS BIGINT)
+      AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE) < rate
+"""
+
+
 def q_token_count_plug(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pluggable-tokenizer Arrow kernel (`token_count_exact`) with
     a deterministic stand-in tokenizer — ceil(len/4) "tokens", the
@@ -3645,6 +3703,8 @@ QUERIES: dict[str, QueryFn] = {
     "exact_dedup": q_exact_dedup,
     "token_count": q_token_count,
     "token_count_plug": q_token_count_plug,
+    "training_shards": q_training_shards,
+    "mixture_sample": q_mixture_sample,
     "quality_score": q_quality_score,
     "quality_logistic": q_quality_logistic,
     "lang_id": q_lang_id,
@@ -3758,6 +3818,8 @@ ORACLES: dict[str, str] = {
     "exact_dedup": O_EXACT_DEDUP,
     "token_count": O_TOKEN_COUNT,
     "token_count_plug": O_TOKEN_COUNT_PLUG,
+    "training_shards": O_TRAINING_SHARDS,
+    "mixture_sample": O_MIXTURE_SAMPLE,
     "quality_score": O_QUALITY_SCORE,
     "quality_logistic": O_QUALITY_LOGISTIC,
     "lang_id": O_LANG_ID,

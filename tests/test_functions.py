@@ -1754,3 +1754,59 @@ class TestQualityLogistic:
             ).collect()
         }
         assert got[2] > got[1]
+
+
+class TestTrainingShards:
+    def test_write_read_order_and_determinism(self, spark, docs, tmp_path):
+        from ilogtail_spark.functions.textstats import (
+            training_shards,
+            write_training_shards,
+        )
+
+        path = str(tmp_path / "shards")
+        write_training_shards(docs, path, n_shards=8)
+        back = spark.read.parquet(path)
+        # nothing lost, shard ids in range
+        assert back.count() == docs.count()
+        shards = [r["shard"] for r in back.select("shard").distinct().collect()]
+        assert all(0 <= s < 8 for s in shards)
+        # file order within a shard IS shuffle_key order (the trainer
+        # streams files as written — no sort at read time)
+        import pyarrow.parquet as pq
+        import glob
+        import os
+
+        for d in sorted(glob.glob(f"{path}/shard=*")):
+            keys = []
+            for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+                keys.extend(pq.read_table(f, columns=["shuffle_key"])
+                            .column("shuffle_key").to_pylist())
+            assert keys == sorted(keys)
+        # deterministic: same salt → same assignment; new salt → reshuffle
+        a = training_shards(docs, n_shards=8).select("doc_id", "shard")
+        b = training_shards(docs, n_shards=8).select("doc_id", "shard")
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+        c = training_shards(docs, n_shards=8, salt="epoch2").select(
+            "doc_id", "shuffle_key"
+        )
+        assert sorted(map(tuple, a.collect())) != sorted(map(tuple, c.collect()))
+
+    def test_mixture_rates_temperature(self):
+        from ilogtail_spark.functions.textstats import mixture_rates
+
+        counts = {"en": 9000, "de": 900, "sw": 100}
+        # T=1: proportional sampling = keep everything (no rebalance)
+        assert mixture_rates(counts, 1.0) == {"en": 1.0, "de": 1.0, "sw": 1.0}
+        # T<1: tail languages upweighted — rarest keeps all, biggest least
+        r = mixture_rates(counts, 0.7)
+        assert r["sw"] == 1.0 and r["en"] < r["de"] < 1.0
+        # kept_i ∝ p_i^T: check the ratio law
+        import math
+
+        kept = {k: counts[k] * r[k] for k in counts}
+        want = (counts["en"] / counts["sw"]) ** 0.7
+        assert math.isclose(kept["en"] / kept["sw"], want, rel_tol=1e-12)
+        # target_frac scales expected kept mass
+        r2 = mixture_rates(counts, 0.7, target_frac=0.5)
+        kept2 = sum(counts[k] * r2[k] for k in counts)
+        assert kept2 <= sum(counts.values()) * 0.5 + 1e-6

@@ -42,6 +42,11 @@ CHECKS = {
     # pure map-stage sample over the raw scan: ZERO exchanges (r3's
     # unconditional _docs spread regressed this — now plan-asserted)
     "stratified_sample": (["ReadSchema"], ["Join", "HashAggregate", "Exchange"]),
+    # round 6: shuffle/shard keys and the temperature-mixed sample are
+    # pure map stages over the scan (mixing rates are plan literals
+    # computed from an O(languages) driver pull)
+    "training_shards": (["ReadSchema"], ["Join", "HashAggregate", "Exchange"]),
+    "mixture_sample": (["ReadSchema"], ["Join", "Exchange"]),
     # per-doc projections: no distribution requirement, no Exchange
     "token_count": (["ReadSchema"], ["Join", "Exchange"]),
     "quality_score": (["ReadSchema"], ["Join", "Exchange"]),
