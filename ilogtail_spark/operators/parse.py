@@ -468,3 +468,177 @@ def anchor_extract(
         matched = F.col(source_key).rlike(pat)
         cols[field] = F.when(matched, F.regexp_extract(F.col(source_key), pat, 1))
     return df.withColumns(cols)
+
+
+# ---------------------------------------------------------------------------
+# dissect
+# ---------------------------------------------------------------------------
+
+_DISSECT_TOKEN_RE = re.compile(r"%\{([^}]*)\}")
+
+
+class _DissectField:
+    """One %{...} spec, decoded.
+
+    kind: 'field' | 'skip' | 'append' | 'ref_name' | 'ref_value'
+    """
+
+    __slots__ = ("kind", "name", "order", "pad")
+
+    def __init__(self, kind: str, name: str, order: int, pad: bool):
+        self.kind, self.name, self.order, self.pad = kind, name, order, pad
+
+
+def _parse_dissect_spec(spec: str) -> _DissectField:
+    pad = spec.endswith("->")
+    if pad:
+        spec = spec[:-2]
+    if spec == "":
+        return _DissectField("skip", "", 0, pad)
+    head, name = spec[0], spec
+    order = 0
+    if head == "+":
+        name = spec[1:]
+        if "/" in name:
+            name, ords = name.rsplit("/", 1)
+            order = int(ords)
+        return _DissectField("append", name, order, pad)
+    if head == "?":
+        return _DissectField("skip", spec[1:], 0, pad)
+    if head == "*":
+        return _DissectField("ref_name", spec[1:], 0, pad)
+    if head == "&":
+        return _DissectField("ref_value", spec[1:], 0, pad)
+    return _DissectField("field", name, order, pad)
+
+
+def compile_dissect(pattern: str) -> tuple[str, list[_DissectField]]:
+    """Compile a dissect pattern to ONE anchored regex + per-group plan.
+
+    Dissect semantics (Logstash dissect / Beats dissect; the north-star's
+    "dissect-style named-capture parsing"): the literal text between
+    %{field} specs is a delimiter located left-to-right, each field takes
+    the (possibly empty) run up to the next delimiter. That is exactly a
+    single anchored regex with a lazy ``(.*?)`` group per field (greedy
+    ``(.*)`` for a trailing field), so the whole parse stays one
+    whole-stage-codegen'd JVM regex pass — no tokenizer loop, no Python.
+
+    Modifiers: ``%{key->}`` lets the following delimiter repeat
+    (``(?:delim)+``); ``%{+key}`` / ``%{+key/n}`` appends into `key`;
+    ``%{}`` / ``%{?key}`` matches-and-discards; ``%{*k}`` + ``%{&k}``
+    form a dynamic name→value pair emitted as a map column `k`.
+    """
+    parts: list[str] = []
+    plan: list[_DissectField] = []
+    pos = 0
+    last_was_field = False
+    matches = list(_DISSECT_TOKEN_RE.finditer(pattern))
+    if not matches:
+        raise ValueError("dissect pattern has no %{field} specs")
+    regex = ["^"]
+    for m in matches:
+        lit = pattern[pos : m.start()]
+        if lit:
+            f_prev = plan[-1] if plan else None
+            esc = re.escape(lit)
+            regex.append(f"(?:{esc})+" if (f_prev and f_prev.pad) else esc)
+            last_was_field = False
+        elif last_was_field:
+            raise ValueError(
+                f"dissect: adjacent fields with no delimiter at offset {m.start()}"
+            )
+        fld = _parse_dissect_spec(m.group(1))
+        plan.append(fld)
+        is_last = m.end() == len(pattern) or (
+            m is matches[-1] and not pattern[m.end():]
+        )
+        regex.append("(.*)" if is_last else "(.*?)")
+        last_was_field = True
+        pos = m.end()
+    tail = pattern[pos:]
+    if tail:
+        f_prev = plan[-1]
+        esc = re.escape(tail)
+        regex.append(f"(?:{esc})+" if f_prev.pad else esc)
+    regex.append("$")
+    # cross-validate ref pairs
+    names = [f.name for f in plan if f.kind == "ref_name"]
+    values = [f.name for f in plan if f.kind == "ref_value"]
+    if sorted(names) != sorted(values):
+        raise ValueError(f"dissect: unpaired */& refs: {names} vs {values}")
+    return "".join(regex), plan
+
+
+def dissect_keys(pattern: str) -> list[str]:
+    """Final output column names for a dissect pattern, in emit order."""
+    _, plan = compile_dissect(pattern)
+    out: list[str] = []
+    for f in plan:
+        if f.kind == "field" or f.kind == "append":
+            if f.name not in out:
+                out.append(f.name)
+        elif f.kind == "ref_name" and f.name not in out:
+            out.append(f.name)
+    return out
+
+
+def dissect_parse(
+    df: DataFrame,
+    pattern: str,
+    source_key: str = "text",
+    *,
+    append_separator: str = "",
+    types: dict[str, str] | None = None,
+    keep_source: bool = False,
+    keep_source_if_parse_error: bool = True,
+    mode: str = "jvm",
+    max_input_len: int | None = None,
+) -> DataFrame:
+    """Dissect-style named-capture parse as one JVM regex pass.
+
+    Compiles the dissect pattern with :func:`compile_dissect` and runs it
+    through the same single-pass sentinel engine as :func:`regex_parse`
+    (one regex execution per row, whole-stage codegen). Fields assemble
+    afterwards as zero-cost projections: appends concat their groups with
+    `append_separator`, ``%{*k}``/``%{&k}`` pairs become a map column.
+
+    The reference has no dissect processor — its users reach for
+    processor_regex with hand-written groups (plugins/processor/regex/
+    regex.go:32) — but the dissect surface compiles INTO that engine, so
+    it inherits its scale behavior (guards, truncation, Arrow fallback).
+    """
+    regex, plan = compile_dissect(pattern)
+    types = types or {}
+    gkeys = [f"__d{i}" for i in range(len(plan))]
+    parsed = regex_parse(
+        df,
+        regex,
+        gkeys,
+        source_key,
+        keep_source=keep_source,
+        keep_source_if_parse_error=keep_source_if_parse_error,
+        dotall=True,
+        mode=mode,
+        max_input_len=max_input_len,
+    )
+    out_cols: dict[str, Column] = {}
+    # simple + append fields
+    slots: dict[str, list[tuple[int, int, int]]] = {}
+    for i, f in enumerate(plan):
+        if f.kind in ("field", "append"):
+            slots.setdefault(f.name, []).append((f.order, i, i))
+    for name, entries in slots.items():
+        entries.sort()
+        cols = [F.col(gkeys[i]) for _, _, i in entries]
+        col = cols[0] if len(cols) == 1 else F.concat_ws(append_separator, *cols)
+        out_cols[name] = col.cast(types[name]) if name in types else col
+    # ref pairs -> map column per ref key
+    ref_names = {f.name: i for i, f in enumerate(plan) if f.kind == "ref_name"}
+    ref_values = {f.name: i for i, f in enumerate(plan) if f.kind == "ref_value"}
+    for name, ni in ref_names.items():
+        vi = ref_values[name]
+        out_cols[name] = F.map_from_arrays(
+            F.array(F.col(gkeys[ni])), F.array(F.col(gkeys[vi]))
+        )
+    parsed = parsed.withColumns(out_cols)
+    return parsed.drop(*gkeys)

@@ -48,7 +48,9 @@ from ilogtail_spark.operators.filters import filter_expr, filter_regex, rate_lim
 from ilogtail_spark.operators.multiline import merge_multiline
 from ilogtail_spark.operators.parse import (
     anchor_extract,
+    compile_dissect,
     csv_parse,
+    dissect_parse,
     json_parse,
     kv_parse,
     regex_parse,
@@ -128,6 +130,42 @@ SELECT conv_id, turn_idx,
   cast(regexp_extract(text, '{_NGINX_RE}', 7) AS bigint) AS bytes,
   regexp_extract(text, '{_NGINX_RE}', 9) AS user_agent
 FROM transcripts WHERE regexp_matches(text, '{_NGINX_RE}')
+"""
+
+
+_DISSECT_PAT = (
+    '%{clientip} - - [%{ts}] "%{verb} %{request} HTTP/%{httpver}"'
+    ' %{status} %{bytes} "%{referrer}" "%{agent}"'
+)
+_DISSECT_RE = compile_dissect(_DISSECT_PAT)[0]
+
+
+def q_dissect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dissect-style named-capture parse (the north-star's named parse
+    surface): the %{field} pattern compiles to ONE anchored lazy-group
+    regex executed once per row through the sentinel single-pass engine —
+    a tokenizer-free dissect that whole-stage-codegen's like any other
+    regex parse. Oracle replays the identical compiled regex per group."""
+    t = _t(spark, sf_dir)
+    d = dissect_parse(t, _DISSECT_PAT, "text", types={"status": "int", "bytes": "long"})
+    return d.filter(F.col("clientip").isNotNull()).select(
+        "conv_id", "turn_idx", "clientip", "ts", "verb", "request",
+        "httpver", "status", "bytes", "referrer", "agent",
+    )
+
+
+O_DISSECT = f"""{_CTE}
+SELECT conv_id, turn_idx,
+  regexp_extract(text, '{_DISSECT_RE}', 1) AS clientip,
+  regexp_extract(text, '{_DISSECT_RE}', 2) AS ts,
+  regexp_extract(text, '{_DISSECT_RE}', 3) AS verb,
+  regexp_extract(text, '{_DISSECT_RE}', 4) AS request,
+  regexp_extract(text, '{_DISSECT_RE}', 5) AS httpver,
+  cast(regexp_extract(text, '{_DISSECT_RE}', 6) AS int) AS status,
+  cast(regexp_extract(text, '{_DISSECT_RE}', 7) AS bigint) AS bytes,
+  regexp_extract(text, '{_DISSECT_RE}', 8) AS referrer,
+  regexp_extract(text, '{_DISSECT_RE}', 9) AS agent
+FROM transcripts WHERE regexp_matches(text, '{_DISSECT_RE}')
 """
 
 
@@ -3644,6 +3682,7 @@ FROM ts
 
 QUERIES: dict[str, QueryFn] = {
     "regex_parse": q_regex_parse,
+    "dissect": q_dissect,
     "grok_parse": q_grok_parse,
     "grok_apache": q_grok_apache,
     "grok_syslog": q_grok_syslog,
@@ -3761,6 +3800,7 @@ QUERIES: dict[str, QueryFn] = {
 
 ORACLES: dict[str, str] = {
     "regex_parse": O_REGEX_PARSE,
+    "dissect": O_DISSECT,
     "grok_parse": O_GROK_PARSE,
     "grok_apache": O_GROK_APACHE,
     "grok_syslog": O_GROK_SYSLOG,

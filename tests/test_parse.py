@@ -4,11 +4,15 @@ processor_json_test.go): literal rows in, exact fields out."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from ilogtail_spark.operators.parse import (
     anchor_extract,
+    compile_dissect,
     csv_parse,
+    dissect_keys,
+    dissect_parse,
     json_parse,
     kv_parse,
     regex_parse,
@@ -180,3 +184,70 @@ class TestAnchor:
         df = _df(spark, [("head rest",)])
         out = anchor_extract(df, [("", " rest", "h")]).first()
         assert out["h"] == "head"
+
+
+class TestDissect:
+    """dissect_parse: %{field} patterns compiled to one anchored lazy regex
+    (the north-star's dissect-style named-capture surface)."""
+
+    def test_basic_fields(self, spark):
+        df = _df(spark, [("alice 25 paris",)])
+        out = dissect_parse(df, "%{name} %{age} %{city}", types={"age": "int"}).first()
+        assert (out["name"], out["age"], out["city"]) == ("alice", 25, "paris")
+
+    def test_failure_yields_nulls(self, spark):
+        df = _df(spark, [("no-delimiters-here",)])
+        out = dissect_parse(df, "%{a}|%{b}").first()
+        assert out["a"] is None and out["b"] is None
+
+    def test_append_with_order_and_separator(self, spark):
+        # %{+key/n} assembles out of wire order; separator configurable
+        df = _df(spark, [("john jacob smith",)])
+        out = dissect_parse(
+            df, "%{+full/2} %{+full/1} %{+full/3}", append_separator=" "
+        ).first()
+        assert out["full"] == "jacob john smith"
+
+    def test_skip_and_named_skip(self, spark):
+        df = _df(spark, [("drop1 keep drop2",)])
+        out = dissect_parse(df, "%{} %{val} %{?ignored}")
+        assert out.select("val").first()["val"] == "keep"
+        assert "ignored" not in out.columns and "" not in out.columns
+
+    def test_right_padding_modifier(self, spark):
+        # %{a->} lets the following delimiter repeat (column-aligned logs)
+        df = _df(spark, [("abc       def",)])
+        assert dissect_parse(df, "%{a->} %{b}").first()["b"] == "def"
+        # without the modifier the lazy group stops at the FIRST space
+        plain = dissect_parse(df, "%{a} %{b}").first()
+        assert plain["b"] == "      def"
+
+    def test_reference_pair_emits_map(self, spark):
+        df = _df(spark, [("status:200",)])
+        out = dissect_parse(df, "%{*kv}:%{&kv}").first()
+        assert out["kv"] == {"status": "200"}
+
+    def test_trailing_literal_and_greedy_last(self, spark):
+        df = _df(spark, [("a=1 b=2 tail!",)])
+        out = dissect_parse(df, "a=%{a} b=%{rest}!").first()
+        assert out["a"] == "1" and out["rest"] == "2 tail"
+
+    def test_adjacent_fields_raise(self, spark):
+        with pytest.raises(ValueError, match="adjacent fields"):
+            compile_dissect("%{a}%{b}")
+
+    def test_unpaired_ref_raises(self, spark):
+        with pytest.raises(ValueError, match="unpaired"):
+            compile_dissect("%{*k}:%{&other}")
+
+    def test_keep_source_semantics(self, spark):
+        df = _df(spark, [("x y",), ("nodelim",)])
+        out = dissect_parse(df, "%{a}|%{b}", keep_source_if_parse_error=True)
+        rows = {r["text"]: r for r in out.collect()}
+        # both rows fail the parse -> source kept on both
+        assert "x y" in rows and "nodelim" in rows
+
+    def test_dissect_keys(self, spark):
+        assert dissect_keys("%{a->} %{+b} %{+b/1} %{} %{?x} %{*k}:%{&k}") == [
+            "a", "b", "k",
+        ]
