@@ -1,0 +1,121 @@
+"""Conversation-level operators over the transcript table.
+
+The input shape is the BASELINE input_hint: (conv_id, turn_idx, role,
+text, tool, ts). Everything here is per-conversation work — the natural
+unit of a transcript corpus — expressed so the shuffle story stays
+boring at 10^12 turns:
+
+  * `conversation_stats` is one hash aggregation (map-side partials,
+    bounded state per key: counters + a ≤|roles| collect_set);
+  * `sft_pairs` / `sessionize` need per-conv ordered walks, which is ONE
+    hash Exchange on conv_id feeding window functions — conversations
+    are bounded (thousands of turns, not billions), so a conv always
+    fits a task and skew salting is unnecessary by construction; the
+    second window in `sessionize` reuses the first's
+    ClusteredDistribution, so the plan carries a single Exchange.
+
+No Python anywhere — all whole-stage-codegen column expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _t_sec(ts_col: str) -> Column:
+    # unix_seconds truncates; the DuckDB twin is epoch_ms(ts)//1000
+    return F.unix_seconds(F.col(ts_col).cast("timestamp"))
+
+
+def conversation_stats(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-conversation profile: turn counts by role, tool-call count,
+    text volume, wall-clock span. One partial-aggregating groupBy — the
+    same shape as the reference's aggregator counters
+    (plugins/aggregator/baseagg/aggregator_base.go), lifted from
+    per-logstore to per-conversation keys."""
+    return df.groupBy(conv_col).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.when(F.col("role") == "user", 1).otherwise(0)).alias("n_user"),
+        F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0)).alias("n_assistant"),
+        F.sum(F.when(F.col("tool").isNotNull(), 1).otherwise(0)).alias("n_tool_calls"),
+        F.size(F.collect_set("tool")).alias("n_distinct_tools"),
+        F.sum(F.length("text")).alias("total_chars"),
+        (F.max(_t_sec(ts_col)) - F.min(_t_sec(ts_col))).alias("duration_s"),
+    )
+
+
+def sft_pairs(
+    df: DataFrame,
+    context_turns: int = 3,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    target_role: str = "assistant",
+    sep: str = "\n",
+) -> DataFrame:
+    """Context→response training-pair assembly: for every `target_role`
+    turn, emit (context = the previous `context_turns` turns rendered as
+    "role: text", response = the turn's text). This is the
+    transcript-corpus analog of SFT example extraction.
+
+    A bounded ROWS window keeps state O(context_turns) per row — never
+    the whole conversation — so the operator is safe on arbitrarily long
+    conversations. collect_list over an ORDER BY'd ROWS frame preserves
+    frame order, making the concatenation deterministic (the stable
+    turn ordering the north star requires).
+    """
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(order_col)
+        .rowsBetween(-context_turns, -1)
+    )
+    rendered = F.concat_ws(": ", F.col("role"), F.col("text"))
+    return (
+        df.withColumn("context", F.concat_ws(sep, F.collect_list(rendered).over(w)))
+        .filter(F.col("role") == target_role)
+        .select(
+            conv_col,
+            order_col,
+            "context",
+            F.col("text").alias("response"),
+        )
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    gap_s: int,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based sessionization (gaps-and-islands): a new session starts
+    at the first turn and wherever the time since the previous turn
+    exceeds `gap_s`. Returns one row per session with turn count and
+    span — the batch twin of Structured Streaming's session_window.
+
+    Both windows share partitionBy(conv)/orderBy(turn) so Catalyst
+    plans ONE Exchange; the final per-session rollup is a partial
+    aggregation on (conv, session_seq).
+    """
+    wl = Window.partitionBy(conv_col).orderBy(order_col)
+    t = _t_sec(ts_col)
+    new_sess = F.when(
+        F.lag(t).over(wl).isNull() | ((t - F.lag(t).over(wl)) > gap_s), 1
+    ).otherwise(0)
+    sess = (
+        df.withColumn("__new", new_sess)
+        .withColumn(
+            "session_seq",
+            F.sum("__new").over(wl.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return sess.groupBy(conv_col, "session_seq").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.min(t).alias("start_s"),
+        F.max(t).alias("end_s"),
+    )

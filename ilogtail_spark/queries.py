@@ -25,6 +25,11 @@ from ilogtail_spark.functions.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from ilogtail_spark.functions.conversations import (
+    conversation_stats,
+    sessionize,
+    sft_pairs,
+)
 from ilogtail_spark.functions.multimodal import extract_features, synthetic_media
 from ilogtail_spark.functions.similarity import brute_force_topk, lsh_bucket_topk
 from ilogtail_spark.functions.textstats import (
@@ -166,6 +171,69 @@ SELECT conv_id, turn_idx,
   regexp_extract(text, '{_DISSECT_RE}', 8) AS referrer,
   regexp_extract(text, '{_DISSECT_RE}', 9) AS agent
 FROM transcripts WHERE regexp_matches(text, '{_DISSECT_RE}')
+"""
+
+
+def q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation profile — ONE partial-aggregating groupBy over
+    conv_id (role mix, tool calls, text volume, wall-clock span)."""
+    return conversation_stats(_t(spark, sf_dir))
+
+
+O_CONVERSATION_STATS = f"""{_CTE}
+SELECT conv_id,
+  count(*) AS n_turns,
+  cast(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS bigint) AS n_user,
+  cast(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS bigint) AS n_assistant,
+  cast(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_tool_calls,
+  cast(count(DISTINCT tool) AS int) AS n_distinct_tools,
+  cast(sum(length(text)) AS bigint) AS total_chars,
+  max(cast(epoch_ms(ts) // 1000 AS bigint)) - min(cast(epoch_ms(ts) // 1000 AS bigint)) AS duration_s
+FROM transcripts GROUP BY conv_id
+"""
+
+
+def q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context→response SFT pair assembly: previous-3-turn context per
+    assistant turn via a bounded ROWS window (state O(k) per row)."""
+    return sft_pairs(_t(spark, sf_dir), context_turns=3)
+
+
+O_SFT_PAIRS = f"""{_CTE},
+ctx AS (
+  SELECT conv_id, turn_idx, role, text,
+    coalesce(string_agg(role || ': ' || text, chr(10)) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), '') AS context
+  FROM transcripts)
+SELECT conv_id, turn_idx, context, text AS response
+FROM ctx WHERE role = 'assistant'
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (gaps-and-islands, one Exchange): new
+    session when >30000s passes between consecutive turns of a conv."""
+    return sessionize(_t(spark, sf_dir), gap_s=30000)
+
+
+O_SESSIONIZE = f"""{_CTE},
+g AS (
+  SELECT conv_id, turn_idx, cast(epoch_ms(ts) // 1000 AS bigint) AS t
+  FROM transcripts),
+m AS (
+  SELECT conv_id, turn_idx, t,
+    CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 30000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM g WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+s AS (
+  SELECT conv_id, t,
+    sum(new_sess) OVER (PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM m)
+SELECT conv_id, cast(session_seq AS bigint) AS session_seq,
+  count(*) AS n_turns, min(t) AS start_s, max(t) AS end_s
+FROM s GROUP BY conv_id, session_seq
 """
 
 
@@ -3683,6 +3751,9 @@ FROM ts
 QUERIES: dict[str, QueryFn] = {
     "regex_parse": q_regex_parse,
     "dissect": q_dissect,
+    "conversation_stats": q_conversation_stats,
+    "sft_pairs": q_sft_pairs,
+    "sessionize": q_sessionize,
     "grok_parse": q_grok_parse,
     "grok_apache": q_grok_apache,
     "grok_syslog": q_grok_syslog,
@@ -3801,6 +3872,9 @@ QUERIES: dict[str, QueryFn] = {
 ORACLES: dict[str, str] = {
     "regex_parse": O_REGEX_PARSE,
     "dissect": O_DISSECT,
+    "conversation_stats": O_CONVERSATION_STATS,
+    "sft_pairs": O_SFT_PAIRS,
+    "sessionize": O_SESSIONIZE,
     "grok_parse": O_GROK_PARSE,
     "grok_apache": O_GROK_APACHE,
     "grok_syslog": O_GROK_SYSLOG,

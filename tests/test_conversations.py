@@ -1,0 +1,93 @@
+"""Golden tests for conversation-level operators (functions/conversations.py):
+literal multi-turn fixtures in, exact stats / pairs / sessions out."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from ilogtail_spark.functions.conversations import (
+    conversation_stats,
+    sessionize,
+    sft_pairs,
+)
+
+SCHEMA = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+
+
+def _ts(s: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=s)
+
+
+def _conv(spark):
+    rows = [
+        ("c1", 0, "user", "hi there", None, _ts(0)),
+        ("c1", 1, "assistant", "hello", None, _ts(5)),
+        ("c1", 2, "tool", "result=42", "python", _ts(10)),
+        ("c1", 3, "assistant", "the answer is 42", None, _ts(2000)),
+        ("c2", 0, "user", "ping", None, _ts(0)),
+        ("c2", 1, "assistant", "pong", None, _ts(1)),
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+class TestConversationStats:
+    def test_counts_and_span(self, spark):
+        out = {r["conv_id"]: r for r in conversation_stats(_conv(spark)).collect()}
+        c1 = out["c1"]
+        assert c1["n_turns"] == 4
+        assert c1["n_user"] == 1 and c1["n_assistant"] == 2
+        assert c1["n_tool_calls"] == 1 and c1["n_distinct_tools"] == 1
+        assert c1["total_chars"] == len("hi there") + len("hello") + len("result=42") + len("the answer is 42")
+        assert c1["duration_s"] == 2000
+        assert out["c2"]["duration_s"] == 1
+
+    def test_null_tools_not_counted_distinct(self, spark):
+        out = conversation_stats(_conv(spark)).filter(F.col("conv_id") == "c2").first()
+        assert out["n_tool_calls"] == 0 and out["n_distinct_tools"] == 0
+
+
+class TestSftPairs:
+    def test_context_is_prior_k_turns(self, spark):
+        out = {
+            (r["conv_id"], r["turn_idx"]): r
+            for r in sft_pairs(_conv(spark), context_turns=3).collect()
+        }
+        # assistant turn 1: one prior turn
+        assert out[("c1", 1)]["context"] == "user: hi there"
+        assert out[("c1", 1)]["response"] == "hello"
+        # assistant turn 3: exactly the prior 3 turns, in turn order
+        assert out[("c1", 3)]["context"] == (
+            "user: hi there\nassistant: hello\ntool: result=42"
+        )
+        # only assistant turns emit pairs
+        assert ("c1", 0) not in out and ("c1", 2) not in out
+
+    def test_bounded_window(self, spark):
+        out = sft_pairs(_conv(spark), context_turns=1).collect()
+        by_key = {(r["conv_id"], r["turn_idx"]): r["context"] for r in out}
+        assert by_key[("c1", 3)] == "tool: result=42"  # only 1 prior turn
+
+    def test_first_turn_assistant_empty_context(self, spark):
+        df = spark.createDataFrame(
+            [("c3", 0, "assistant", "opening", None, _ts(0))], SCHEMA
+        )
+        assert sft_pairs(df).first()["context"] == ""
+
+
+class TestSessionize:
+    def test_gap_splits_sessions(self, spark):
+        out = sessionize(_conv(spark), gap_s=300).orderBy("conv_id", "session_seq").collect()
+        c1 = [r for r in out if r["conv_id"] == "c1"]
+        # turns 0-2 within 10s, then a 1990s gap -> two sessions
+        assert [(r["session_seq"], r["n_turns"]) for r in c1] == [(1, 3), (2, 1)]
+        assert c1[0]["end_s"] - c1[0]["start_s"] == 10
+        c2 = [r for r in out if r["conv_id"] == "c2"]
+        assert [(r["session_seq"], r["n_turns"]) for r in c2] == [(1, 2)]
+
+    def test_single_exchange_plan(self, spark):
+        plan = sessionize(_conv(spark), gap_s=300)._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        # lag + running sum + rollup share one hash Exchange on conv_id
+        assert final.count("Exchange") <= 2  # window exchange + (possibly AQE-read agg)
