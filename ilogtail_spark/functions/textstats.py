@@ -687,3 +687,79 @@ def length_quantiles(
         ],
         "n_docs",
     )
+
+
+def unigram_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Train a unigram language model over a corpus: returns
+    ``(vocab, total)`` where `vocab` is (tok, cnt) for tokens seen at
+    least `min_count` times and `total` is the 1-row (total_tokens)
+    relation (counted over ALL occurrences, including sub-threshold
+    ones, so probabilities stay a true distribution as the cutoff
+    moves). One explode + one token-keyed aggregation; the token
+    relation is localCheckpointed because both outputs read it (same
+    executor-loss trade-off as documented in dedup.py:125)."""
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+    vocab_all = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab_all = vocab_all.localCheckpoint(eager=False)
+    total = vocab_all.agg(F.sum("cnt").alias("total_tokens"))
+    return vocab_all.filter(F.col("cnt") >= min_count), total
+
+
+def unigram_nll(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_count: int = 2,
+    vocab: DataFrame | None = None,
+    total: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under a unigram LM —
+    the CCNet-style perplexity quality tier (Wenzek et al. 2020): docs
+    whose token distribution diverges from the corpus (boilerplate,
+    gibberish, wrong language) score high and can be filtered or
+    bucketed. Output: (id, n_tokens, nll), nll = -Σ log p(tok) / n.
+
+    Pass a pretrained ``(vocab, total)`` pair (from :func:`unigram_vocab`
+    over a REFERENCE corpus — the real training-data workflow: train on
+    trusted text, score candidates); with neither given the corpus
+    scores itself. Out-of-vocab tokens take the floor probability
+    1/total.
+
+    Numeric determinism: Spark aggregates in arbitrary order and double
+    addition is non-associative, so the per-token log-probs are rounded
+    to a 6-decimal grid and summed as DECIMAL(18,6) — exact,
+    order-independent arithmetic; only then does one double division
+    produce the mean. That is what makes the DuckDB oracle hash-match
+    bit-for-bit (same trick as quality_logistic's feature grid).
+
+    Plan shape: explode → token-keyed agg (train) + broadcast vocab join
+    + 1-row BNLJ total (the bm25 stats precedent) → doc-keyed agg. The
+    vocab join is broadcast when the LM is small; at 100 TB train
+    write-time via `unigram_vocab` and let AQE pick the join strategy.
+    """
+    if (vocab is None) != (total is None):
+        raise ValueError("pass both vocab and total, or neither")
+    if vocab is None:
+        vocab, total = unigram_vocab(df, text_col, min_count)
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    scored = (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .join(F.broadcast(total))
+        .withColumn(
+            "logp",
+            F.round(F.log(F.coalesce(F.col("cnt"), F.lit(1)) / F.col("total_tokens")), 6),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            -F.sum(F.col("logp").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("nll"),
+    )

@@ -1816,6 +1816,33 @@ FROM feat2
 """
 
 
+def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM perplexity tier: per-doc mean negative
+    log-likelihood, self-trained on the corpus (min_count=2, OOV floor
+    1/total). Log-probs are rounded to a 6-dec grid and summed as
+    DECIMAL so the unordered aggregation is exact — see unigram_nll."""
+    from ilogtail_spark.functions.textstats import unigram_nll
+
+    return unigram_nll(_docs(spark, sf_dir))
+
+
+O_UNIGRAM_NLL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents),
+va AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+tot AS (SELECT cast(sum(cnt) AS bigint) AS total_tokens FROM va),
+v AS (SELECT tok, cnt FROM va WHERE cnt >= 2),
+sc AS (
+  SELECT t.doc_id,
+    round(ln(coalesce(v.cnt, 1) / tot.total_tokens), 6) AS logp
+  FROM tok t LEFT JOIN v USING (tok) CROSS JOIN tot)
+SELECT doc_id, count(*) AS n_tokens,
+  round(-cast(sum(cast(logp AS DECIMAL(18,6))) AS double) / count(*), 6) AS nll
+FROM sc GROUP BY doc_id
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = lang_id(_docs(spark, sf_dir))
     return d.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n"))
@@ -3817,6 +3844,7 @@ QUERIES: dict[str, QueryFn] = {
     "mixture_sample": q_mixture_sample,
     "quality_score": q_quality_score,
     "quality_logistic": q_quality_logistic,
+    "unigram_nll": q_unigram_nll,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "ngram_jaccard": q_ngram_jaccard,
@@ -3936,6 +3964,7 @@ ORACLES: dict[str, str] = {
     "mixture_sample": O_MIXTURE_SAMPLE,
     "quality_score": O_QUALITY_SCORE,
     "quality_logistic": O_QUALITY_LOGISTIC,
+    "unigram_nll": O_UNIGRAM_NLL,
     "lang_id": O_LANG_ID,
     "fingerprint": O_FINGERPRINT,
     "ngram_jaccard": O_NGRAM_JACCARD,

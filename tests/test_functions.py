@@ -1810,3 +1810,58 @@ class TestTrainingShards:
         r2 = mixture_rates(counts, 0.7, target_frac=0.5)
         kept2 = sum(counts[k] * r2[k] for k in counts)
         assert kept2 <= sum(counts.values()) * 0.5 + 1e-6
+
+
+class TestUnigramNLL:
+    """unigram_nll: CCNet-style LM quality tier — exact decimal-grid math."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+        )
+
+    def test_self_scored_values(self, spark):
+        import math
+
+        from ilogtail_spark.functions.textstats import unigram_nll
+
+        # corpus: 'a' x4, 'b' x2, 'c' x1 (c is sub-threshold -> OOV floor)
+        docs = self._docs(spark, ["a a b", "a a b c"])
+        out = {r["doc_id"]: r for r in unigram_nll(docs, min_count=2).collect()}
+        total = 7
+        lp = lambda c: round(math.log(c / total), 6)
+        exp0 = round(-(2 * lp(4) + lp(2)) / 3, 6)
+        exp1 = round(-(2 * lp(4) + lp(2) + lp(1)) / 4, 6)
+        assert out[0]["n_tokens"] == 3 and abs(out[0]["nll"] - exp0) < 1e-12
+        assert out[1]["n_tokens"] == 4 and abs(out[1]["nll"] - exp1) < 1e-12
+
+    def test_pretrained_vocab_scores_new_docs(self, spark):
+        import math
+
+        from ilogtail_spark.functions.textstats import unigram_nll, unigram_vocab
+
+        train = self._docs(spark, ["x x x y y", "x y"])  # x:4 y:3, total 7
+        vocab, total = unigram_vocab(train, min_count=2)
+        new = self._docs(spark, ["x zzz"])  # zzz is OOV -> floor 1/total
+        out = unigram_nll(new, vocab=vocab, total=total).first()
+        exp = round(-(round(math.log(4 / 7), 6) + round(math.log(1 / 7), 6)) / 2, 6)
+        assert abs(out["nll"] - exp) < 1e-12
+
+    def test_gibberish_scores_worse(self, spark):
+        from ilogtail_spark.functions.textstats import unigram_nll
+
+        docs = self._docs(
+            spark, ["the cat sat", "the cat ran", "the dog sat", "qzx vbn wpl"]
+        )
+        out = {r["doc_id"]: r["nll"] for r in unigram_nll(docs, min_count=2).collect()}
+        assert out[3] > max(out[0], out[1], out[2])
+
+    def test_vocab_total_must_pair(self, spark):
+        import pytest as _pytest
+
+        from ilogtail_spark.functions.textstats import unigram_nll, unigram_vocab
+
+        docs = self._docs(spark, ["a b"])
+        vocab, _ = unigram_vocab(docs)
+        with _pytest.raises(ValueError, match="both"):
+            unigram_nll(docs, vocab=vocab)
