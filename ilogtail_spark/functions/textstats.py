@@ -763,3 +763,52 @@ def unigram_nll(
             6,
         ).alias("nll"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    *,
+    strata_col: str | None = None,
+    id_col: str = "doc_id",
+    salt: str = "ws1",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirtakis 2006): keep the k rows with the largest
+    ln(u)/w priority, u a pure hash draw of (salt, id) — rows with
+    double the weight are twice as likely to survive, and the selection
+    is reproducible across runs/partitions/retries like
+    :func:`stratified_sample`. With `strata_col`, k rows per stratum
+    (quota sampling: weight by quality, cap per source).
+
+    The draw is (hash+1)/16^15 ∈ (0,1] so ln is finite; ln(u) is rounded
+    to a 9-decimal grid before the division so libm ulp differences
+    cannot reorder priorities (the priority itself is internal — only
+    surviving rows are emitted). Plan: one map stage + one TOP-K per
+    stratum (rank window ⇒ a single Exchange on the stratum key; global
+    k uses one TakeOrderedAndProject-style window over an empty key —
+    fine because only k rows survive it).
+
+    Weights must be strictly positive; rows with NULL or non-positive
+    weight are dropped (they carry no sampling mass).
+    """
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col))), 1, 15),
+            16, 10,
+        ).cast("double") + F.lit(1.0)
+    ) / F.lit(float(16**15))
+    w = F.col(weight_col).cast("double")
+    priority = F.round(F.round(F.log(u), 9) / w, 9)
+    from pyspark.sql import Window
+
+    part = Window.partitionBy(strata_col) if strata_col else Window.partitionBy()
+    rnk = F.row_number().over(part.orderBy(F.desc("__pri"), F.asc(id_col)))
+    return (
+        df.where(w > 0)
+        .withColumn("__pri", priority)
+        .withColumn("__rnk", rnk)
+        .where(F.col("__rnk") <= k)
+        .drop("__pri", "__rnk")
+    )

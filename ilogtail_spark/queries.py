@@ -1816,6 +1816,33 @@ FROM feat2
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirtakis weighted sampling without replacement:
+    5 docs per language, probability ∝ n_chars, pure-hash priorities
+    (reproducible across runs/retries). Oracle replays the identical
+    grid-rounded ln(u)/w priority and rank."""
+    from ilogtail_spark.functions.textstats import weighted_sample
+
+    d = weighted_sample(
+        _docs(spark, sf_dir), k=5, weight_col="n_chars", strata_col="lang"
+    )
+    return d.select("doc_id", "lang", "n_chars")
+
+
+O_WEIGHTED_SAMPLE = """
+WITH pri AS (
+  SELECT doc_id, lang, n_chars,
+    round(round(ln((cast('0x' || substring(md5('ws1:' || cast(doc_id AS varchar)), 1, 15) AS bigint) + 1.0)
+                   / 1152921504606846976.0), 9) / cast(n_chars AS double), 9) AS pri
+  FROM documents WHERE n_chars > 0),
+r AS (
+  SELECT doc_id, lang, n_chars,
+    row_number() OVER (PARTITION BY lang ORDER BY pri DESC, doc_id) AS rnk
+  FROM pri)
+SELECT doc_id, lang, n_chars FROM r WHERE rnk <= 5
+"""
+
+
 def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style unigram-LM perplexity tier: per-doc mean negative
     log-likelihood, self-trained on the corpus (min_count=2, OOV floor
@@ -3845,6 +3872,7 @@ QUERIES: dict[str, QueryFn] = {
     "quality_score": q_quality_score,
     "quality_logistic": q_quality_logistic,
     "unigram_nll": q_unigram_nll,
+    "weighted_sample": q_weighted_sample,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "ngram_jaccard": q_ngram_jaccard,
@@ -3965,6 +3993,7 @@ ORACLES: dict[str, str] = {
     "quality_score": O_QUALITY_SCORE,
     "quality_logistic": O_QUALITY_LOGISTIC,
     "unigram_nll": O_UNIGRAM_NLL,
+    "weighted_sample": O_WEIGHTED_SAMPLE,
     "lang_id": O_LANG_ID,
     "fingerprint": O_FINGERPRINT,
     "ngram_jaccard": O_NGRAM_JACCARD,

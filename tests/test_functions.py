@@ -1865,3 +1865,71 @@ class TestUnigramNLL:
         vocab, _ = unigram_vocab(docs)
         with _pytest.raises(ValueError, match="both"):
             unigram_nll(docs, vocab=vocab)
+
+
+class TestWeightedSample:
+    """weighted_sample: E–S priorities replayed exactly in pure Python."""
+
+    def _docs(self, spark, n=40):
+        rows = [(i, f"s{i % 3}", (i % 7) + 1) for i in range(n)]
+        return spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+
+    @staticmethod
+    def _expected(rows, k, salt="ws1"):
+        import hashlib
+        import math
+        from collections import defaultdict
+
+        pri = {}
+        for i, lang, w in rows:
+            h = int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:15], 16)
+            u = (float(h) + 1.0) / float(16**15)
+            pri[i] = round(round(math.log(u), 9) / float(w), 9)
+        by = defaultdict(list)
+        for i, lang, w in rows:
+            by[lang].append(i)
+        keep = set()
+        for lang, ids in by.items():
+            ids.sort(key=lambda i: (-pri[i], i))
+            keep.update(ids[:k])
+        return keep
+
+    def test_matches_python_replay(self, spark):
+        from ilogtail_spark.functions.textstats import weighted_sample
+
+        rows = [(i, f"s{i % 3}", (i % 7) + 1) for i in range(40)]
+        got = {
+            r["doc_id"]
+            for r in weighted_sample(
+                self._docs(spark), 4, "n_chars", strata_col="lang"
+            ).collect()
+        }
+        assert got == self._expected(rows, 4)
+
+    def test_global_topk_and_determinism(self, spark):
+        from ilogtail_spark.functions.textstats import weighted_sample
+
+        d = self._docs(spark)
+        a = {r["doc_id"] for r in weighted_sample(d, 6, "n_chars").collect()}
+        b = {r["doc_id"] for r in weighted_sample(d, 6, "n_chars").collect()}
+        assert a == b and len(a) == 6
+
+    def test_nonpositive_weights_dropped(self, spark):
+        from ilogtail_spark.functions.textstats import weighted_sample
+
+        d = spark.createDataFrame(
+            [(1, "a", 5), (2, "a", 0), (3, "a", -2), (4, "a", None)],
+            "doc_id long, lang string, n_chars long",
+        )
+        got = {r["doc_id"] for r in weighted_sample(d, 10, "n_chars").collect()}
+        assert got == {1}
+
+    def test_heavy_weight_wins_mass(self, spark):
+        # with one weight 10^6 x the rest, the heavy row survives k=1
+        # for the default salt (checked against the replay, not luck)
+        from ilogtail_spark.functions.textstats import weighted_sample
+
+        rows = [(i, "a", 1_000_000 if i == 7 else 1) for i in range(20)]
+        d = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+        got = {r["doc_id"] for r in weighted_sample(d, 1, "n_chars").collect()}
+        assert got == self._expected(rows, 1)
