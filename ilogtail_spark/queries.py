@@ -1816,6 +1816,33 @@ FROM feat2
 """
 
 
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order clustering key over (user_id, event_id) — the
+    write-layout primitive behind zorder_write (plans/layout.py): pure
+    shift/mask bit interleave, oracle = the identical portable SQL from
+    zorder_sql_expr rendered for DuckDB."""
+    from ilogtail_spark.plans.layout import zorder_key
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return e.select(
+        "event_id",
+        zorder_key("user_id", "event_id", bits=16).alias("zkey"),
+    )
+
+
+def _zorder_oracle() -> str:
+    from ilogtail_spark.plans.layout import zorder_sql_expr
+
+    return (
+        "SELECT event_id, "
+        + zorder_sql_expr(["user_id", "event_id"], bits=16)
+        + " AS zkey FROM events"
+    )
+
+
+O_ZORDER_KEY = _zorder_oracle()
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis–Spirtakis weighted sampling without replacement:
     5 docs per language, probability ∝ n_chars, pure-hash priorities
@@ -3873,6 +3900,7 @@ QUERIES: dict[str, QueryFn] = {
     "quality_logistic": q_quality_logistic,
     "unigram_nll": q_unigram_nll,
     "weighted_sample": q_weighted_sample,
+    "zorder_key": q_zorder_key,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "ngram_jaccard": q_ngram_jaccard,
@@ -3994,6 +4022,7 @@ ORACLES: dict[str, str] = {
     "quality_logistic": O_QUALITY_LOGISTIC,
     "unigram_nll": O_UNIGRAM_NLL,
     "weighted_sample": O_WEIGHTED_SAMPLE,
+    "zorder_key": O_ZORDER_KEY,
     "lang_id": O_LANG_ID,
     "fingerprint": O_FINGERPRINT,
     "ngram_jaccard": O_NGRAM_JACCARD,
