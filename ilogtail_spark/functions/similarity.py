@@ -573,3 +573,117 @@ def brute_force_topk_int8(
         .where(F.col("rk") <= k)
         .select("q_id", "n_id", "score", "rk")
     )
+
+
+def kmeans_step(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign: str = "arrow",
+) -> DataFrame:
+    """ONE distributed Lloyd's update for spherical (cosine) k-means:
+    assign every vector to its nearest centroid, then emit the
+    per-(centroid, dim) mean of UNIT-normalized components — the k×dim
+    rows the driver folds into the next centroid set. This is the
+    full-corpus trainer that `train_centroids`' docstring defers to
+    ("at true corpus scale you'd train once offline"): assignment is
+    the same vectorized numpy-matmul Arrow kernel as write-time IVF
+    (`assign_centroids`), the mean is one partial-aggregating groupBy,
+    and the job's output is k×dim rows regardless of corpus size.
+
+    assign='expr' is the pure-column-expression twin (cos + c_id·1e-9
+    argmax, exactly `ivf_topk(assign='expr')`'s rule) that the DuckDB
+    oracle replays term-for-term — registering BOTH modes against one
+    oracle pins kernel/expression assignment equality, the ann_ivf /
+    ann_ivf_expr precedent.
+
+    Determinism: components are rounded to a 6-decimal grid and summed
+    as DECIMAL(18,6) — exact, order-independent — so the unordered
+    distributed aggregation is reproducible bit-for-bit (the
+    unigram_nll / quality_logistic trick).
+    """
+    if assign == "arrow":
+        assigned = assign_centroids(df, centroids, vec_col=vec_col)
+    elif assign == "expr":
+        spark = df.sparkSession
+        cent = spark.createDataFrame(
+            [(int(c), [float(x) for x in v]) for c, v in centroids],
+            "c_id long, c_vec array<double>",
+        )
+        scored = df.join(F.broadcast(cent)).withColumn(
+            "__score",
+            cosine(F.col(vec_col), F.col("c_vec")) + F.col("c_id") * F.lit(1e-9),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("__score"))
+        assigned = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .withColumnRenamed("c_id", "centroid")
+            .drop("c_vec", "__score", "__rn")
+        )
+    else:
+        raise ValueError(f"unknown assign mode {assign!r}")
+    nrm = _norm(F.col(vec_col))
+    unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm)
+    comp = assigned.select(
+        F.col("centroid").cast("long").alias("centroid"),
+        F.posexplode(unit).alias("dim", "comp"),
+    )
+    return comp.groupBy("centroid", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.round(F.col("comp"), 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_val"),
+    )
+
+
+def kmeans_train_distributed(
+    df: DataFrame,
+    k: int,
+    *,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign: str = "arrow",
+) -> list[tuple[int, list[float]]]:
+    """Full-corpus spherical k-means via `kmeans_step`: one distributed
+    job per iteration, k×dim rows collected per round (never the data).
+    Init is deterministic — the k vectors with smallest md5(id), the
+    same spread rule as the bounded sampler — so retries/re-runs train
+    identical centroids. Empty clusters keep their previous centroid;
+    means are re-normalized to the unit sphere driver-side (Lloyd's for
+    cosine). Output plugs straight into `ivf_topk(centroids=...)` /
+    `assign_centroids`."""
+    import math
+
+    seeds = (
+        df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .withColumn("h", F.md5(F.col("i").cast("string")))
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+    if len(seeds) < k:
+        raise ValueError(f"need at least k={k} rows, got {len(seeds)}")
+
+    def _unit(v: list[float]) -> list[float]:
+        n = math.sqrt(sum(float(x) * float(x) for x in v))
+        return [float(x) / n if n > 0 else 0.0 for x in v]
+
+    cents = [(j, _unit(list(r["v"]))) for j, r in enumerate(seeds)]
+    dim = len(cents[0][1])
+    for _ in range(iters):
+        rows = kmeans_step(df, cents, id_col=id_col, vec_col=vec_col, assign=assign).collect()
+        means: dict[int, list[float]] = {}
+        for r in rows:
+            means.setdefault(int(r["centroid"]), [0.0] * dim)[int(r["dim"])] = float(
+                r["mean_val"]
+            )
+        cents = [
+            (j, _unit(means[j]) if j in means else v) for j, v in cents
+        ]
+    return cents

@@ -2414,6 +2414,61 @@ SELECT q_id, n_id, cos_sim, rank FROM ranked WHERE rank <= 5
 """
 
 
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed Lloyd's update (spherical k-means, k=8 seeded by
+    vec_id<8) with the vectorized numpy-matmul assignment kernel —
+    per-(centroid,dim) unit-component means on the exact decimal grid."""
+    from ilogtail_spark.functions.similarity import kmeans_step
+
+    emb = _emb(spark, sf_dir)
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    return kmeans_step(emb, cents)
+
+
+def q_kmeans_step_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-column-expression assignment twin of kmeans_step —
+    same oracle, pinning kernel/expression assignment equality (the
+    ann_ivf / ann_ivf_expr precedent)."""
+    from ilogtail_spark.functions.similarity import kmeans_step
+
+    emb = _emb(spark, sf_dir)
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    return kmeans_step(emb, cents, assign="expr")
+
+
+O_KMEANS_STEP = f"""
+WITH cent AS (
+  SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
+affin AS (
+  SELECT e.vec_id, c.c_id,
+    {_COS_SQL.format(a='e.embedding', b='c.c_vec')} + c.c_id * 1e-9 AS score
+  FROM embeddings e, cent c),
+r AS (
+  SELECT vec_id, c_id,
+    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC) AS rn
+  FROM affin),
+asg AS (
+  SELECT e.vec_id, e.embedding, r.c_id AS centroid
+  FROM embeddings e JOIN r ON r.vec_id = e.vec_id AND r.rn = 1),
+comp AS (
+  SELECT centroid,
+    cast(generate_subscripts(embedding, 1) - 1 AS int) AS dim,
+    round(unnest(embedding)::DOUBLE
+          / sqrt(list_dot_product(list_transform(embedding, x -> x::DOUBLE),
+                                  list_transform(embedding, x -> x::DOUBLE))), 6) AS comp
+  FROM asg)
+SELECT centroid, dim, count(*) AS n,
+  round(cast(sum(cast(comp AS DECIMAL(18,6))) AS double) / count(*), 6) AS mean_val
+FROM comp GROUP BY centroid, dim
+"""
+
+
 def q_lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-trigram n-gram language-ID mode."""
     from ilogtail_spark.functions.textstats import lang_id as _lang_id
@@ -3901,6 +3956,8 @@ QUERIES: dict[str, QueryFn] = {
     "unigram_nll": q_unigram_nll,
     "weighted_sample": q_weighted_sample,
     "zorder_key": q_zorder_key,
+    "kmeans_step": q_kmeans_step,
+    "kmeans_step_expr": q_kmeans_step_expr,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "ngram_jaccard": q_ngram_jaccard,
@@ -4023,6 +4080,8 @@ ORACLES: dict[str, str] = {
     "unigram_nll": O_UNIGRAM_NLL,
     "weighted_sample": O_WEIGHTED_SAMPLE,
     "zorder_key": O_ZORDER_KEY,
+    "kmeans_step": O_KMEANS_STEP,
+    "kmeans_step_expr": O_KMEANS_STEP,
     "lang_id": O_LANG_ID,
     "fingerprint": O_FINGERPRINT,
     "ngram_jaccard": O_NGRAM_JACCARD,

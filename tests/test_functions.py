@@ -1933,3 +1933,75 @@ class TestWeightedSample:
         d = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
         got = {r["doc_id"] for r in weighted_sample(d, 1, "n_chars").collect()}
         assert got == self._expected(rows, 1)
+
+
+class TestKmeansDistributed:
+    """kmeans_train_distributed: full-corpus Lloyd's vs a numpy replay."""
+
+    @staticmethod
+    def _numpy_replay(ids, vecs, k, iters):
+        import hashlib
+
+        import numpy as np
+
+        x = np.asarray(vecs, dtype=np.float64)
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        order = sorted(range(len(ids)), key=lambda i: hashlib.md5(str(ids[i]).encode()).hexdigest())
+        cent = x[order[:k]].copy()
+        for _ in range(iters):
+            # same rule as kmeans_step: argmax(cos + c_id*1e-9)
+            scores = x @ cent.T + np.arange(k) * 1e-9
+            assign = np.argmax(scores, axis=1)
+            for j in range(k):
+                m = x[assign == j]
+                if len(m):
+                    # decimal-grid mean like the distributed step
+                    g = np.round(m, 6).sum(axis=0) / len(m)
+                    g = np.round(g, 6)
+                    n = np.linalg.norm(g)
+                    if n > 0:
+                        cent[j] = g / n
+        return cent
+
+    def test_matches_numpy_replay(self, spark):
+        import numpy as np
+
+        from ilogtail_spark.functions.similarity import kmeans_train_distributed
+
+        emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").limit(120)
+        rows = emb.select("vec_id", "embedding").collect()
+        ids = [r["vec_id"] for r in rows]
+        vecs = [[float(x) for x in r["embedding"]] for r in rows]
+        got = kmeans_train_distributed(emb, k=4, iters=2)
+        exp = self._numpy_replay(ids, vecs, 4, 2)
+        gm = np.array([v for _, v in got])
+        # both sides agree to a few 1e-6 grid steps: np.round is
+        # half-EVEN while Spark's round is half-UP, so components that
+        # land on a .0000005 boundary differ by one grid cell and the
+        # unit renormalization mixes that across dims (measured 3.8e-6)
+        assert np.max(np.abs(gm - exp)) < 1e-5
+
+    def test_trained_centroids_plug_into_ivf(self, spark):
+        from ilogtail_spark.functions.similarity import (
+            brute_force_topk,
+            ivf_topk,
+            kmeans_train_distributed,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").limit(200)
+        cents = kmeans_train_distributed(emb, k=8, iters=2)
+        qs = emb.filter(F.col("vec_id") < 2)
+        ivf = ivf_topk(emb, qs, k=3, n_probes=4, centroids=cents)
+        exact = brute_force_topk(emb, qs, k=3)
+        hit = {(r["q_id"], r["n_id"]) for r in ivf.collect()}
+        want = {(r["q_id"], r["n_id"]) for r in exact.collect()}
+        # recall@3 with half the lists probed should be high on 200 vecs
+        assert len(hit & want) >= len(want) * 0.5
+
+    def test_deterministic_across_runs(self, spark):
+        from ilogtail_spark.functions.similarity import kmeans_train_distributed
+
+        emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").limit(100)
+        a = kmeans_train_distributed(emb, k=3, iters=1)
+        b = kmeans_train_distributed(emb, k=3, iters=1)
+        assert a == b
