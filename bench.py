@@ -115,6 +115,8 @@ def main() -> None:
         "length_quantiles_approx", "bm25_incremental",
         "incremental_dedup_cycle", "token_count_plug",
         "quality_logistic", "training_shards", "mixture_sample",
+        "dissect", "conversation_stats", "sft_pairs", "sessionize",
+        "unigram_nll", "weighted_sample", "zorder_key", "kmeans_step",
     )
     noisy = {"minhash_lsh", "ngram_jaccard", "dedup_clusters", "spl_pipeline"}
     reps = {name: (3 if name in noisy else 2) for name in registry}

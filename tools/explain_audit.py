@@ -134,6 +134,29 @@ CHECKS = {
     # fusion may shuffle-join (parameter-bounded lists) but never
     # cartesian
     "hybrid_multi": (["WindowGroupLimit"], ["CartesianProduct"]),
+    # round 6 session 3: dissect compiles INTO the sentinel regex engine —
+    # one fused projection over the transcripts scan, no joins
+    "dissect": (["ReadSchema"], ["SortMergeJoin", "Join"]),
+    # conversation ops: one conv-keyed agg / window; never a join
+    "conversation_stats": (["HashAggregate", "partial_"], ["Join"]),
+    "sft_pairs": (["Window"], ["Join"]),
+    # gaps-and-islands: lag + running-sum windows share one conv_id
+    # exchange and the per-session rollup reuses it (subset rule)
+    "sessionize": (["Window", "HashAggregate"], ["Join"]),
+    # unigram LM: broadcast vocab join + 1-row BNLJ total — the
+    # token-scale relation must never shuffle-join
+    "unigram_nll": (["BroadcastHashJoin", "BroadcastNestedLoopJoin"],
+                    ["SortMergeJoin", "CartesianProduct"]),
+    # E–S sampling: per-stratum top-k must run as map-side group
+    # heaps (WindowGroupLimit), not a full sort
+    "weighted_sample": (["WindowGroupLimit"], ["Join"]),
+    # Z-order key: pure bit-arithmetic map stage over the raw scan
+    "zorder_key": (["ReadSchema"], ["Join", "Exchange", "HashAggregate"]),
+    # distributed Lloyd step: Arrow matmul assignment + partial agg
+    "kmeans_step": (["ArrowEvalPython", "HashAggregate", "partial_"],
+                    ["SortMergeJoin", "CartesianProduct"]),
+    # expression twin: broadcast centroid join + per-vector argmax
+    "kmeans_step_expr": (["Window"], ["SortMergeJoin", "CartesianProduct"]),
 }
 
 # single-pass claims: at most N parquet scans in the physical plan
@@ -155,6 +178,8 @@ SCAN_LIMIT = {
                                # embeddings corpus + pushed-down
                                # query-vector point lookup
     "length_quantiles_approx": 1,
+    "dissect": 1,
+    "zorder_key": 1,
 }
 
 # single-materialization claims: expensive expressions that must appear
@@ -190,6 +215,15 @@ EXCHANGE_LIMIT = {
     "corpus_pipeline": 1,    # the md5(norm) dedup window — nothing else
     "bm25_multi": 1,         # the per-query top-k window — nothing else
     "length_quantiles_approx": 1,  # the group-keyed agg exchange
+    "dissect": 1,             # transcripts turn_idx window only
+    "sft_pairs": 2,           # transcripts window + conv_id context window
+    # lag + running-sum + per-session rollup: the two windows share one
+    # conv_id exchange and the (conv, session) agg satisfies its
+    # clustering via the subset rule — 2 = transcripts window + conv
+    "sessionize": 2,
+    "conversation_stats": 2,  # transcripts window + conv-keyed agg
+    "weighted_sample": 1,     # the per-stratum rank window only
+    "zorder_key": 0,          # pure map stage — no shuffle at all
 }
 
 
