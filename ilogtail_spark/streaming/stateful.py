@@ -408,3 +408,43 @@ def curation_ingest_sink(
         snap.append_dedup_index(ex_delta, bk_delta)
 
     return _sink
+
+
+def stream_sessionize(
+    df,
+    gap_s: int,
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+    watermark: str | None = "1 hour",
+):
+    """Streaming twin of `functions.conversations.sessionize`: Spark's
+    native ``session_window`` merges a conversation's events whose gaps
+    stay under `gap_s`, entirely in the JVM state store (dynamic-gap
+    session state, no Python). With a `watermark`, state for a session
+    is dropped once the watermark passes its close — the bounded-state
+    production shape (append mode emits each session exactly once,
+    when it can no longer grow). ``watermark=None`` keeps all state
+    (complete-mode verification twin in tests).
+
+    Boundary semantics: a session window spans [ts, ts+gap), so two
+    events exactly `gap_s` apart land in SEPARATE sessions — the batch
+    twin's `diff > gap` keeps them together; parity holds whenever no
+    consecutive gap equals `gap_s` exactly (asserted in the parity
+    test with off-boundary fixtures).
+    """
+    import pyspark.sql.functions as F
+
+    src = df.withWatermark(ts_col, watermark) if watermark else df
+    return (
+        src.groupBy(
+            F.session_window(F.col(ts_col), f"{gap_s} seconds"),
+            F.col(conv_col),
+        )
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            conv_col,
+            F.unix_seconds(F.col("session_window.start")).alias("start_s"),
+            (F.unix_seconds(F.col("session_window.end")) - gap_s).alias("last_s"),
+            "n_turns",
+        )
+    )

@@ -493,3 +493,61 @@ class TestStreamingCurationIngest:
         kept2 = {r["doc_id"] for r in
                  spark.read.parquet(f"{self.OUT}/kept").collect()}
         assert 301 in kept2 and 300 not in kept2
+
+
+class TestStreamSessionize:
+    """Native session_window streaming sessionization vs the batch
+    gaps-and-islands twin (off-boundary gaps, so semantics coincide)."""
+
+    IN_DIR = "/tmp/ilogtail_spark_ssess_in"
+
+    def test_matches_batch_sessionize(self, spark):
+        import shutil
+        import time as _time
+
+        from ilogtail_spark.functions.conversations import sessionize
+        from ilogtail_spark.streaming.stateful import stream_sessionize
+
+        shutil.rmtree(self.IN_DIR, ignore_errors=True)
+
+        # c1: turns at 0,5,10 then a 500s jump (> gap 300); c2 one session
+        rows = [
+            ("c1", 0, "2024-01-01 00:00:00"),
+            ("c1", 1, "2024-01-01 00:00:05"),
+            ("c1", 2, "2024-01-01 00:00:10"),
+            ("c1", 3, "2024-01-01 00:08:30"),
+            ("c2", 0, "2024-01-01 00:00:00"),
+            ("c2", 1, "2024-01-01 00:01:00"),
+        ]
+        for i in range(0, len(rows), 2):  # two rows per micro-batch file
+            spark.createDataFrame(
+                rows[i : i + 2], "conv_id string, turn_idx int, ts_s string"
+            ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s") \
+                .coalesce(1).write.mode("append").parquet(self.IN_DIR)
+            _time.sleep(0.2)
+
+        src = (
+            spark.readStream.schema("conv_id string, turn_idx int, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(self.IN_DIR)
+        )
+        q = (
+            stream_sessionize(src, 300, watermark=None)
+            .writeStream.format("memory").queryName("ssess_out")
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["conv_id"], r["start_s"]): (r["n_turns"], r["last_s"])
+            for r in spark.sql("select * from ssess_out").collect()
+        }
+
+        batch_in = spark.createDataFrame(
+            [(c, i, t) for c, i, t in rows], "conv_id string, turn_idx int, ts_s string"
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+        want = {
+            (r["conv_id"], r["start_s"]): (r["n_turns"], r["end_s"])
+            for r in sessionize(batch_in, gap_s=300).collect()
+        }
+        assert got == want
+        assert len(want) == 3  # c1 split into two sessions, c2 one
