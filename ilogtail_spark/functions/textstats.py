@@ -812,3 +812,44 @@ def weighted_sample(
         .where(F.col("__rnk") <= k)
         .drop("__pri", "__rnk")
     )
+
+
+def c4_clean(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_words: int = 5,
+    min_lines: int = 3,
+) -> DataFrame:
+    """C4-style line-level page cleaning (Raffel et al. 2020 §2.2): keep
+    only lines that end in terminal punctuation (. ! ? or a closing
+    quote) and carry at least `min_words` words; drop lines mentioning
+    javascript / lorem ipsum or containing '{'; drop pages with fewer
+    than `min_lines` surviving lines. Output: (id, n_lines_kept,
+    clean_text).
+
+    Pure array/higher-order-function expressions over the page — zero
+    shuffle, zero Python; the per-line rlike inside the HOF lambda is
+    interpreted (not codegen), which is the right trade here because
+    the predicate is inherently per-line (the r2 lesson about HOF vs
+    whole-line regex applies to whole-line work only)."""
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        lines,
+        lambda l: (
+            F.trim(l).rlike('[.!?"]$')
+            & (F.size(F.split(F.trim(l), r"\s+")) >= min_words)
+            & ~F.lower(l).contains("javascript")
+            & ~F.lower(l).contains("lorem ipsum")
+            & ~l.contains("{")
+        ),
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.size(kept).alias("n_lines_kept"),
+            F.array_join(kept, "\n").alias("clean_text"),
+        )
+        .filter(F.col("n_lines_kept") >= min_lines)
+    )

@@ -1816,6 +1816,46 @@ FROM feat2
 """
 
 
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning over per-conversation pages: turns
+    join into a page (ordered by turn_idx — deterministic), then the
+    line rules run as pure HOF expressions. On this corpus the
+    quote-terminated nginx lines survive; JSON turns ('{') and
+    digit-terminated app/KV/CSV turns are dropped."""
+    from ilogtail_spark.functions.textstats import c4_clean
+
+    t = _t(spark, sf_dir)
+    pages = t.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                lambda x: x["text"],
+            ),
+            "\n",
+        ).alias("text")
+    )
+    return c4_clean(pages, id_col="conv_id")
+
+
+O_C4_CLEAN = f"""{_CTE},
+pages AS (
+  SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS text
+  FROM transcripts GROUP BY conv_id),
+cl AS (
+  SELECT conv_id,
+    list_filter(string_split(text, chr(10)), l ->
+      regexp_matches(trim(l), '[.!?"]$')
+      AND len(string_split_regex(trim(l), '\\s+')) >= 5
+      AND NOT contains(lower(l), 'javascript')
+      AND NOT contains(lower(l), 'lorem ipsum')
+      AND NOT contains(l, '{{')) AS kept
+  FROM pages)
+SELECT conv_id, cast(len(kept) AS int) AS n_lines_kept,
+  array_to_string(kept, chr(10)) AS clean_text
+FROM cl WHERE len(kept) >= 3
+"""
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton/Z-order clustering key over (user_id, event_id) — the
     write-layout primitive behind zorder_write (plans/layout.py): pure
@@ -3956,6 +3996,7 @@ QUERIES: dict[str, QueryFn] = {
     "unigram_nll": q_unigram_nll,
     "weighted_sample": q_weighted_sample,
     "zorder_key": q_zorder_key,
+    "c4_clean": q_c4_clean,
     "kmeans_step": q_kmeans_step,
     "kmeans_step_expr": q_kmeans_step_expr,
     "lang_id": q_lang_id,
@@ -4080,6 +4121,7 @@ ORACLES: dict[str, str] = {
     "unigram_nll": O_UNIGRAM_NLL,
     "weighted_sample": O_WEIGHTED_SAMPLE,
     "zorder_key": O_ZORDER_KEY,
+    "c4_clean": O_C4_CLEAN,
     "kmeans_step": O_KMEANS_STEP,
     "kmeans_step_expr": O_KMEANS_STEP,
     "lang_id": O_LANG_ID,
