@@ -150,3 +150,74 @@ def geoip_range_join(
         "left",
     )
     return out.drop("__ipn__", "ip_start", "ip_end")
+
+
+def asof_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    *,
+    dim_ts_col: str | None = None,
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Temporal (as-of) enrich: each fact row picks the LATEST dim
+    version whose effective time is ≤ the fact's time — the
+    slowly-changing-dimension lookup every versioned enrichment table
+    needs (rates, configs, ownership). Spark has no ASOF JOIN, so this
+    is the scalable composition: UNION the tagged dim rows into the
+    fact stream, ONE shuffle on the key, and a last-non-null window
+    walk fills every fact row from the most recent dim version —
+    O(n log n) per key, no broadcast, no range-join explosion. Facts
+    earlier than every dim version keep NULL payloads (left-join
+    semantics).
+
+    The DuckDB oracle is the engine's NATIVE ``ASOF LEFT JOIN`` — two
+    entirely independent implementations agreeing row-for-row.
+
+    At equal timestamps the dim version is visible to the fact row
+    (inclusive ≤): dim rows sort BEFORE fact rows at the same instant.
+    """
+    from pyspark.sql.window import Window
+
+    dim_ts = dim_ts_col or ts_col
+    payload = payload_cols or [
+        c for c in dim.columns if c not in key_cols and c != dim_ts
+    ]
+    fact_cols = fact.columns
+    f_tag = fact.select(
+        *key_cols,
+        F.col(ts_col).alias("__t"),
+        F.lit(1).alias("__is_fact"),
+        *[F.col(c) for c in fact_cols if c not in key_cols and c != ts_col],
+        *[F.lit(None).cast(dim.schema[c].dataType).alias(c) for c in payload],
+    )
+    d_tag = dim.select(
+        *key_cols,
+        F.col(dim_ts).alias("__t"),
+        F.lit(0).alias("__is_fact"),
+        *[
+            F.lit(None).cast(fact.schema[c].dataType).alias(c)
+            for c in fact_cols
+            if c not in key_cols and c != ts_col
+        ],
+        *payload,
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__t", "__is_fact")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = f_tag.unionByName(d_tag).select(
+        *key_cols,
+        "__t",
+        "__is_fact",
+        *[c for c in fact_cols if c not in key_cols and c != ts_col],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+    )
+    return filled.filter(F.col("__is_fact") == 1).select(
+        *key_cols,
+        F.col("__t").alias(ts_col),
+        *[c for c in fact_cols if c not in key_cols and c != ts_col],
+        *payload,
+    )

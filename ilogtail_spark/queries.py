@@ -1816,6 +1816,54 @@ FROM feat2
 """
 
 
+_ASOF_DIM = [
+    # (role, eff_s, rate, tier) — 'tool' has NO v0, so early tool turns
+    # exercise the left-join NULL path
+    ("user", 1704067200, 1.5, "v0"),
+    ("user", 1704867200, 2.0, "v1"),
+    ("user", 1705667200, 2.5, "v2"),
+    ("assistant", 1704067200, 4.0, "v0"),
+    ("assistant", 1705667200, 4.5, "v2"),
+    ("system", 1704067200, 0.5, "v0"),
+    ("tool", 1704867200, 3.0, "v1"),
+    ("tool", 1705667200, 3.5, "v2"),
+]
+
+
+def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (as-of) enrich: every turn picks the latest dim version
+    effective at its timestamp (SCD lookup). Spark side is the
+    union+window composition (one shuffle, no broadcast, no range
+    explosion); the oracle is DuckDB's NATIVE ASOF LEFT JOIN — two
+    independent implementations agreeing row-for-row."""
+    from ilogtail_spark.operators.enrich import asof_join
+
+    t = _t(spark, sf_dir)
+    fact = t.select(
+        "conv_id", "turn_idx", "role",
+        F.unix_seconds(F.col("ts").cast("timestamp")).alias("t"),
+    )
+    dim = spark.createDataFrame(
+        _ASOF_DIM, "role string, eff_s long, rate double, tier string"
+    )
+    return asof_join(fact, dim, ["role"], "t", dim_ts_col="eff_s")
+
+
+_ASOF_VALUES = ", ".join(
+    f"('{r}', {e}, {v}, '{tr}')" for r, e, v, tr in _ASOF_DIM
+)
+
+O_ASOF_ENRICH = f"""{_CTE},
+fact AS (
+  SELECT conv_id, turn_idx, role, cast(epoch_ms(ts) // 1000 AS bigint) AS t
+  FROM transcripts),
+dim (role, eff_s, rate, tier) AS (VALUES {_ASOF_VALUES})
+SELECT f.role, f.t, f.conv_id, f.turn_idx,
+  cast(d.rate AS double) AS rate, d.tier
+FROM fact f ASOF LEFT JOIN dim d ON f.role = d.role AND f.t >= d.eff_s
+"""
+
+
 def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line-level cleaning over per-conversation pages: turns
     join into a page (ordered by turn_idx — deterministic), then the
@@ -3997,6 +4045,7 @@ QUERIES: dict[str, QueryFn] = {
     "weighted_sample": q_weighted_sample,
     "zorder_key": q_zorder_key,
     "c4_clean": q_c4_clean,
+    "asof_enrich": q_asof_enrich,
     "kmeans_step": q_kmeans_step,
     "kmeans_step_expr": q_kmeans_step_expr,
     "lang_id": q_lang_id,
@@ -4122,6 +4171,7 @@ ORACLES: dict[str, str] = {
     "weighted_sample": O_WEIGHTED_SAMPLE,
     "zorder_key": O_ZORDER_KEY,
     "c4_clean": O_C4_CLEAN,
+    "asof_enrich": O_ASOF_ENRICH,
     "kmeans_step": O_KMEANS_STEP,
     "kmeans_step_expr": O_KMEANS_STEP,
     "lang_id": O_LANG_ID,

@@ -203,3 +203,49 @@ class TestMiscEnrich:
         )
         out = {r["ip"]: r["region"] for r in geoip_range_join(df, ranges, "ip").collect()}
         assert out == {"10.0.0.5": "cn-a", "200.1.1.1": None}
+
+
+class TestAsofJoin:
+    """asof_join: SCD temporal lookup via union + last-non-null window."""
+
+    def _run(self, spark, facts, dims):
+        from ilogtail_spark.operators.enrich import asof_join
+
+        f = spark.createDataFrame(facts, "k string, t long, fv string")
+        d = spark.createDataFrame(dims, "k string, eff long, rate double")
+        return {
+            (r["k"], r["t"]): r["rate"]
+            for r in asof_join(f, d, ["k"], "t", dim_ts_col="eff").collect()
+        }
+
+    def test_latest_version_wins(self, spark):
+        got = self._run(
+            spark,
+            [("a", 5, "x"), ("a", 15, "y"), ("a", 25, "z")],
+            [("a", 0, 1.0), ("a", 10, 2.0), ("a", 20, 3.0)],
+        )
+        assert got == {("a", 5): 1.0, ("a", 15): 2.0, ("a", 25): 3.0}
+
+    def test_equal_ts_is_inclusive(self, spark):
+        got = self._run(spark, [("a", 10, "x")], [("a", 0, 1.0), ("a", 10, 2.0)])
+        assert got == {("a", 10): 2.0}
+
+    def test_fact_before_first_version_is_null(self, spark):
+        got = self._run(spark, [("a", 3, "x")], [("a", 5, 1.0)])
+        assert got == {("a", 3): None}
+
+    def test_keys_do_not_leak(self, spark):
+        got = self._run(
+            spark,
+            [("a", 10, "x"), ("b", 10, "y")],
+            [("a", 0, 1.0)],  # no dim for b at all
+        )
+        assert got == {("a", 10): 1.0, ("b", 10): None}
+
+    def test_fact_payload_preserved(self, spark):
+        from ilogtail_spark.operators.enrich import asof_join
+
+        f = spark.createDataFrame([("a", 10, "keepme")], "k string, t long, fv string")
+        d = spark.createDataFrame([("a", 0, 1.0)], "k string, eff long, rate double")
+        row = asof_join(f, d, ["k"], "t", dim_ts_col="eff").first()
+        assert row["fv"] == "keepme" and row["rate"] == 1.0 and row["t"] == 10
