@@ -157,6 +157,12 @@ CHECKS = {
                     ["SortMergeJoin", "CartesianProduct"]),
     # expression twin: broadcast centroid join + per-vector argmax
     "kmeans_step_expr": (["Window"], ["SortMergeJoin", "CartesianProduct"]),
+    # as-of enrich is the union+window composition — there must be NO
+    # join operator of any kind in the plan (that is the whole point:
+    # no broadcast, no range-join explosion, one shuffle on the key)
+    "asof_enrich": (["Window"], ["Join", "CartesianProduct"]),
+    # C4 page cleaning: page assembly agg + pure HOF projection
+    "c4_clean": (["HashAggregate"], ["Join", "Generate"]),
 }
 
 # single-pass claims: at most N parquet scans in the physical plan
