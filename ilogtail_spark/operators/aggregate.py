@@ -204,3 +204,45 @@ def stage_metrics_row(spark, stage: str, rows_in: int, rows_out: int) -> DataFra
     return spark.createDataFrame(
         [(stage, rows_in, rows_out)], "stage string, rows_in long, rows_out long"
     )
+
+
+def rate_anomalies(
+    df: DataFrame,
+    key_cols: list[str],
+    *,
+    ts_col: str = "ts",
+    bucket_s: int = 3600,
+    z: float = 2.0,
+) -> DataFrame:
+    """Volume-anomaly detection — the alerting rollup a log pipeline
+    feeds: bucket event counts per key, then flag buckets whose count
+    exceeds the key's mean + z·σ. Two partial-aggregating aggregates
+    (bucket counts, then O(keys) moment sums) and one broadcast join
+    back — no window over the full bucket stream, so the plan is flat
+    at any corpus size.
+
+    Determinism: moments are EXACT integer sums (Σn, Σn²); mean/variance
+    derive from them in one fixed-order double expression and the
+    threshold is rounded to a 6-decimal grid, so the unordered
+    aggregation can't wiggle the flag boundary (n is an integer —
+    a flip would need the true threshold within 1e-6 of it).
+    Bucket start is pure integer arithmetic (t - t % bucket_s).
+    """
+    t = F.unix_seconds(F.col(ts_col).cast("timestamp"))
+    bucket = (t - t % F.lit(bucket_s)).alias("bucket_start")
+    counts = df.groupBy(*key_cols, bucket).agg(F.count(F.lit(1)).alias("n"))
+    stats = counts.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("nm"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("nm")
+    var = F.greatest(
+        F.col("s2").cast("double") / F.col("nm") - mean * mean, F.lit(0.0)
+    )
+    thr = F.round(mean + F.lit(float(z)) * F.sqrt(var), 6)
+    enriched = counts.join(F.broadcast(stats.withColumn("threshold", thr)
+                                       .drop("nm", "s1", "s2")), key_cols)
+    return enriched.filter(F.col("n") > F.col("threshold")).select(
+        *key_cols, "bucket_start", "n", "threshold"
+    )

@@ -1816,6 +1816,36 @@ FROM feat2
 """
 
 
+def q_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly rollup: hourly counts per role, flag buckets over
+    mean + 2σ (exact integer moments, 6-dec threshold grid)."""
+    from ilogtail_spark.operators.aggregate import rate_anomalies
+
+    return rate_anomalies(_t(spark, sf_dir), ["role"], bucket_s=3600, z=2.0)
+
+
+O_RATE_ANOMALIES = f"""{_CTE},
+c AS (
+  SELECT role,
+    cast(epoch_ms(ts) // 1000 AS bigint)
+      - cast(epoch_ms(ts) // 1000 AS bigint) % 3600 AS bucket_start,
+    count(*) AS n
+  FROM transcripts GROUP BY 1, 2),
+s AS (
+  SELECT role, count(*) AS nm, sum(n) AS s1, sum(n * n) AS s2
+  FROM c GROUP BY role),
+t AS (
+  SELECT role,
+    round(cast(s1 AS double) / nm
+          + 2.0 * sqrt(greatest(cast(s2 AS double) / nm
+              - (cast(s1 AS double) / nm) * (cast(s1 AS double) / nm), 0.0)), 6)
+      AS threshold
+  FROM s)
+SELECT c.role, c.bucket_start, c.n, cast(t.threshold AS double) AS threshold
+FROM c JOIN t USING (role) WHERE c.n > t.threshold
+"""
+
+
 _ASOF_DIM = [
     # (role, eff_s, rate, tier) — 'tool' has NO v0, so early tool turns
     # exercise the left-join NULL path
@@ -4046,6 +4076,7 @@ QUERIES: dict[str, QueryFn] = {
     "zorder_key": q_zorder_key,
     "c4_clean": q_c4_clean,
     "asof_enrich": q_asof_enrich,
+    "rate_anomalies": q_rate_anomalies,
     "kmeans_step": q_kmeans_step,
     "kmeans_step_expr": q_kmeans_step_expr,
     "lang_id": q_lang_id,
@@ -4172,6 +4203,7 @@ ORACLES: dict[str, str] = {
     "zorder_key": O_ZORDER_KEY,
     "c4_clean": O_C4_CLEAN,
     "asof_enrich": O_ASOF_ENRICH,
+    "rate_anomalies": O_RATE_ANOMALIES,
     "kmeans_step": O_KMEANS_STEP,
     "kmeans_step_expr": O_KMEANS_STEP,
     "lang_id": O_LANG_ID,

@@ -141,3 +141,34 @@ class TestMultilineMerge:
         assert by_key[("c1", 1)] == "2024-01-01 start A\n  cont A1\n  cont A2"
         assert by_key[("c1", 2)] == "2024-01-02 start B\n  cont B1"
         assert by_key[("c2", 0)] == "orphan line"  # pre-begin orphan record
+
+
+class TestRateAnomalies:
+    def test_planted_spike_flagged(self, spark):
+        import datetime as dt
+
+        from ilogtail_spark.operators.aggregate import rate_anomalies
+
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        # 20 calm hours of 2 events, one hour with 40
+        for h in range(21):
+            n = 40 if h == 10 else 2
+            for i in range(n):
+                rows.append(("svc", base + dt.timedelta(hours=h, seconds=i)))
+        df = spark.createDataFrame(rows, "role string, ts timestamp")
+        out = rate_anomalies(df, ["role"], bucket_s=3600, z=2.0).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["n"] == 40 and r["bucket_start"] % 3600 == 0
+        assert r["threshold"] < 40
+
+    def test_uniform_stream_has_no_anomalies(self, spark):
+        import datetime as dt
+
+        from ilogtail_spark.operators.aggregate import rate_anomalies
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [("svc", base + dt.timedelta(hours=h)) for h in range(24)]
+        df = spark.createDataFrame(rows, "role string, ts timestamp")
+        assert rate_anomalies(df, ["role"], bucket_s=3600, z=2.0).count() == 0
