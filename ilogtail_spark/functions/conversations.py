@@ -119,3 +119,35 @@ def sessionize(
         F.min(t).alias("start_s"),
         F.max(t).alias("end_s"),
     )
+
+
+def response_latency(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    ts_col: str = "ts",
+    *,
+    from_role: str = "user",
+    to_role: str = "assistant",
+) -> DataFrame:
+    """Per-reply latency: for every `to_role` turn, seconds since the
+    most recent `from_role` turn in the conversation (NULL when none
+    precedes it). The assistant-response-time metric of transcript
+    analytics — a conditional last-non-null walk over the SAME ordered
+    window the other conversation ops use, so composing them adds no
+    new shuffle."""
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = _t_sec(ts_col)
+    last_from = F.last(
+        F.when(F.col("role") == from_role, t), ignorenulls=True
+    ).over(w)
+    return (
+        df.withColumn("latency_s", t - last_from)
+        .filter(F.col("role") == to_role)
+        .filter(F.col("latency_s").isNotNull())
+        .select(conv_col, order_col, "latency_s")
+    )

@@ -1816,6 +1816,30 @@ FROM feat2
 """
 
 
+def q_response_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assistant reply latency: seconds since the latest preceding user
+    turn in the conversation (conditional last-non-null window walk)."""
+    from ilogtail_spark.functions.conversations import response_latency
+
+    return response_latency(_t(spark, sf_dir))
+
+
+O_RESPONSE_LATENCY = f"""{_CTE},
+g AS (
+  SELECT conv_id, turn_idx, role,
+    cast(epoch_ms(ts) // 1000 AS bigint) AS t
+  FROM transcripts),
+l AS (
+  SELECT conv_id, turn_idx, role,
+    t - last_value(CASE WHEN role = 'user' THEN t END IGNORE NULLS) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS latency_s
+  FROM g)
+SELECT conv_id, turn_idx, latency_s
+FROM l WHERE role = 'assistant' AND latency_s IS NOT NULL
+"""
+
+
 def q_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Volume-anomaly rollup: hourly counts per role, flag buckets over
     mean + 2σ (exact integer moments, 6-dec threshold grid)."""
@@ -4077,6 +4101,7 @@ QUERIES: dict[str, QueryFn] = {
     "c4_clean": q_c4_clean,
     "asof_enrich": q_asof_enrich,
     "rate_anomalies": q_rate_anomalies,
+    "response_latency": q_response_latency,
     "kmeans_step": q_kmeans_step,
     "kmeans_step_expr": q_kmeans_step_expr,
     "lang_id": q_lang_id,
@@ -4204,6 +4229,7 @@ ORACLES: dict[str, str] = {
     "c4_clean": O_C4_CLEAN,
     "asof_enrich": O_ASOF_ENRICH,
     "rate_anomalies": O_RATE_ANOMALIES,
+    "response_latency": O_RESPONSE_LATENCY,
     "kmeans_step": O_KMEANS_STEP,
     "kmeans_step_expr": O_KMEANS_STEP,
     "lang_id": O_LANG_ID,

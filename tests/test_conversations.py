@@ -91,3 +91,29 @@ class TestSessionize:
         final = plan.split("== Initial Plan ==")[0]
         # lag + running sum + rollup share one hash Exchange on conv_id
         assert final.count("Exchange") <= 2  # window exchange + (possibly AQE-read agg)
+
+
+class TestResponseLatency:
+    def test_latency_to_latest_user_turn(self, spark):
+        from ilogtail_spark.functions.conversations import response_latency
+
+        out = {
+            (r["conv_id"], r["turn_idx"]): r["latency_s"]
+            for r in response_latency(_conv(spark)).collect()
+        }
+        # turn 1 replies 5s after the user turn at t=0;
+        # turn 3 replies 2000s after the SAME user turn (no user between)
+        assert out == {("c1", 1): 5, ("c1", 3): 2000, ("c2", 1): 1}
+
+    def test_assistant_before_any_user_dropped(self, spark):
+        from ilogtail_spark.functions.conversations import response_latency
+
+        df = spark.createDataFrame(
+            [("c3", 0, "assistant", "opening", None, _ts(0)),
+             ("c3", 1, "user", "q", None, _ts(5)),
+             ("c3", 2, "assistant", "a", None, _ts(9))],
+            SCHEMA,
+        )
+        out = {(r["conv_id"], r["turn_idx"]): r["latency_s"]
+               for r in response_latency(df).collect()}
+        assert out == {("c3", 2): 4}
