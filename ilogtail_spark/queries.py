@@ -1816,6 +1816,56 @@ FROM feat2
 """
 
 
+def q_sft_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transcripts→training-data path end-to-end in ONE lazy plan:
+    SFT pair assembly (bounded context window) → token counting →
+    quality gate (≥3 response tokens) → deterministic shard + shuffle
+    key. Everything fuses around the single conv_id window exchange;
+    the shard step stays a pure projection (training_shards)."""
+    from ilogtail_spark.functions.conversations import sft_pairs
+    from ilogtail_spark.functions.textstats import training_shards
+
+    pairs = sft_pairs(_t(spark, sf_dir), context_turns=3)
+    ctx_toks = F.when(F.col("context") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("context")), r"\s+"))
+    )
+    resp_toks = F.size(F.split(F.trim(F.col("response")), r"\s+"))
+    ex = (
+        pairs.withColumn("ex_id", F.concat_ws(":", F.col("conv_id"), F.col("turn_idx")))
+        .withColumn("n_tokens", ctx_toks + resp_toks)
+        .filter(resp_toks >= 3)
+    )
+    sharded = training_shards(ex, id_col="ex_id")
+    return sharded.select("ex_id", "n_tokens", "shard", "shuffle_key")
+
+
+_O_SFT_CTX = """
+ctx AS (
+  SELECT conv_id, turn_idx, role, text,
+    coalesce(string_agg(role || ': ' || text, chr(10)) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), '') AS context
+  FROM transcripts)"""
+
+O_SFT_CORPUS = rf"""{_CTE},{_O_SFT_CTX},
+pairs AS (
+  SELECT conv_id, turn_idx, context, text AS response
+  FROM ctx WHERE role = 'assistant'),
+tok AS (
+  SELECT conv_id || ':' || turn_idx AS ex_id,
+    cast((CASE WHEN context = '' THEN 0
+          ELSE len(string_split_regex(trim(context), '\s+')) END)
+         + len(string_split_regex(trim(response), '\s+')) AS int) AS n_tokens,
+    len(string_split_regex(trim(response), '\s+')) AS n_resp
+  FROM pairs)
+SELECT ex_id, n_tokens,
+  CAST(CAST('0x' || substring(md5('shuf:' || ex_id), 1, 15) AS BIGINT)
+       % 64 AS INT) AS shard,
+  md5('shuf:' || ex_id) AS shuffle_key
+FROM tok WHERE n_resp >= 3
+"""
+
+
 def q_response_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assistant reply latency: seconds since the latest preceding user
     turn in the conversation (conditional last-non-null window walk)."""
@@ -4102,6 +4152,7 @@ QUERIES: dict[str, QueryFn] = {
     "asof_enrich": q_asof_enrich,
     "rate_anomalies": q_rate_anomalies,
     "response_latency": q_response_latency,
+    "sft_corpus": q_sft_corpus,
     "kmeans_step": q_kmeans_step,
     "kmeans_step_expr": q_kmeans_step_expr,
     "lang_id": q_lang_id,
@@ -4230,6 +4281,7 @@ ORACLES: dict[str, str] = {
     "asof_enrich": O_ASOF_ENRICH,
     "rate_anomalies": O_RATE_ANOMALIES,
     "response_latency": O_RESPONSE_LATENCY,
+    "sft_corpus": O_SFT_CORPUS,
     "kmeans_step": O_KMEANS_STEP,
     "kmeans_step_expr": O_KMEANS_STEP,
     "lang_id": O_LANG_ID,
