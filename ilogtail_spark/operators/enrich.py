@@ -185,6 +185,11 @@ def asof_join(
         c for c in dim.columns if c not in key_cols and c != dim_ts
     ]
     fact_cols = fact.columns
+    clash = set(payload) & {c for c in fact_cols if c not in key_cols}
+    if clash:
+        raise ValueError(
+            f"asof_join: dim payload columns collide with fact columns: {sorted(clash)}"
+        )
     f_tag = fact.select(
         *key_cols,
         F.col(ts_col).alias("__t"),

@@ -528,7 +528,6 @@ def compile_dissect(pattern: str) -> tuple[str, list[_DissectField]]:
     ``%{}`` / ``%{?key}`` matches-and-discards; ``%{*k}`` + ``%{&k}``
     form a dynamic name→value pair emitted as a map column `k`.
     """
-    parts: list[str] = []
     plan: list[_DissectField] = []
     pos = 0
     last_was_field = False

@@ -72,7 +72,7 @@ def _p_csv(c: dict) -> dict:
         "type": "csv",
         "split_keys": c["SplitKeys"],
         "sep": c.get("SplitSep", ","),
-        "quote": c.get("QuoteFlag", True) and c.get("Quote", '"') or '"',
+        "quote": c.get("Quote", '"'),
         "source_key": c.get("SourceKey", "content"),
         "trim_leading_space": c.get("TrimLeadingSpace", False),
         "expand_others": c.get("ExpandOthers", False),
