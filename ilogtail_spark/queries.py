@@ -1953,6 +1953,27 @@ def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(fact, dim, ["role"], "t", dim_ts_col="eff_s")
 
 
+def q_asof_enrich_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The broadcast-interval as-of tier: same semantics and the same
+    oracle as `asof_enrich`, but the dim's versions become half-open
+    validity intervals (window over the TINY dim only) and the facts
+    broadcast-hash-join on the key with the interval test as residual —
+    zero fact-side shuffle/sort/window. This is the correct tier for
+    this query's shape (4 role keys): the union+window form would put
+    the whole fact table on 4 window tasks."""
+    from ilogtail_spark.operators.enrich import asof_join_broadcast
+
+    t = _t(spark, sf_dir)
+    fact = t.select(
+        "conv_id", "turn_idx", "role",
+        F.unix_seconds(F.col("ts").cast("timestamp")).alias("t"),
+    )
+    dim = spark.createDataFrame(
+        _ASOF_DIM, "role string, eff_s long, rate double, tier string"
+    )
+    return asof_join_broadcast(fact, dim, ["role"], "t", dim_ts_col="eff_s")
+
+
 _ASOF_VALUES = ", ".join(
     f"('{r}', {e}, {v}, '{tr}')" for r, e, v, tr in _ASOF_DIM
 )
@@ -4150,6 +4171,7 @@ QUERIES: dict[str, QueryFn] = {
     "zorder_key": q_zorder_key,
     "c4_clean": q_c4_clean,
     "asof_enrich": q_asof_enrich,
+    "asof_enrich_bcast": q_asof_enrich_bcast,
     "rate_anomalies": q_rate_anomalies,
     "response_latency": q_response_latency,
     "sft_corpus": q_sft_corpus,
@@ -4279,6 +4301,10 @@ ORACLES: dict[str, str] = {
     "zorder_key": O_ZORDER_KEY,
     "c4_clean": O_C4_CLEAN,
     "asof_enrich": O_ASOF_ENRICH,
+    # the broadcast-interval tier produces identical rows by
+    # construction — shares the native-ASOF oracle verbatim (the
+    # ann_ivf / ann_ivf_expr precedent)
+    "asof_enrich_bcast": O_ASOF_ENRICH,
     "rate_anomalies": O_RATE_ANOMALIES,
     "response_latency": O_RESPONSE_LATENCY,
     "sft_corpus": O_SFT_CORPUS,

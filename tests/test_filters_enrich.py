@@ -208,14 +208,18 @@ class TestMiscEnrich:
 class TestAsofJoin:
     """asof_join: SCD temporal lookup via union + last-non-null window."""
 
-    def _run(self, spark, facts, dims):
+    @staticmethod
+    def _impl():
         from ilogtail_spark.operators.enrich import asof_join
 
+        return asof_join
+
+    def _run(self, spark, facts, dims):
         f = spark.createDataFrame(facts, "k string, t long, fv string")
         d = spark.createDataFrame(dims, "k string, eff long, rate double")
         return {
             (r["k"], r["t"]): r["rate"]
-            for r in asof_join(f, d, ["k"], "t", dim_ts_col="eff").collect()
+            for r in self._impl()(f, d, ["k"], "t", dim_ts_col="eff").collect()
         }
 
     def test_latest_version_wins(self, spark):
@@ -243,9 +247,52 @@ class TestAsofJoin:
         assert got == {("a", 10): 1.0, ("b", 10): None}
 
     def test_fact_payload_preserved(self, spark):
-        from ilogtail_spark.operators.enrich import asof_join
-
         f = spark.createDataFrame([("a", 10, "keepme")], "k string, t long, fv string")
         d = spark.createDataFrame([("a", 0, 1.0)], "k string, eff long, rate double")
-        row = asof_join(f, d, ["k"], "t", dim_ts_col="eff").first()
+        row = self._impl()(f, d, ["k"], "t", dim_ts_col="eff").first()
         assert row["fv"] == "keepme" and row["rate"] == 1.0 and row["t"] == 10
+
+    def test_payload_clash_raises(self, spark):
+        import pytest
+
+        f = spark.createDataFrame([("a", 10, 9.9)], "k string, t long, rate double")
+        d = spark.createDataFrame([("a", 0, 1.0)], "k string, eff long, rate double")
+        with pytest.raises(ValueError, match="rate"):
+            self._impl()(f, d, ["k"], "t", dim_ts_col="eff")
+
+
+class TestAsofJoinBroadcast(TestAsofJoin):
+    """Same semantic matrix run against the broadcast-interval tier —
+    the two implementations must be drop-in interchangeable."""
+
+    @staticmethod
+    def _impl():
+        from ilogtail_spark.operators.enrich import asof_join_broadcast
+
+        return asof_join_broadcast
+
+    def test_differential_vs_window_form(self, spark):
+        """Random-ish grid: both tiers agree row-for-row."""
+        from ilogtail_spark.operators.enrich import asof_join, asof_join_broadcast
+
+        facts = [
+            (f"k{i % 3}", t, f"f{i}") for i, t in enumerate(range(0, 100, 7))
+        ]
+        dims = [
+            (f"k{k}", eff, float(k * 100 + eff))
+            for k in range(3)
+            for eff in (5, 30, 60)
+        ]
+        f = spark.createDataFrame(facts, "k string, t long, fv string")
+        d = spark.createDataFrame(dims, "k string, eff long, rate double")
+        a = {
+            (r["k"], r["t"]): (r["rate"], r["fv"])
+            for r in asof_join(f, d, ["k"], "t", dim_ts_col="eff").collect()
+        }
+        b = {
+            (r["k"], r["t"]): (r["rate"], r["fv"])
+            for r in asof_join_broadcast(
+                f, d, ["k"], "t", dim_ts_col="eff"
+            ).collect()
+        }
+        assert a == b and len(a) == len(facts)

@@ -161,6 +161,14 @@ CHECKS = {
     # join operator of any kind in the plan (that is the whole point:
     # no broadcast, no range-join explosion, one shuffle on the key)
     "asof_enrich": (["Window"], ["Join", "CartesianProduct"]),
+    # broadcast-interval tier: the facts must join the tiny interval
+    # dim via BroadcastHashJoin (equi key + range residual) — never a
+    # shuffle join, never a BNLJ (the equi key must be used), and the
+    # only Window allowed is the dim-side lead() + the transcripts
+    # source's own turn_idx window
+    "asof_enrich_bcast": (["BroadcastHashJoin"],
+                          ["SortMergeJoin", "CartesianProduct",
+                           "BroadcastNestedLoopJoin"]),
     # C4 page cleaning: page assembly agg + pure HOF projection
     "c4_clean": (["HashAggregate"], ["Join", "Generate"]),
 }
@@ -230,6 +238,10 @@ EXCHANGE_LIMIT = {
     "conversation_stats": 2,  # transcripts window + conv-keyed agg
     "weighted_sample": 1,     # the per-stratum rank window only
     "zorder_key": 0,          # pure map stage — no shuffle at all
+    # transcripts source window + the TINY dim's interval window; the
+    # fact side itself must contribute zero exchanges — that is the
+    # whole point of the broadcast-interval tier
+    "asof_enrich_bcast": 2,
 }
 
 
