@@ -208,6 +208,117 @@ def quality_logistic(
     )
 
 
+# Gopher rule-filter stopword set (Rae et al. 2021 §A1.1: keep docs
+# containing at least 2 of these)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_ellipsis_line_frac: float = 0.3,
+    ellipsis_suffixes: tuple[str, ...] = ("...", "…"),
+    max_bullet_line_frac: float = 0.9,
+    bullet_prefixes: tuple[str, ...] = ("-", "*", "•"),
+    max_symbol_word_ratio: float = 0.1,
+    symbols: tuple[str, ...] = ("#", "…"),
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+) -> DataFrame:
+    """Gopher-style document rule filter (Rae et al. 2021 §A1.1) as ONE
+    fused projection: word-count bounds, mean-word-length bounds,
+    ellipsis-line and bullet-line fractions, symbol-to-word ratio,
+    alphabetic-word fraction, and a distinct-stopword floor. Emits the
+    measured features (ratios on a rounded 6-dec grid — deterministic,
+    oracle-checkable), one boolean per rule, and `keep` = AND of all.
+
+    Every threshold and token set is a parameter because real curation
+    runs tune them per corpus; the defaults are the published Gopher
+    values. Pure column expressions — zero shuffle, zero Python; at
+    100 TB this runs inside whole-stage codegen with the scan, so the
+    filter costs one pass regardless of how many rules are active.
+    Symbol counts use the replace-length-delta (regexp_count measured
+    ~50× slower for fixed strings)."""
+    t = F.col(text_col)
+    words = tokens(t)
+    n_words = F.size(words)
+    sum_word_len = F.aggregate(
+        F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    lines = F.split(t, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+
+    def _endswith_any(line: Column) -> Column:
+        c = F.lit(False)
+        for s in ellipsis_suffixes:
+            c = c | F.rtrim(line).endswith(F.lit(s))
+        return c
+
+    def _startswith_any(line: Column) -> Column:
+        c = F.lit(False)
+        for p in bullet_prefixes:
+            c = c | F.ltrim(line).startswith(F.lit(p))
+        return c
+
+    n_symbols = F.lit(0)
+    for s in symbols:
+        # the length delta is an exact multiple of len(s); Column has no
+        # floordiv, so divide and cast back to an exact integer
+        n_symbols = n_symbols + (
+            (F.length(t) - F.length(F.replace(t, F.lit(s), F.lit("")))) / len(s)
+        ).cast("long")
+    low_words = F.transform(words, lambda w: F.lower(w))
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in stopwords]),
+            lambda s: F.array_contains(low_words, s),
+        )
+    )
+    d = df.withColumns(
+        {
+            "n_words": n_words,
+            "mean_word_len": F.round(sum_word_len / F.greatest(n_words, F.lit(1)), 4),
+            "ellipsis_line_frac": F.round(
+                F.size(F.filter(lines, _endswith_any)) / n_lines, 6
+            ),
+            "bullet_line_frac": F.round(
+                F.size(F.filter(lines, _startswith_any)) / n_lines, 6
+            ),
+            "symbol_word_ratio": F.round(
+                n_symbols / F.greatest(n_words, F.lit(1)), 6
+            ),
+            "alpha_word_frac": F.round(
+                F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+                / F.greatest(n_words, F.lit(1)),
+                6,
+            ),
+            "stopword_hits": stop_hits,
+        }
+    )
+    rules = {
+        "r_word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "r_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "r_ellipsis": F.col("ellipsis_line_frac") <= max_ellipsis_line_frac,
+        "r_bullet": F.col("bullet_line_frac") <= max_bullet_line_frac,
+        "r_symbol": F.col("symbol_word_ratio") <= max_symbol_word_ratio,
+        "r_alpha": F.col("alpha_word_frac") >= min_alpha_word_frac,
+        "r_stopwords": F.col("stopword_hits") >= min_stopword_hits,
+    }
+    d = d.withColumns(rules)
+    keep = F.lit(True)
+    for r in rules:
+        keep = keep & F.col(r)
+    return d.withColumn("keep", keep)
+
+
 # tiny character-trigram profiles (most frequent trigrams incl. spaces,
 # standard n-gram language-ID features)
 EN_TRIGRAMS = [" th", "the", "he ", "ing", "nd ", " an", "and", " of", "of ", "ed "]

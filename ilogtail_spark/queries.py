@@ -1953,6 +1953,94 @@ def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(fact, dim, ["role"], "t", dim_ts_col="eff_s")
 
 
+_GOPHER_COLS = [
+    "n_words", "mean_word_len", "ellipsis_line_frac", "bullet_line_frac",
+    "symbol_word_ratio", "alpha_word_frac", "stopword_hits",
+    "r_word_count", "r_mean_word_len", "r_ellipsis", "r_bullet",
+    "r_symbol", "r_alpha", "r_stopwords", "keep",
+]
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule filter (Rae et al. 2021 §A1.1) over per-conversation
+    pages: one fused projection computes word-count bounds, mean word
+    length, bullet/ellipsis line fractions, symbol-to-word ratio,
+    alphabetic-word fraction, and a stopword floor, then ANDs the rules
+    into a keep decision. Thresholds are tuned to this corpus so every
+    varying rule splits it (word count 191–479, mwl 10.3–15.8, JSON
+    'bullet' lines 9–32%, alpha 0.55–0.63)."""
+    from ilogtail_spark.functions.textstats import gopher_rules
+
+    t = _t(spark, sf_dir)
+    pages = t.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                lambda x: x["text"],
+            ),
+            "\n",
+        ).alias("text")
+    )
+    out = gopher_rules(
+        pages,
+        min_words=200, max_words=400,
+        min_mean_word_len=10.0, max_mean_word_len=13.0,
+        bullet_prefixes=("{",), max_bullet_line_frac=0.25,
+        symbols=('"',), max_symbol_word_ratio=1.0,
+        min_alpha_word_frac=0.55,
+        stopwords=("request", "handled", "get", "post", "info", "error",
+                   "the", "of"),
+        min_stopword_hits=2,
+    )
+    return out.select("conv_id", *_GOPHER_COLS)
+
+
+O_GOPHER_RULES = f"""{_CTE},
+pages AS (
+  SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS text
+  FROM transcripts GROUP BY conv_id),
+wd AS (
+  SELECT conv_id, text,
+    string_split_regex(trim(text), '\\s+') AS words,
+    string_split(text, chr(10)) AS lines
+  FROM pages),
+f AS (
+  SELECT conv_id,
+    cast(len(words) AS int) AS n_words,
+    round(list_sum(list_transform(words, w -> length(w))) * 1.0
+          / greatest(len(words), 1), 4) AS mean_word_len,
+    round(len(list_filter(lines, l -> ends_with(rtrim(l), '...')
+          OR ends_with(rtrim(l), chr(8230)))) * 1.0
+          / greatest(len(lines), 1), 6) AS ellipsis_line_frac,
+    round(len(list_filter(lines, l -> starts_with(ltrim(l), '{{')))
+          * 1.0 / greatest(len(lines), 1), 6) AS bullet_line_frac,
+    round((length(text) - length(replace(text, chr(34), ''))) * 1.0
+          / greatest(len(words), 1), 6) AS symbol_word_ratio,
+    round(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+          * 1.0 / greatest(len(words), 1), 6) AS alpha_word_frac,
+    cast(len(list_filter(['request','handled','get','post','info',
+                          'error','the','of'],
+         s -> list_contains(list_transform(words, w -> lower(w)), s)))
+         AS int) AS stopword_hits
+  FROM wd)
+SELECT conv_id, n_words, mean_word_len, ellipsis_line_frac,
+  bullet_line_frac, symbol_word_ratio, alpha_word_frac, stopword_hits,
+  (n_words >= 200 AND n_words <= 400) AS r_word_count,
+  (mean_word_len >= 10.0 AND mean_word_len <= 13.0) AS r_mean_word_len,
+  (ellipsis_line_frac <= 0.3) AS r_ellipsis,
+  (bullet_line_frac <= 0.25) AS r_bullet,
+  (symbol_word_ratio <= 1.0) AS r_symbol,
+  (alpha_word_frac >= 0.55) AS r_alpha,
+  (stopword_hits >= 2) AS r_stopwords,
+  ((n_words >= 200 AND n_words <= 400)
+   AND (mean_word_len >= 10.0 AND mean_word_len <= 13.0)
+   AND ellipsis_line_frac <= 0.3 AND bullet_line_frac <= 0.25
+   AND symbol_word_ratio <= 1.0 AND alpha_word_frac >= 0.55
+   AND stopword_hits >= 2) AS keep
+FROM f
+"""
+
+
 def q_asof_enrich_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The broadcast-interval as-of tier: same semantics and the same
     oracle as `asof_enrich`, but the dim's versions become half-open
@@ -4170,6 +4258,7 @@ QUERIES: dict[str, QueryFn] = {
     "weighted_sample": q_weighted_sample,
     "zorder_key": q_zorder_key,
     "c4_clean": q_c4_clean,
+    "gopher_rules": q_gopher_rules,
     "asof_enrich": q_asof_enrich,
     "asof_enrich_bcast": q_asof_enrich_bcast,
     "rate_anomalies": q_rate_anomalies,
@@ -4300,6 +4389,7 @@ ORACLES: dict[str, str] = {
     "weighted_sample": O_WEIGHTED_SAMPLE,
     "zorder_key": O_ZORDER_KEY,
     "c4_clean": O_C4_CLEAN,
+    "gopher_rules": O_GOPHER_RULES,
     "asof_enrich": O_ASOF_ENRICH,
     # the broadcast-interval tier produces identical rows by
     # construction — shares the native-ASOF oracle verbatim (the

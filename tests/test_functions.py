@@ -282,6 +282,60 @@ class TestTextstats:
         assert out[1] != out[3]  # position-weighted
 
 
+class TestGopherRules:
+    def _rows(self, spark, rows, **kw):
+        from ilogtail_spark.functions.textstats import gopher_rules
+
+        df = spark.createDataFrame(rows, DOC_SCHEMA)
+        return {r["doc_id"]: r.asDict() for r in gopher_rules(df, **kw).collect()}
+
+    def test_good_doc_keeps(self, spark):
+        good = " ".join(
+            ["the quick brown fox jumps over and that lazy dog runs off with"]
+            * 10
+        )
+        out = self._rows(spark, [(1, good)], min_words=50)
+        assert out[1]["keep"] is True
+        assert out[1]["n_words"] == 130
+        assert out[1]["stopword_hits"] >= 2
+
+    def test_word_count_bounds(self, spark):
+        out = self._rows(spark, [(1, "too few words")], min_words=50)
+        assert out[1]["r_word_count"] is False and out[1]["keep"] is False
+
+    def test_bullet_and_ellipsis_fractions(self, spark):
+        text = "- one bullet line\n- another bullet\nplain line\ntrails off..."
+        out = self._rows(spark, [(1, text)], min_words=1)
+        r = out[1]
+        assert r["bullet_line_frac"] == 0.5
+        assert r["ellipsis_line_frac"] == 0.25
+        assert r["r_bullet"] is True  # 0.5 <= 0.9 default
+        assert r["r_ellipsis"] is True  # 0.25 <= 0.3 default
+
+    def test_symbol_ratio_and_alpha(self, spark):
+        out = self._rows(
+            spark,
+            [(1, "### ## 12 34 word")],
+            min_words=1,
+            symbols=("#",),
+        )
+        r = out[1]
+        assert r["symbol_word_ratio"] == 1.0  # 5 '#' over 5 words
+        assert r["r_symbol"] is False  # > 0.1 default
+        assert r["alpha_word_frac"] == 0.2
+        assert r["r_alpha"] is False
+
+    def test_mean_word_len(self, spark):
+        out = self._rows(spark, [(1, "aa bbbb")], min_words=1)
+        assert out[1]["mean_word_len"] == 3.0
+
+    def test_stopword_floor_distinct_not_total(self, spark):
+        # 'the' repeated counts once — the rule needs 2 DISTINCT hits
+        out = self._rows(spark, [(1, "the the the the xyz")], min_words=1)
+        assert out[1]["stopword_hits"] == 1
+        assert out[1]["r_stopwords"] is False
+
+
 class TestPngCodec:
     """Pure-Python PNG codec (stdlib zlib): round-trips for every
     scanline filter, HAND-BUILT known-answer streams (so a symmetric

@@ -171,6 +171,9 @@ CHECKS = {
                            "BroadcastNestedLoopJoin"]),
     # C4 page cleaning: page assembly agg + pure HOF projection
     "c4_clean": (["HashAggregate"], ["Join", "Generate"]),
+    # Gopher rule bundle: page assembly agg + ONE fused rule projection
+    # — no join, no explode, no extra shuffle beyond the page agg
+    "gopher_rules": (["HashAggregate"], ["Join", "Generate"]),
 }
 
 # single-pass claims: at most N parquet scans in the physical plan
@@ -242,6 +245,9 @@ EXCHANGE_LIMIT = {
     # fact side itself must contribute zero exchanges — that is the
     # whole point of the broadcast-interval tier
     "asof_enrich_bcast": 2,
+    # transcripts source window + the conv-keyed page-assembly agg; the
+    # seven rules themselves must not add a single exchange
+    "gopher_rules": 2,
 }
 
 
