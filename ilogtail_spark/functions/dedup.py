@@ -715,6 +715,71 @@ def duplicate_spans(
     )
 
 
+def line_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_count: int = 2,
+    keep_first: bool = True,
+    normalize: bool = False,
+    out: str = "text",
+) -> DataFrame:
+    """CCNet-style corpus-wide duplicate-LINE removal with document
+    reassembly (Wenzek et al. 2019 dedup paragraphs by hash across the
+    whole shard; C4 removes repeated lines). A line occurring
+    ``min_count``+ times anywhere in the corpus is dropped from every
+    document — except, when ``keep_first``, its globally-first
+    occurrence (smallest ``(doc_id, pos)``), so exactly one copy
+    survives. Documents reassemble in original line order; a document
+    whose every line was removed disappears (it carried no novel text).
+
+    Shape at 100 TB: explode → ONE map-side-combinable aggregate per
+    line hash (count + min-(id,pos) — hot lines like empty strings or
+    boilerplate collapse to two scalars per map task, so the shuffle
+    never sees the raw copies) → equi-join back, where the build side
+    holds only hashes with count ≥ min_count (usually a small fraction;
+    AQE broadcasts it when it fits and skew-splits when it does not) →
+    one doc-keyed reassembly agg. Never doc pairs, never a window over
+    the raw line stream keyed by line hash (that WOULD put every copy
+    of a hot line on one task)."""
+    line_raw = F.col("line")
+    norm = F.trim(F.lower(line_raw)) if normalize else line_raw
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).withColumn("k", F.md5(norm))
+    dup_stats = (
+        lines.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt__"),
+            F.min(F.struct("id", "pos")).alias("__first__"),
+        )
+        .filter(F.col("__cnt__") >= min_count)
+    )
+    joined = lines.join(dup_stats, "k", "left")
+    keep = F.col("__cnt__").isNull()
+    if keep_first:
+        keep = keep | (
+            (F.col("id") == F.col("__first__.id"))
+            & (F.col("pos") == F.col("__first__.pos"))
+        )
+    return (
+        joined.filter(keep)
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda x: x["line"],
+                ),
+                sep,
+            ).alias(out)
+        )
+    )
+
+
 def ngram_contamination(
     train: DataFrame,
     test: DataFrame,

@@ -282,6 +282,53 @@ class TestTextstats:
         assert out[1] != out[3]  # position-weighted
 
 
+class TestLineDedup:
+    def _run(self, spark, rows, **kw):
+        from ilogtail_spark.functions.dedup import line_dedup
+
+        df = spark.createDataFrame(rows, DOC_SCHEMA)
+        return {
+            r["doc_id"]: r["text"]
+            for r in line_dedup(df, **kw).collect()
+        }
+
+    def test_keep_first_occurrence_globally(self, spark):
+        rows = [
+            (1, "shared line\nunique a"),
+            (2, "unique b\nshared line"),
+        ]
+        out = self._run(spark, rows)
+        # doc 1 has the smaller (id, pos) → keeps the shared line
+        assert out == {1: "shared line\nunique a", 2: "unique b"}
+
+    def test_drop_all_copies(self, spark):
+        rows = [(1, "dup\nkeep1"), (2, "dup\nkeep2")]
+        out = self._run(spark, rows, keep_first=False)
+        assert out == {1: "keep1", 2: "keep2"}
+
+    def test_order_preserved_after_removal(self, spark):
+        rows = [(1, "a\nb\nc"), (2, "x\nb\ny")]
+        out = self._run(spark, rows, keep_first=False)
+        assert out == {1: "a\nc", 2: "x\ny"}
+
+    def test_doc_of_only_dups_disappears(self, spark):
+        rows = [(1, "dup1\ndup2"), (2, "dup1\ndup2")]
+        out = self._run(spark, rows, keep_first=False)
+        assert out == {}
+
+    def test_min_count_threshold(self, spark):
+        rows = [(1, "twice"), (2, "twice"), (3, "thrice"),
+                (4, "thrice"), (5, "thrice")]
+        out = self._run(spark, rows, min_count=3, keep_first=False)
+        # 'twice' is under the threshold, survives everywhere
+        assert out == {1: "twice", 2: "twice"}
+
+    def test_normalize_mode(self, spark):
+        rows = [(1, "Same Line "), (2, "same line")]
+        out = self._run(spark, rows, normalize=True)
+        assert out == {1: "Same Line "}  # first copy keeps ORIGINAL text
+
+
 class TestGopherRules:
     def _rows(self, spark, rows, **kw):
         from ilogtail_spark.functions.textstats import gopher_rules

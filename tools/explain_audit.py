@@ -174,6 +174,10 @@ CHECKS = {
     # Gopher rule bundle: page assembly agg + ONE fused rule projection
     # — no join, no explode, no extra shuffle beyond the page agg
     "gopher_rules": (["HashAggregate"], ["Join", "Generate"]),
+    # corpus-wide line dedup: map-side-combinable per-hash agg + equi
+    # join-back + doc reassembly — never a cartesian, never a window
+    # keyed by line hash (hot-line skew)
+    "line_dedup": (["HashAggregate", "partial_"], ["CartesianProduct"]),
 }
 
 # single-pass claims: at most N parquet scans in the physical plan
@@ -248,6 +252,10 @@ EXCHANGE_LIMIT = {
     # transcripts source window + the conv-keyed page-assembly agg; the
     # seven rules themselves must not add a single exchange
     "gopher_rules": 2,
+    # source window + page agg + line-hash stats agg + join probe side
+    # + doc reassembly agg — each is load-bearing; a 6th would be a
+    # stray (e.g. a non-reused spread)
+    "line_dedup": 5,
 }
 
 
