@@ -780,6 +780,48 @@ def line_dedup(
     )
 
 
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Diff two corpus snapshots by content hash — the dataset-versioning
+    primitive between curation runs: which documents were added, removed,
+    or changed since the last snapshot. Output is (doc_id, status,
+    old_md5, new_md5) with status ∈ {'added','removed','changed'
+    [,'unchanged']}; `include_unchanged=False` (default) bounds the
+    output to the delta, which is what an incremental re-processing run
+    consumes (re-embed only 'added'+'changed', retire 'removed').
+
+    Shape at 100 TB: each side reduces to (id, md5) IN the scan
+    projection — the wide text column never reaches the shuffle — then
+    ONE full-outer sort-merge join on the id. Persisting snapshots as
+    parquet bucketed by the id (plans/snapshot.py discipline) makes the
+    join exchange-free on re-runs."""
+    o = old.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("old_md5")
+    )
+    n = new.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("new_md5")
+    )
+    j = o.join(n, "id", "full_outer")
+    status = (
+        F.when(F.col("old_md5").isNull(), F.lit("added"))
+        .when(F.col("new_md5").isNull(), F.lit("removed"))
+        .when(F.col("old_md5") != F.col("new_md5"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.select(
+        F.col("id").alias(id_col), status.alias("status"), "old_md5", "new_md5"
+    )
+    if not include_unchanged:
+        out = out.filter(F.col("status") != "unchanged")
+    return out
+
+
 def ngram_contamination(
     train: DataFrame,
     test: DataFrame,

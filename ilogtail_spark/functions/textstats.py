@@ -737,6 +737,77 @@ def vocab_topk(
     )
 
 
+def cms_bucket(tok: Column, row: int, width: int) -> Column:
+    """Deterministic count-min hash: md5-derived row-salted bucket.
+    Same literal arithmetic renders in DuckDB ('0x'||substr(md5(...)))
+    — the property that makes the sketch oracle-checkable."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"cms{row}:"), tok)), 1, 8), 16, 10
+        ).cast("long")
+        % width
+    )
+
+
+def count_min_sketch(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-min sketch of token occurrences (Cormode & Muthukrishnan
+    2005): a fixed depth×width counter grid where every token
+    increments one bucket per row; point estimates are the MIN over
+    rows, an overestimate bounded by ε=e/width of the total count.
+    Returns the sketch as a (row, bucket, cnt) relation of at most
+    depth×width rows — PARAMETER-bounded state, so at 100 TB the
+    sketch (a) aggregates with map-side combine (hot tokens collapse
+    per task before the shuffle), (b) broadcasts for free at estimate
+    time, and (c) merges across shards/days by simple (row,bucket) sum
+    — the frequency-stats analog of the Bloom bitmap in
+    `bloom_contamination`."""
+    toks = df.select(
+        F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    entries = toks.select(
+        F.posexplode(
+            F.array(*[cms_bucket(F.col("token"), j, width) for j in range(depth)])
+        ).alias("row", "bucket")
+    )
+    return entries.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    tokens_df: DataFrame,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+    token_col: str = "token",
+    out: str = "cms_count",
+) -> DataFrame:
+    """Point-estimate token counts from a count-min sketch: min over
+    the depth rows of the token's bucket counters (0 when a bucket was
+    never touched). The sketch relation is ≤ depth×width rows, so the
+    join is a forced broadcast — safe by parameter bound, the
+    bloom-bitmap precedent."""
+    probes = tokens_df.select(
+        "*",
+        F.posexplode(
+            F.array(
+                *[cms_bucket(F.col(token_col), j, width) for j in range(depth)]
+            )
+        ).alias("row", "bucket"),
+    )
+    others = [c for c in tokens_df.columns if c != token_col]
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy(token_col, *others)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out))
+    )
+
+
 def length_quantiles(
     df: DataFrame,
     *,

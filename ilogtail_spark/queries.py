@@ -1953,6 +1953,103 @@ def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(fact, dim, ["role"], "t", dim_ts_col="eff_s")
 
 
+def q_vocab_topk_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency tier next to the exact vocab counts:
+    build a 4×16 sketch (width deliberately tiny so collisions are REAL
+    — several estimates strictly exceed the exact count), then point-
+    estimate the exact top-30 tokens. Output carries both the exact tf
+    and the sketch estimate; the overestimate invariant cms ≥ tf is
+    pytest-pinned, and the full arithmetic (md5 row-salted buckets, min
+    over rows) renders identically in DuckDB."""
+    from ilogtail_spark.functions.textstats import (
+        cms_estimate,
+        count_min_sketch,
+        tokens,
+    )
+
+    d = _docs(spark, sf_dir)
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    top = tf.orderBy(F.desc("tf"), "token").limit(30)
+    sketch = count_min_sketch(d, depth=4, width=16)
+    return cms_estimate(sketch, top, depth=4, width=16)
+
+
+O_VOCAB_TOPK_CMS = r"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents),
+tf AS (SELECT token, cast(count(*) AS bigint) AS tf FROM tok GROUP BY token),
+top AS (SELECT token, tf FROM tf ORDER BY tf DESC, token LIMIT 30),
+entries AS (
+  SELECT r.j,
+    cast('0x' || substring(md5('cms' || r.j || ':' || token), 1, 8)
+         AS bigint) % 16 AS bucket
+  FROM tok, LATERAL (SELECT unnest(range(0, 4)) AS j) AS r),
+sketch AS (
+  SELECT j, bucket, cast(count(*) AS bigint) AS cnt
+  FROM entries GROUP BY j, bucket),
+probes AS (
+  SELECT t.token, t.tf, r.j,
+    cast('0x' || substring(md5('cms' || r.j || ':' || t.token), 1, 8)
+         AS bigint) % 16 AS bucket
+  FROM top t, LATERAL (SELECT unnest(range(0, 4)) AS j) AS r)
+SELECT p.token, p.tf, min(coalesce(s.cnt, 0)) AS cms_count
+FROM probes p LEFT JOIN sketch s ON p.j = s.j AND p.bucket = s.bucket
+GROUP BY p.token, p.tf
+"""
+
+
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two corpus versions: v2 deterministically
+    drops doc_id%17==3, edits doc_id%13==5, and adds a shifted copy of
+    doc_id%29==7. The diff reduces each side to (id, md5) inside the
+    scan projection and full-outer-joins once — the wide text column
+    never reaches the shuffle."""
+    from ilogtail_spark.functions.dedup import corpus_diff
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    v2 = (
+        d.filter(did % 17 != 3)
+        .select(
+            "doc_id",
+            F.when(did % 13 == 5, F.concat(F.col("text"), F.lit(" [edited]")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            d.filter(did % 29 == 7).select(
+                (did + 1000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" appended")).alias("text"),
+            )
+        )
+    )
+    return corpus_diff(d, v2)
+
+
+O_CORPUS_DIFF = """
+WITH oldc AS (SELECT doc_id, md5(text) AS old_md5 FROM documents),
+newc AS (
+  SELECT doc_id,
+    md5(CASE WHEN doc_id % 13 = 5 THEN text || ' [edited]' ELSE text END)
+      AS new_md5
+  FROM documents WHERE doc_id % 17 <> 3
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, md5(text || ' appended') AS new_md5
+  FROM documents WHERE doc_id % 29 = 7)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+  CASE WHEN o.doc_id IS NULL THEN 'added'
+       WHEN n.doc_id IS NULL THEN 'removed'
+       WHEN o.old_md5 <> n.new_md5 THEN 'changed'
+       ELSE 'unchanged' END AS status,
+  o.old_md5, n.new_md5
+FROM oldc o FULL OUTER JOIN newc n ON o.doc_id = n.doc_id
+WHERE NOT (o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
+           AND o.old_md5 = n.new_md5)
+"""
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style corpus-wide duplicate-line removal over
     per-conversation pages: a line seen ≥2 times anywhere keeps only
@@ -4304,6 +4401,8 @@ QUERIES: dict[str, QueryFn] = {
     "c4_clean": q_c4_clean,
     "gopher_rules": q_gopher_rules,
     "line_dedup": q_line_dedup,
+    "corpus_diff": q_corpus_diff,
+    "vocab_topk_cms": q_vocab_topk_cms,
     "asof_enrich": q_asof_enrich,
     "asof_enrich_bcast": q_asof_enrich_bcast,
     "rate_anomalies": q_rate_anomalies,
@@ -4436,6 +4535,8 @@ ORACLES: dict[str, str] = {
     "c4_clean": O_C4_CLEAN,
     "gopher_rules": O_GOPHER_RULES,
     "line_dedup": O_LINE_DEDUP,
+    "corpus_diff": O_CORPUS_DIFF,
+    "vocab_topk_cms": O_VOCAB_TOPK_CMS,
     "asof_enrich": O_ASOF_ENRICH,
     # the broadcast-interval tier produces identical rows by
     # construction — shares the native-ASOF oracle verbatim (the

@@ -282,6 +282,97 @@ class TestTextstats:
         assert out[1] != out[3]  # position-weighted
 
 
+class TestCorpusDiff:
+    def test_statuses(self, spark):
+        from ilogtail_spark.functions.dedup import corpus_diff
+
+        old = spark.createDataFrame(
+            [(1, "same"), (2, "will change"), (3, "will vanish")], DOC_SCHEMA
+        )
+        new = spark.createDataFrame(
+            [(1, "same"), (2, "changed!"), (4, "brand new")], DOC_SCHEMA
+        )
+        out = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+        assert out == {2: "changed", 3: "removed", 4: "added"}
+
+    def test_include_unchanged(self, spark):
+        from ilogtail_spark.functions.dedup import corpus_diff
+
+        old = spark.createDataFrame([(1, "same")], DOC_SCHEMA)
+        new = spark.createDataFrame([(1, "same")], DOC_SCHEMA)
+        rows = corpus_diff(old, new, include_unchanged=True).collect()
+        assert len(rows) == 1 and rows[0]["status"] == "unchanged"
+        assert rows[0]["old_md5"] == rows[0]["new_md5"]
+        assert corpus_diff(old, new).count() == 0
+
+
+class TestCountMinSketch:
+    def test_overestimate_never_under(self, spark):
+        from ilogtail_spark.functions.textstats import (
+            cms_estimate,
+            count_min_sketch,
+            tokens,
+        )
+
+        docs = [(i, f"w{i % 7} w{i % 3} common") for i in range(40)]
+        df = spark.createDataFrame(docs, DOC_SCHEMA)
+        tok = df.select(F.explode(tokens(F.col("text"))).alias("token"))
+        tf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+        # width 4 → guaranteed collisions over the 8-token vocab
+        sketch = count_min_sketch(df, depth=3, width=4)
+        est = cms_estimate(sketch, tf, depth=3, width=4).collect()
+        assert len(est) == 8
+        assert all(r["cms_count"] >= r["tf"] for r in est)
+        assert any(r["cms_count"] > r["tf"] for r in est)
+
+    def test_exact_when_wide(self, spark):
+        from ilogtail_spark.functions.textstats import (
+            cms_estimate,
+            count_min_sketch,
+            tokens,
+        )
+
+        df = spark.createDataFrame([(1, "a b a c a b")], DOC_SCHEMA)
+        tok = df.select(F.explode(tokens(F.col("text"))).alias("token"))
+        tf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+        # 3 tokens, width 4096, depth 4 → collision probability ~0:
+        # the sketch answers exactly
+        sketch = count_min_sketch(df, depth=4, width=4096)
+        est = cms_estimate(sketch, tf, depth=4, width=4096).collect()
+        assert {r["token"]: r["cms_count"] for r in est} == {
+            "a": 3, "b": 2, "c": 1
+        }
+        assert all(r["cms_count"] == r["tf"] for r in est)
+
+    def test_sketch_is_parameter_bounded_and_mergeable(self, spark):
+        from ilogtail_spark.functions.textstats import (
+            cms_estimate,
+            count_min_sketch,
+        )
+
+        half1 = spark.createDataFrame([(1, "x y x")], DOC_SCHEMA)
+        half2 = spark.createDataFrame([(2, "x z")], DOC_SCHEMA)
+        both = half1.unionByName(half2)
+        s1 = count_min_sketch(half1, depth=2, width=8)
+        s2 = count_min_sketch(half2, depth=2, width=8)
+        merged = (
+            s1.unionByName(s2)
+            .groupBy("row", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        direct = count_min_sketch(both, depth=2, width=8)
+        assert merged.count() <= 2 * 8
+        a = {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()}
+        b = {(r["row"], r["bucket"]): r["cnt"] for r in direct.collect()}
+        assert a == b  # shard-merge == single pass, counter for counter
+        q = spark.createDataFrame([("x",), ("z",)], "token string")
+        est = {
+            r["token"]: r["cms_count"]
+            for r in cms_estimate(merged, q, depth=2, width=8).collect()
+        }
+        assert est["x"] >= 3 and est["z"] >= 1
+
+
 class TestLineDedup:
     def _run(self, spark, rows, **kw):
         from ilogtail_spark.functions.dedup import line_dedup

@@ -178,6 +178,15 @@ CHECKS = {
     # join-back + doc reassembly — never a cartesian, never a window
     # keyed by line hash (hot-line skew)
     "line_dedup": (["HashAggregate", "partial_"], ["CartesianProduct"]),
+    # snapshot diff: ONE full-outer SortMergeJoin on (id, md5)
+    # projections — the wide text column must not reach the shuffle
+    # (asserted by the exchange ceiling: 2 = one per side)
+    "corpus_diff": (["SortMergeJoin"], ["CartesianProduct", "Generate"]),
+    # count-min estimate: the parameter-bounded sketch (≤ depth×width
+    # rows) must broadcast — a shuffle join here would shuffle the
+    # probe side for a ≤4096-row build
+    "vocab_topk_cms": (["BroadcastHashJoin", "HashAggregate", "partial_"],
+                       ["SortMergeJoin", "CartesianProduct"]),
 }
 
 # single-pass claims: at most N parquet scans in the physical plan
@@ -256,6 +265,11 @@ EXCHANGE_LIMIT = {
     # + doc reassembly agg — each is load-bearing; a 6th would be a
     # stray (e.g. a non-reused spread)
     "line_dedup": 5,
+    # one exchange per diff side — (id, md5) rows only, text pruned
+    "corpus_diff": 2,
+    # exact-tf agg + sketch agg; top-30 is TakeOrderedAndProject and
+    # the estimate join is a broadcast — neither may add an exchange
+    "vocab_topk_cms": 2,
 }
 
 
