@@ -1953,6 +1953,65 @@ def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(fact, dim, ["role"], "t", dim_ts_col="eff_s")
 
 
+_HLL_P = 7
+_HLL_Q = 60 - _HLL_P
+_HLL_M = 1 << _HLL_P
+_HLL_NUMER = (0.7213 / (1 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M * (1 << (_HLL_Q + 1))
+
+
+def q_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog approximate distinct next to the exact count:
+    distinct turn texts per role via 128 md5-derived registers
+    (n≈2000 per role → the raw-estimator path; the linear-counting
+    branch is pytest-covered). The register state is ≤ 2^p longs per
+    group and shard-mergeable by max — the 100 TB substitute for exact
+    countDistinct's O(distinct values) shuffle. Integer-exact harmonic
+    sum makes the estimate bit-identical in DuckDB."""
+    from ilogtail_spark.functions.textstats import hll_estimate, hll_sketch
+
+    t = _t(spark, sf_dir)
+    sk = hll_sketch(t, "text", p=_HLL_P, group_cols=("role",))
+    est = hll_estimate(sk, p=_HLL_P, group_cols=("role",))
+    exact = t.groupBy("role").agg(
+        F.countDistinct("text").alias("exact_distinct")
+    )
+    return exact.join(est, "role")
+
+
+O_DISTINCT_HLL = f"""{_CTE},
+vals AS (
+  SELECT role, cast('0x' || substring(md5(text), 1, 15) AS bigint) AS h
+  FROM transcripts),
+regs AS (
+  SELECT role, h // {1 << _HLL_Q} AS j,
+    max({_HLL_Q + 1} - CASE WHEN h % {1 << _HLL_Q} = 0 THEN 0
+        ELSE length(bin(h % {1 << _HLL_Q})) END) AS reg
+  FROM vals GROUP BY role, j),
+agg AS (
+  SELECT role,
+    cast(sum(cast(power(2.0, {_HLL_Q + 1} - reg) AS bigint)) AS bigint)
+      AS seen_sum,
+    cast(count(*) AS bigint) AS n_seen
+  FROM regs GROUP BY role),
+est AS (
+  SELECT role,
+    seen_sum + ({_HLL_M} - n_seen) * {1 << (_HLL_Q + 1)} AS total,
+    {_HLL_M} - n_seen AS v
+  FROM agg)
+SELECT e.role, x.exact_distinct,
+  round(CASE WHEN (cast('{_HLL_NUMER!r}' AS double) / total)
+                  <= {2.5 * _HLL_M}
+             AND v > 0
+    THEN cast({_HLL_M} AS double)
+         * ln(cast({_HLL_M} AS double) / v)
+    ELSE cast('{_HLL_NUMER!r}' AS double) / total END, 4)
+    AS approx_distinct
+FROM est e JOIN (
+  SELECT role, count(DISTINCT text) AS exact_distinct
+  FROM transcripts GROUP BY role) x USING (role)
+"""
+
+
 def q_vocab_topk_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch frequency tier next to the exact vocab counts:
     build a 4×16 sketch (width deliberately tiny so collisions are REAL
@@ -4403,6 +4462,7 @@ QUERIES: dict[str, QueryFn] = {
     "line_dedup": q_line_dedup,
     "corpus_diff": q_corpus_diff,
     "vocab_topk_cms": q_vocab_topk_cms,
+    "distinct_hll": q_distinct_hll,
     "asof_enrich": q_asof_enrich,
     "asof_enrich_bcast": q_asof_enrich_bcast,
     "rate_anomalies": q_rate_anomalies,
@@ -4537,6 +4597,7 @@ ORACLES: dict[str, str] = {
     "line_dedup": O_LINE_DEDUP,
     "corpus_diff": O_CORPUS_DIFF,
     "vocab_topk_cms": O_VOCAB_TOPK_CMS,
+    "distinct_hll": O_DISTINCT_HLL,
     "asof_enrich": O_ASOF_ENRICH,
     # the broadcast-interval tier produces identical rows by
     # construction — shares the native-ASOF oracle verbatim (the

@@ -373,6 +373,69 @@ class TestCountMinSketch:
         assert est["x"] >= 3 and est["z"] >= 1
 
 
+class TestHllSketch:
+    def _est(self, spark, values, p, groups=None):
+        from ilogtail_spark.functions.textstats import hll_estimate, hll_sketch
+
+        if groups is None:
+            df = spark.createDataFrame([(v,) for v in values], "v string")
+            gc = ()
+        else:
+            df = spark.createDataFrame(
+                list(zip(groups, values)), "g string, v string"
+            )
+            gc = ("g",)
+        sk = hll_sketch(df, "v", p=p, group_cols=gc)
+        rows = hll_estimate(sk, p=p, group_cols=gc).collect()
+        if groups is None:
+            return rows[0]["approx_distinct"]
+        return {r["g"]: r["approx_distinct"] for r in rows}
+
+    def test_accuracy_large_n(self, spark):
+        # 50k distinct values at p=8 (m=256): std error 1.04/sqrt(256)
+        # = 6.5%; assert within 3 sigma
+        est = self._est(spark, [f"val-{i}" for i in range(50_000)], p=8)
+        assert abs(est - 50_000) / 50_000 < 0.20
+
+    def test_linear_counting_small_n(self, spark):
+        # n=30 << m=256 → linear-counting branch; typically exact-ish
+        est = self._est(spark, [f"v{i}" for i in range(30)], p=8)
+        assert abs(est - 30) < 5
+
+    def test_duplicates_do_not_inflate(self, spark):
+        vals = [f"v{i % 20}" for i in range(5000)]
+        est = self._est(spark, vals, p=8)
+        assert abs(est - 20) < 4
+
+    def test_groups_independent(self, spark):
+        vals = [f"v{i}" for i in range(200)] + [f"w{i % 10}" for i in range(200)]
+        grps = ["a"] * 200 + ["b"] * 200
+        est = self._est(spark, vals, p=8, groups=grps)
+        assert abs(est["a"] - 200) / 200 < 0.25
+        assert abs(est["b"] - 10) < 4
+
+    def test_shard_merge_equals_single_pass(self, spark):
+        from pyspark.sql import functions as F
+
+        from ilogtail_spark.functions.textstats import hll_estimate, hll_sketch
+
+        all_vals = [f"item-{i}" for i in range(2000)]
+        h1 = spark.createDataFrame([(v,) for v in all_vals[:1200]], "v string")
+        h2 = spark.createDataFrame([(v,) for v in all_vals[800:]], "v string")
+        both = spark.createDataFrame([(v,) for v in all_vals], "v string")
+        merged = (
+            hll_sketch(h1, "v", p=6)
+            .unionByName(hll_sketch(h2, "v", p=6))
+            .groupBy("j")
+            .agg(F.max("reg").alias("reg"))
+        )
+        a = hll_estimate(merged, p=6).first()["approx_distinct"]
+        b = hll_estimate(hll_sketch(both, "v", p=6), p=6).first()[
+            "approx_distinct"
+        ]
+        assert a == b  # register-max merge is LOSSLESS, not approximate
+
+
 class TestLineDedup:
     def _run(self, spark, rows, **kw):
         from ilogtail_spark.functions.dedup import line_dedup

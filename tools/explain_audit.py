@@ -187,6 +187,10 @@ CHECKS = {
     # probe side for a ≤4096-row build
     "vocab_topk_cms": (["BroadcastHashJoin", "HashAggregate", "partial_"],
                        ["SortMergeJoin", "CartesianProduct"]),
+    # HLL registers: map-side-combinable (group, j) max agg; the
+    # 4-row exact-vs-estimate comparison join must broadcast
+    "distinct_hll": (["BroadcastHashJoin", "HashAggregate", "partial_"],
+                     ["SortMergeJoin", "CartesianProduct"]),
 }
 
 # single-pass claims: at most N parquet scans in the physical plan
@@ -270,6 +274,10 @@ EXCHANGE_LIMIT = {
     # exact-tf agg + sketch agg; top-30 is TakeOrderedAndProject and
     # the estimate join is a broadcast — neither may add an exchange
     "vocab_topk_cms": 2,
+    # two transcripts-source windows (sketch + exact sides) + the
+    # 2-level register agg + the 2-phase exact countDistinct — the
+    # estimate math itself adds none
+    "distinct_hll": 6,
 }
 
 
