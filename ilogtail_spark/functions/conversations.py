@@ -151,3 +151,76 @@ def response_latency(
         .filter(F.col("latency_s").isNotNull())
         .select(conv_col, order_col, "latency_s")
     )
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[Column],
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    *,
+    step_names: list[str] | None = None,
+) -> DataFrame:
+    """Ordered funnel analysis: per conversation, how deep into the
+    `steps` sequence the turns progress IN ORDER (classic product-
+    analytics funnel — step k+1 only counts when it happens strictly
+    after the turn that satisfied step k). Emits the matched position
+    of each step (NULL once the funnel stalls), `funnel_depth`, and
+    `converted` (all steps hit).
+
+    Semantics are the earliest-match chain: p1 = first turn matching
+    step 1, p2 = first turn AFTER p1 matching step 2, and so on —
+    greedy earliest matching is optimal for subsequence containment,
+    so `converted` is exact, not a heuristic.
+
+    Shape at 10^12 turns: step predicates evaluate per-row in the scan
+    (booleans, not text, reach the shuffle), then ONE conv-keyed
+    aggregation collects the bounded per-conv (pos, flags) array and
+    the min-position chain runs as array expressions — no joins, no
+    iteration, one Exchange. Conversations are bounded, so the
+    collected array is too (the sft_pairs argument)."""
+    names = step_names or [f"step{i + 1}" for i in range(len(steps))]
+    flags = [c.alias(f"__m{i}") for i, c in enumerate(steps)]
+    arr = (
+        df.select(conv_col, F.col(order_col).alias("__pos"), *flags)
+        .groupBy(conv_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("__pos", *[f"__m{i}" for i in range(len(steps))])
+                )
+            ).alias("__arr")
+        )
+    )
+    out = arr
+    prev: Column | None = None
+    pos_cols = []
+    for i, name in enumerate(names):
+        lo = F.lit(-1) if prev is None else prev
+        # build the filter against a CAPTURED lower bound column
+        def _match(lo_col, idx):
+            return lambda x: x[f"__m{idx}"] & (x["__pos"] > lo_col)
+
+        pcol = F.array_min(
+            F.transform(
+                F.filter(F.col("__arr"), _match(lo, i)),
+                lambda x: x["__pos"],
+            )
+        )
+        out = out.withColumn(f"{name}_pos", pcol)
+        prev = F.col(f"{name}_pos")
+        pos_cols.append(f"{name}_pos")
+    depth = F.lit(0)
+    for i, name in enumerate(names):
+        depth = F.when(F.col(f"{name}_pos").isNotNull(), F.lit(i + 1)).otherwise(
+            depth
+        )
+    # depth counts the LONGEST prefix of non-null positions; once a
+    # step's position is NULL every later one is too (lower bound NULL
+    # disables the filter match), so the when-chain ordering is safe
+    return out.select(
+        conv_col,
+        *pos_cols,
+        depth.alias("funnel_depth"),
+        F.col(f"{names[-1]}_pos").isNotNull().alias("converted"),
+    )

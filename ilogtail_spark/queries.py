@@ -1953,6 +1953,58 @@ def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(fact, dim, ["role"], "t", dim_ts_col="eff_s")
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel over conversations: user turn → first 'ERROR'
+    after it → first '500' after that. Earliest-match chain (greedy is
+    exact for subsequence containment); one conv-keyed aggregation,
+    array-expression min-position walk, no joins."""
+    from ilogtail_spark.functions.conversations import funnel
+
+    t = _t(spark, sf_dir)
+    return funnel(
+        t,
+        [
+            F.col("role") == "user",
+            F.col("text").contains("ERROR"),
+            F.col("text").contains("500"),
+        ],
+        step_names=["s_user", "s_error", "s_500"],
+    )
+
+
+O_FUNNEL = f"""{_CTE},
+arr AS (
+  SELECT conv_id,
+    list(struct_pack(pos := turn_idx, m0 := (role = 'user'),
+                     m1 := (text LIKE '%ERROR%'),
+                     m2 := (text LIKE '%500%'))
+         ORDER BY turn_idx) AS a
+  FROM transcripts GROUP BY conv_id),
+p1 AS (
+  SELECT conv_id, a,
+    list_min(list_transform(list_filter(a, x -> x.m0), x -> x.pos))
+      AS s_user_pos
+  FROM arr),
+p2 AS (
+  SELECT *, list_min(list_transform(
+      list_filter(a, x -> x.m1 AND x.pos > s_user_pos), x -> x.pos))
+      AS s_error_pos
+  FROM p1),
+p3 AS (
+  SELECT *, list_min(list_transform(
+      list_filter(a, x -> x.m2 AND x.pos > s_error_pos), x -> x.pos))
+      AS s_500_pos
+  FROM p2)
+SELECT conv_id, s_user_pos, s_error_pos, s_500_pos,
+  CASE WHEN s_500_pos IS NOT NULL THEN 3
+       WHEN s_error_pos IS NOT NULL THEN 2
+       WHEN s_user_pos IS NOT NULL THEN 1
+       ELSE 0 END AS funnel_depth,
+  (s_500_pos IS NOT NULL) AS converted
+FROM p3
+"""
+
+
 _HLL_P = 7
 _HLL_Q = 60 - _HLL_P
 _HLL_M = 1 << _HLL_P
@@ -4463,6 +4515,7 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_diff": q_corpus_diff,
     "vocab_topk_cms": q_vocab_topk_cms,
     "distinct_hll": q_distinct_hll,
+    "funnel": q_funnel,
     "asof_enrich": q_asof_enrich,
     "asof_enrich_bcast": q_asof_enrich_bcast,
     "rate_anomalies": q_rate_anomalies,
@@ -4598,6 +4651,7 @@ ORACLES: dict[str, str] = {
     "corpus_diff": O_CORPUS_DIFF,
     "vocab_topk_cms": O_VOCAB_TOPK_CMS,
     "distinct_hll": O_DISTINCT_HLL,
+    "funnel": O_FUNNEL,
     "asof_enrich": O_ASOF_ENRICH,
     # the broadcast-interval tier produces identical rows by
     # construction — shares the native-ASOF oracle verbatim (the

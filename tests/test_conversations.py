@@ -117,3 +117,74 @@ class TestResponseLatency:
         out = {(r["conv_id"], r["turn_idx"]): r["latency_s"]
                for r in response_latency(df).collect()}
         assert out == {("c3", 2): 4}
+
+
+class TestFunnel:
+    def _run(self, spark, rows, steps=None):
+        from pyspark.sql import functions as F
+
+        from ilogtail_spark.functions.conversations import funnel
+
+        df = spark.createDataFrame(
+            [(c, i, r, t, None, _ts(i)) for (c, i, r, t) in rows], SCHEMA
+        )
+        steps = steps or [
+            F.col("role") == "user",
+            F.col("text").contains("ERR"),
+            F.col("text").contains("fix"),
+        ]
+        return {r["conv_id"]: r.asDict() for r in funnel(df, steps).collect()}
+
+    def test_full_conversion_in_order(self, spark):
+        out = self._run(spark, [
+            ("c1", 0, "user", "hello"),
+            ("c1", 1, "assistant", "ERR happened"),
+            ("c1", 2, "tool", "fix applied"),
+        ])
+        r = out["c1"]
+        assert (r["step1_pos"], r["step2_pos"], r["step3_pos"]) == (0, 1, 2)
+        assert r["funnel_depth"] == 3 and r["converted"] is True
+
+    def test_out_of_order_does_not_count(self, spark):
+        # ERR comes BEFORE the first user turn → funnel stalls at 1
+        out = self._run(spark, [
+            ("c1", 0, "assistant", "ERR early"),
+            ("c1", 1, "user", "hello"),
+            ("c1", 2, "tool", "fix applied"),
+        ])
+        r = out["c1"]
+        assert r["step1_pos"] == 1 and r["step2_pos"] is None
+        assert r["step3_pos"] is None  # stall cascades
+        assert r["funnel_depth"] == 1 and r["converted"] is False
+
+    def test_strictly_after_not_same_turn(self, spark):
+        # one turn satisfying steps 1 and 2 at once only advances step 1
+        out = self._run(spark, [("c1", 0, "user", "ERR in first turn")])
+        r = out["c1"]
+        assert r["step1_pos"] == 0 and r["step2_pos"] is None
+        assert r["funnel_depth"] == 1
+
+    def test_earliest_match_is_greedy_optimal(self, spark):
+        # first ERR at 1 is used; the later ERR at 3 is not needed
+        out = self._run(spark, [
+            ("c1", 0, "user", "q"),
+            ("c1", 1, "assistant", "ERR a"),
+            ("c1", 2, "assistant", "ERR b"),
+            ("c1", 3, "tool", "fix"),
+        ])
+        r = out["c1"]
+        assert (r["step2_pos"], r["step3_pos"]) == (1, 3)
+        assert r["converted"] is True
+
+    def test_zero_depth(self, spark):
+        out = self._run(spark, [("c1", 0, "assistant", "nothing")])
+        assert out["c1"]["funnel_depth"] == 0
+        assert out["c1"]["converted"] is False
+
+    def test_convs_independent(self, spark):
+        out = self._run(spark, [
+            ("c1", 0, "user", "q"),
+            ("c2", 0, "assistant", "ERR only, no user"),
+        ])
+        assert out["c1"]["funnel_depth"] == 1
+        assert out["c2"]["funnel_depth"] == 0

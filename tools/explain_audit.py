@@ -191,6 +191,10 @@ CHECKS = {
     # 4-row exact-vs-estimate comparison join must broadcast
     "distinct_hll": (["BroadcastHashJoin", "HashAggregate", "partial_"],
                      ["SortMergeJoin", "CartesianProduct"]),
+    # funnel: booleans (not text) reach the conv-keyed collect; the
+    # min-position chain is pure array expressions — no join, no
+    # explode, no per-step shuffles
+    "funnel": (["HashAggregate"], ["Join", "Generate"]),
 }
 
 # single-pass claims: at most N parquet scans in the physical plan
@@ -278,6 +282,8 @@ EXCHANGE_LIMIT = {
     # 2-level register agg + the 2-phase exact countDistinct — the
     # estimate math itself adds none
     "distinct_hll": 6,
+    # transcripts source window + the conv-keyed funnel agg
+    "funnel": 2,
 }
 
 
