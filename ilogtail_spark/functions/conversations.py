@@ -224,3 +224,60 @@ def funnel(
         depth.alias("funnel_depth"),
         F.col(f"{names[-1]}_pos").isNotNull().alias("converted"),
     )
+
+
+def latency_percentiles(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    ts_col: str = "ts",
+    *,
+    from_role: str = "user",
+    to_role: str = "assistant",
+    window_s: int = 3600,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Reply-latency percentiles per tumbling event-time window — the
+    p50/p95/p99-per-hour dashboard query of transcript operations.
+    Latency is `response_latency`'s conditional last-non-null walk;
+    the window bucket is floor(ts / window_s) · window_s.
+
+    Quantiles use `approx_percentile` (Greenwald–Khanna): map-side-
+    combinable, O(accuracy · log n) memory per task — the scale-safe
+    default tier (the exact `percentile` buffers each window's full
+    value vector on one reducer, the hazard `length_quantiles` r6
+    documented). With accuracy ≥ the window's reply count the GK
+    summary keeps every sample and answers the exact DISCRETE
+    quantile, which is what makes the small-scale oracle
+    (`quantile_disc`) exact rather than tolerance-based."""
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = _t_sec(ts_col)
+    last_from = F.last(
+        F.when(F.col("role") == from_role, t), ignorenulls=True
+    ).over(w)
+    d = (
+        df.select(
+            (F.floor(t / window_s).cast("long") * window_s).alias(
+                "window_start"
+            ),
+            F.col("role"),
+            (t - last_from).alias("__lat"),
+        )
+        .filter((F.col("role") == to_role) & F.col("__lat").isNotNull())
+    )
+    aggs = [
+        F.round(
+            F.percentile_approx(F.col("__lat"), F.lit(q), F.lit(accuracy))
+            .cast("double"),
+            6,
+        ).alias(f"p{int(q * 100)}")
+        for q in qs
+    ]
+    return d.groupBy("window_start").agg(
+        *aggs, F.count(F.lit(1)).alias("n_replies")
+    )

@@ -1953,6 +1953,39 @@ def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(fact, dim, ["role"], "t", dim_ts_col="eff_s")
 
 
+def q_latency_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reply-latency p50/p95/p99 per tumbling hour — the operations
+    dashboard query. Quantiles via approx_percentile (GK,
+    map-side-combinable bounded memory — the scale-safe tier); with
+    accuracy ≥ the window's reply count GK answers the exact discrete
+    quantile, so the oracle is quantile_disc (the
+    length_quantiles_approx precedent)."""
+    from ilogtail_spark.functions.conversations import latency_percentiles
+
+    return latency_percentiles(_t(spark, sf_dir))
+
+
+O_LATENCY_WINDOWS = f"""{_CTE},
+g AS (
+  SELECT conv_id, turn_idx, role,
+    cast(epoch_ms(ts) // 1000 AS bigint) AS t
+  FROM transcripts),
+l AS (
+  SELECT conv_id, role, t // 3600 * 3600 AS window_start,
+    t - last_value(CASE WHEN role = 'user' THEN t END IGNORE NULLS) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lat
+  FROM g)
+SELECT window_start,
+  round(CAST(quantile_disc(lat, 0.5) AS DOUBLE), 6) AS p50,
+  round(CAST(quantile_disc(lat, 0.95) AS DOUBLE), 6) AS p95,
+  round(CAST(quantile_disc(lat, 0.99) AS DOUBLE), 6) AS p99,
+  count(*) AS n_replies
+FROM l WHERE role = 'assistant' AND lat IS NOT NULL
+GROUP BY window_start
+"""
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel over conversations: user turn → first 'ERROR'
     after it → first '500' after that. Earliest-match chain (greedy is
@@ -4516,6 +4549,7 @@ QUERIES: dict[str, QueryFn] = {
     "vocab_topk_cms": q_vocab_topk_cms,
     "distinct_hll": q_distinct_hll,
     "funnel": q_funnel,
+    "latency_windows": q_latency_windows,
     "asof_enrich": q_asof_enrich,
     "asof_enrich_bcast": q_asof_enrich_bcast,
     "rate_anomalies": q_rate_anomalies,
@@ -4652,6 +4686,7 @@ ORACLES: dict[str, str] = {
     "vocab_topk_cms": O_VOCAB_TOPK_CMS,
     "distinct_hll": O_DISTINCT_HLL,
     "funnel": O_FUNNEL,
+    "latency_windows": O_LATENCY_WINDOWS,
     "asof_enrich": O_ASOF_ENRICH,
     # the broadcast-interval tier produces identical rows by
     # construction — shares the native-ASOF oracle verbatim (the

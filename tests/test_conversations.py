@@ -188,3 +188,40 @@ class TestFunnel:
         ])
         assert out["c1"]["funnel_depth"] == 1
         assert out["c2"]["funnel_depth"] == 0
+
+
+class TestLatencyPercentiles:
+    def test_known_quantiles_and_buckets(self, spark):
+        from ilogtail_spark.functions.conversations import latency_percentiles
+
+        # one conv: user at t=0, replies at +1..+8 within hour 0;
+        # a second burst in hour 1 with constant latency 10
+        rows = [("c1", 0, "user", "q", None, _ts(0))]
+        rows += [("c1", i, "assistant", "a", None, _ts(i)) for i in range(1, 9)]
+        rows += [("c2", 0, "user", "q", None, _ts(3600))]
+        rows += [
+            ("c2", i, "assistant", "a", None, _ts(3600 + 10 * i))
+            for i in range(1, 4)
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        out = {
+            r["window_start"]: r.asDict()
+            for r in latency_percentiles(df, qs=(0.5, 1.0)).collect()
+        }
+        base = out[min(out)]
+        # hour-0 latencies are 1..8 (each reply measures from t=0):
+        # discrete p50 of 1..8 = 4, max = 8
+        assert base["p50"] == 4.0 and base["p100"] == 8.0
+        assert base["n_replies"] == 8
+        nxt = out[max(out)]
+        assert max(out) - min(out) == 3600
+        # hour-1 latencies are 10, 20, 30
+        assert nxt["p50"] == 20.0 and nxt["n_replies"] == 3
+
+    def test_replies_without_prior_user_excluded(self, spark):
+        from ilogtail_spark.functions.conversations import latency_percentiles
+
+        df = spark.createDataFrame(
+            [("c1", 0, "assistant", "orphan", None, _ts(0))], SCHEMA
+        )
+        assert latency_percentiles(df).count() == 0

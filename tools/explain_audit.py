@@ -195,6 +195,11 @@ CHECKS = {
     # min-position chain is pure array expressions — no join, no
     # explode, no per-step shuffles
     "funnel": (["HashAggregate"], ["Join", "Generate"]),
+    # windowed latency percentiles: GK sketches are ObjectHashAggregate
+    # partials — bounded memory, never the exact percentile's
+    # full-vector buffer; no join anywhere
+    "latency_windows": (["ObjectHashAggregate", "partial_"],
+                        ["Join", "Generate"]),
 }
 
 # single-pass claims: at most N parquet scans in the physical plan
@@ -284,6 +289,10 @@ EXCHANGE_LIMIT = {
     "distinct_hll": 6,
     # transcripts source window + the conv-keyed funnel agg
     "funnel": 2,
+    # transcripts source window + the conv-keyed latency walk + the
+    # window_start percentile agg — three DIFFERENT keys, each
+    # load-bearing
+    "latency_windows": 3,
 }
 
 
