@@ -119,7 +119,7 @@ def main() -> None:
         "unigram_nll", "weighted_sample", "zorder_key", "kmeans_step",
         "c4_clean", "asof_enrich", "asof_enrich_bcast", "gopher_rules",
         "line_dedup", "corpus_diff", "vocab_topk_cms", "distinct_hll",
-        "funnel", "latency_windows",
+        "funnel", "latency_windows", "retention", "schema_drift",
     )
     noisy = {"minhash_lsh", "ngram_jaccard", "dedup_clusters", "spl_pipeline"}
     reps = {name: (3 if name in noisy else 2) for name in registry}

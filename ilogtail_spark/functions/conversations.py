@@ -281,3 +281,35 @@ def latency_percentiles(
     return d.groupBy("window_start").agg(
         *aggs, F.count(F.lit(1)).alias("n_replies")
     )
+
+
+def retention(
+    df: DataFrame,
+    user_col: str = "conv_id",
+    ts_col: str = "ts",
+    *,
+    window_s: int = 3600,
+) -> DataFrame:
+    """Cohort retention per tumbling event-time window: of the users
+    active in window w, how many are also active in w+1 (the
+    DAU-retention query, at whatever granularity `window_s` sets).
+
+    Shape at 10^12 turns: raw turns collapse to distinct
+    (user, bucket) pairs in a map-side-combinable aggregate FIRST —
+    activity, not traffic, reaches the user-keyed window — then one
+    lead() per user-ordered bucket list marks retained windows and a
+    final bucket-keyed partial agg counts them. User cardinality is
+    high, so both shuffles spread; nothing is ever all-users-on-one-
+    task shaped."""
+    t = _t_sec(ts_col)
+    bucket = (F.floor(t / window_s).cast("long") * window_s).alias("bucket")
+    act = df.select(F.col(user_col).alias("u"), bucket).distinct()
+    w = Window.partitionBy("u").orderBy("bucket")
+    per = act.withColumn(
+        "retained",
+        (F.lead("bucket").over(w) == F.col("bucket") + window_s).cast("int"),
+    )
+    return per.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum(F.coalesce(F.col("retained"), F.lit(0))).alias("n_retained"),
+    )

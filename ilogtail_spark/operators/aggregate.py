@@ -246,3 +246,41 @@ def rate_anomalies(
     return enriched.filter(F.col("n") > F.col("threshold")).select(
         *key_cols, "bucket_start", "n", "threshold"
     )
+
+
+def schema_drift(
+    df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    *,
+    window_s: int = 3600,
+) -> DataFrame:
+    """JSON schema-drift monitor: for every top-level key appearing in
+    JSON-shaped rows, the window in which it FIRST appeared, how many
+    windows it appears in, and its total occurrence count. New keys
+    showing up mid-stream are the classic silent log-schema change
+    (a deploy adds a field; a field vanishes from its usual volume) —
+    this is the standing inventory that alerting diffs against.
+
+    Shape at 10^12 rows: the JSON filter and key explode run in the
+    scan stage; the ONLY shuffle is one map-side-combinable aggregate
+    keyed by (key, window) and a second tiny one by key — per-key
+    state is three counters, never row-shaped. Keys come from
+    `json_object_keys` (JVM, no Python)."""
+    t = F.unix_seconds(F.col(ts_col).cast("timestamp"))
+    bucket = (F.floor(t / window_s).cast("long") * window_s).alias("bucket")
+    keyed = (
+        df.filter(F.col(text_col).startswith("{"))
+        .select(
+            F.explode(F.json_object_keys(F.col(text_col))).alias("key"),
+            bucket,
+        )
+        .groupBy("key", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return keyed.groupBy("key").agg(
+        F.min("bucket").alias("first_seen"),
+        F.max("bucket").alias("last_seen"),
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("n").alias("n_rows"),
+    )

@@ -1953,6 +1953,54 @@ def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(fact, dim, ["role"], "t", dim_ts_col="eff_s")
 
 
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly cohort retention: of the conversations active in hour w,
+    how many are also active in w+1. Raw turns collapse to distinct
+    (user, bucket) pairs map-side before the user-keyed lead() walk."""
+    from ilogtail_spark.functions.conversations import retention
+
+    return retention(_t(spark, sf_dir), window_s=3600)
+
+
+O_RETENTION = f"""{_CTE},
+act AS (
+  SELECT DISTINCT conv_id AS u,
+    cast(epoch_ms(ts) // 1000 AS bigint) // 3600 * 3600 AS bucket
+  FROM transcripts),
+per AS (
+  SELECT u, bucket,
+    CASE WHEN lead(bucket) OVER (PARTITION BY u ORDER BY bucket)
+              = bucket + 3600 THEN 1 ELSE 0 END AS retained
+  FROM act)
+SELECT bucket, count(*) AS n_active,
+  cast(sum(retained) AS bigint) AS n_retained
+FROM per GROUP BY bucket
+"""
+
+
+def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON schema-drift inventory: per top-level key of the JSON
+    turns, first/last hourly window seen, window count, row count —
+    the standing table an alerting job diffs to catch silent log
+    schema changes. Only two map-side-combinable aggregates; the key
+    explode runs in the scan stage."""
+    from ilogtail_spark.operators.aggregate import schema_drift
+
+    return schema_drift(_t(spark, sf_dir), window_s=3600)
+
+
+O_SCHEMA_DRIFT = f"""{_CTE},
+j AS (
+  SELECT cast(epoch_ms(ts) // 1000 AS bigint) // 3600 * 3600 AS bucket,
+    unnest(json_keys(text)) AS key
+  FROM transcripts WHERE starts_with(text, '{{')),
+kb AS (SELECT key, bucket, count(*) AS n FROM j GROUP BY key, bucket)
+SELECT key, min(bucket) AS first_seen, max(bucket) AS last_seen,
+  count(*) AS n_windows, cast(sum(n) AS bigint) AS n_rows
+FROM kb GROUP BY key
+"""
+
+
 def q_latency_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reply-latency p50/p95/p99 per tumbling hour — the operations
     dashboard query. Quantiles via approx_percentile (GK,
@@ -4550,6 +4598,8 @@ QUERIES: dict[str, QueryFn] = {
     "distinct_hll": q_distinct_hll,
     "funnel": q_funnel,
     "latency_windows": q_latency_windows,
+    "retention": q_retention,
+    "schema_drift": q_schema_drift,
     "asof_enrich": q_asof_enrich,
     "asof_enrich_bcast": q_asof_enrich_bcast,
     "rate_anomalies": q_rate_anomalies,
@@ -4687,6 +4737,8 @@ ORACLES: dict[str, str] = {
     "distinct_hll": O_DISTINCT_HLL,
     "funnel": O_FUNNEL,
     "latency_windows": O_LATENCY_WINDOWS,
+    "retention": O_RETENTION,
+    "schema_drift": O_SCHEMA_DRIFT,
     "asof_enrich": O_ASOF_ENRICH,
     # the broadcast-interval tier produces identical rows by
     # construction — shares the native-ASOF oracle verbatim (the

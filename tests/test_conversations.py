@@ -225,3 +225,54 @@ class TestLatencyPercentiles:
             [("c1", 0, "assistant", "orphan", None, _ts(0))], SCHEMA
         )
         assert latency_percentiles(df).count() == 0
+
+
+class TestRetention:
+    def _run(self, spark, rows):
+        from ilogtail_spark.functions.conversations import retention
+
+        df = spark.createDataFrame(
+            [(u, i, "user", "t", None, _ts(s)) for i, (u, s) in enumerate(rows)],
+            SCHEMA,
+        )
+        base = 1704067200  # _ts(0) epoch — a whole-hour boundary
+        return {
+            r["bucket"] - base: (r["n_active"], r["n_retained"])
+            for r in retention(df, window_s=3600).collect()
+        }
+
+    def test_adjacent_window_retained(self, spark):
+        out = self._run(spark, [
+            ("u1", 0), ("u1", 3600),      # active hours 0 and 1 → retained
+            ("u2", 0),                     # active hour 0 only
+            ("u3", 0), ("u3", 7200),       # gap — hour 0 NOT retained into 1
+        ])
+        assert out[0] == (3, 1)
+        assert out[3600] == (1, 0)
+        assert out[7200] == (1, 0)
+
+    def test_multiple_turns_one_window_count_once(self, spark):
+        out = self._run(spark, [("u1", 0), ("u1", 10), ("u1", 20)])
+        assert out == {0: (1, 0)}
+
+
+class TestSchemaDrift:
+    def test_first_seen_and_counts(self, spark):
+        from ilogtail_spark.operators.aggregate import schema_drift
+
+        rows = [
+            ("c1", 0, "user", '{"a": 1}', None, _ts(0)),
+            ("c1", 1, "user", '{"a": 2, "b": 3}', None, _ts(3600)),
+            ("c1", 2, "user", 'not json', None, _ts(3600)),
+            ("c1", 3, "user", '{"b": 4}', None, _ts(7200)),
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        base = 1704067200
+        out = {
+            r["key"]: (r["first_seen"] - base, r["last_seen"] - base,
+                       r["n_windows"], r["n_rows"])
+            for r in schema_drift(df, window_s=3600).collect()
+        }
+        assert out["a"] == (0, 3600, 2, 2)
+        assert out["b"] == (3600, 7200, 2, 2)
+        assert set(out) == {"a", "b"}  # the non-JSON row contributes nothing

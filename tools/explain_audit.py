@@ -200,6 +200,13 @@ CHECKS = {
     # full-vector buffer; no join anywhere
     "latency_windows": (["ObjectHashAggregate", "partial_"],
                         ["Join", "Generate"]),
+    # retention: distinct (user,bucket) collapse BEFORE the user-keyed
+    # lead walk; no join
+    "retention": (["HashAggregate", "partial_", "Window"], ["Join"]),
+    # schema drift: key explode in the scan stage + two
+    # map-side-combinable aggs; no join (the one Window is the
+    # transcripts source's turn_idx derivation)
+    "schema_drift": (["HashAggregate", "partial_", "Generate"], ["Join"]),
 }
 
 # single-pass claims: at most N parquet scans in the physical plan
