@@ -448,3 +448,30 @@ def stream_sessionize(
             "n_turns",
         )
     )
+
+
+def stream_schema_drift(
+    lines: DataFrame,
+    text_col: str = "text",
+    *,
+    event_time_col: str = "ts",
+) -> DataFrame:
+    """Streaming first-seen-key alerts: emits (key, first_seen) exactly
+    once per NEW top-level JSON key, across micro-batches — the
+    streaming twin of `operators.aggregate.schema_drift`'s inventory,
+    shaped as the alert feed a schema-change monitor subscribes to.
+
+    Built on the JVM state store like `stream_exact_dedup`
+    (streaming `dropDuplicates` on the key): no Python state, and the
+    state is deliberately UNBOUNDED-in-time but schema-sized — distinct
+    top-level keys number in the dozens, so expiring them (a watermark)
+    would only re-alert on old keys after quiet periods. The key
+    explode runs JVM-side via json_object_keys."""
+    keys = (
+        lines.filter(F.col(text_col).startswith("{"))
+        .select(
+            F.explode(F.json_object_keys(F.col(text_col))).alias("key"),
+            F.col(event_time_col).alias("first_seen"),
+        )
+    )
+    return keys.dropDuplicates(["key"])

@@ -551,3 +551,51 @@ class TestStreamSessionize:
         }
         assert got == want
         assert len(want) == 3  # c1 split into two sessions, c2 one
+
+
+class TestStreamSchemaDrift:
+    IN_DIR = "/tmp/ilogtail_spark_sdrift_in"
+    CKPT = "/tmp/ilogtail_spark_sdrift_ckpt"
+
+    def test_each_key_alerts_exactly_once_across_batches(self, spark):
+        import shutil
+        import time as _time
+
+        from ilogtail_spark.streaming.stateful import stream_schema_drift
+
+        shutil.rmtree(self.IN_DIR, ignore_errors=True)
+        shutil.rmtree(self.CKPT, ignore_errors=True)
+
+        batches = [
+            [(0, "2024-01-01 00:00:00", '{"a": 1}'),
+             (1, "2024-01-01 00:00:01", '{"a": 2, "b": 1}'),
+             (2, "2024-01-01 00:00:02", "plain text, no json")],
+            [(3, "2024-01-01 01:00:00", '{"a": 3}'),        # known keys only
+             (4, "2024-01-01 01:00:01", '{"c": 1}')],       # NEW key c
+            [(5, "2024-01-01 02:00:00", '{"b": 9, "c": 9}')],  # nothing new
+        ]
+        for rows in batches:
+            spark.createDataFrame(
+                rows, "row_id long, ts_s string, text string"
+            ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s") \
+                .coalesce(1).write.mode("append").parquet(self.IN_DIR)
+            _time.sleep(1.1)
+
+        src = (
+            spark.readStream.schema("row_id long, text string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(self.IN_DIR)
+        )
+        q = (
+            stream_schema_drift(src, "text", event_time_col="ts")
+            .writeStream.format("memory").queryName("sdrift_out")
+            .option("checkpointLocation", self.CKPT)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = {r["key"] for r in spark.sql("select * from sdrift_out").collect()}
+        assert got == {"a", "b", "c"}
+        # exactly one alert per key — the cross-batch re-appearances of
+        # a and b in batches 2/3 must NOT re-emit
+        n = spark.sql("select count(*) n from sdrift_out").first()["n"]
+        assert n == 3
