@@ -2145,6 +2145,57 @@ FROM est e JOIN (
 """
 
 
+def q_distinct_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch ROLLUP property under the oracle: per-source HLL
+    registers merge by element-wise max into one global
+    distinct-documents estimate — the reason a 100 TB pipeline keeps
+    per-partition sketches (any later rollup is a register merge, never
+    a rescan). Lossless by construction: the merged registers are
+    bit-identical to a single global pass, and the oracle recomputes
+    the same merge in SQL. Output: one row with the exact global
+    distinct count and the estimate from merged per-source sketches."""
+    from ilogtail_spark.functions.textstats import hll_estimate, hll_sketch
+
+    d = _docs(spark, sf_dir)
+    per_source = hll_sketch(d, "text", p=_HLL_P, group_cols=("source",))
+    merged = per_source.groupBy("j").agg(F.max("reg").alias("reg"))
+    est = hll_estimate(merged, p=_HLL_P)
+    exact = d.agg(F.countDistinct("text").alias("exact_distinct"))
+    return exact.crossJoin(est)
+
+
+O_DISTINCT_HLL_ROLLUP = f"""
+WITH vals AS (
+  SELECT source, cast('0x' || substring(md5(text), 1, 15) AS bigint) AS h
+  FROM documents),
+per_source AS (
+  SELECT source, h // {1 << _HLL_Q} AS j,
+    max({_HLL_Q + 1} - CASE WHEN h % {1 << _HLL_Q} = 0 THEN 0
+        ELSE length(bin(h % {1 << _HLL_Q})) END) AS reg
+  FROM vals GROUP BY source, j),
+merged AS (SELECT j, max(reg) AS reg FROM per_source GROUP BY j),
+agg AS (
+  SELECT
+    cast(sum(cast(power(2.0, {_HLL_Q + 1} - reg) AS bigint)) AS bigint)
+      AS seen_sum,
+    cast(count(*) AS bigint) AS n_seen
+  FROM merged),
+est AS (
+  SELECT seen_sum + ({_HLL_M} - n_seen) * {1 << (_HLL_Q + 1)} AS total,
+    {_HLL_M} - n_seen AS v
+  FROM agg)
+SELECT x.exact_distinct,
+  round(CASE WHEN (cast('{_HLL_NUMER!r}' AS double) / total)
+                  <= {2.5 * _HLL_M}
+             AND v > 0
+    THEN cast({_HLL_M} AS double)
+         * ln(cast({_HLL_M} AS double) / v)
+    ELSE cast('{_HLL_NUMER!r}' AS double) / total END, 4)
+    AS approx_distinct
+FROM est, (SELECT count(DISTINCT text) AS exact_distinct FROM documents) x
+"""
+
+
 def q_vocab_topk_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch frequency tier next to the exact vocab counts:
     build a 4×16 sketch (width deliberately tiny so collisions are REAL
@@ -4596,6 +4647,7 @@ QUERIES: dict[str, QueryFn] = {
     "corpus_diff": q_corpus_diff,
     "vocab_topk_cms": q_vocab_topk_cms,
     "distinct_hll": q_distinct_hll,
+    "distinct_hll_rollup": q_distinct_hll_rollup,
     "funnel": q_funnel,
     "latency_windows": q_latency_windows,
     "retention": q_retention,
@@ -4735,6 +4787,7 @@ ORACLES: dict[str, str] = {
     "corpus_diff": O_CORPUS_DIFF,
     "vocab_topk_cms": O_VOCAB_TOPK_CMS,
     "distinct_hll": O_DISTINCT_HLL,
+    "distinct_hll_rollup": O_DISTINCT_HLL_ROLLUP,
     "funnel": O_FUNNEL,
     "latency_windows": O_LATENCY_WINDOWS,
     "retention": O_RETENTION,

@@ -191,6 +191,10 @@ CHECKS = {
     # 4-row exact-vs-estimate comparison join must broadcast
     "distinct_hll": (["BroadcastHashJoin", "HashAggregate", "partial_"],
                      ["SortMergeJoin", "CartesianProduct"]),
+    # rollup twin: per-source registers merge by max — the only join is
+    # the 1-row exact×estimate comparison (BNLJ over broadcast)
+    "distinct_hll_rollup": (["HashAggregate", "partial_"],
+                            ["SortMergeJoin", "CartesianProduct"]),
     # funnel: booleans (not text) reach the conv-keyed collect; the
     # min-position chain is pure array expressions — no join, no
     # explode, no per-step shuffles
