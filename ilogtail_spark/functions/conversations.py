@@ -313,3 +313,58 @@ def retention(
         F.count(F.lit(1)).alias("n_active"),
         F.sum(F.coalesce(F.col("retained"), F.lit(0))).alias("n_retained"),
     )
+
+
+def tool_stats(
+    df: DataFrame,
+    tool_col: str = "tool",
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-tool usage profile: call volume, conversation coverage,
+    error-output rate, mean output size, and mean seconds until the
+    next turn (how long the conversation 'waits' after a tool call).
+    The wait metric rides the SAME conv-ordered window every other
+    conversation op uses; everything else is one map-side-combinable
+    aggregate keyed by the (small) tool vocabulary. Sums are exact
+    integers; the two means divide once and round to the 4-dec grid, so
+    the whole profile is oracle-exact."""
+    w = Window.partitionBy(conv_col).orderBy(order_col)
+    t = _t_sec(ts_col)
+    gap = F.lead(t).over(w) - t
+    calls = df.withColumn("__gap", gap).filter(F.col(tool_col).isNotNull())
+    return calls.groupBy(tool_col).agg(
+        F.count(F.lit(1)).alias("n_calls"),
+        F.countDistinct(conv_col).alias("n_convs"),
+        F.sum(
+            F.when(F.col(text_col).contains("ERROR"), 1).otherwise(0)
+        ).alias("n_error_outputs"),
+        F.round(F.sum(F.length(text_col)) / F.count(F.lit(1)), 4).alias(
+            "mean_output_chars"
+        ),
+        F.round(F.sum("__gap") / F.count("__gap"), 4).alias("mean_wait_s"),
+    )
+
+
+def role_transitions(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+) -> DataFrame:
+    """Turn-taking transition matrix: corpus-wide counts of consecutive
+    (prev_role → role) pairs within conversations — who speaks after
+    whom, the structural fingerprint of a transcript corpus (and the
+    quickest detector of malformed conversations: user→user runs,
+    assistant openings). One lag over the shared conv window + one
+    map-side-combinable count keyed by the |roles|² pair space."""
+    w = Window.partitionBy(conv_col).orderBy(order_col)
+    prev = F.lag(role_col).over(w)
+    return (
+        df.select(prev.alias("prev_role"), F.col(role_col).alias("role"))
+        .filter(F.col("prev_role").isNotNull())
+        .groupBy("prev_role", "role")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

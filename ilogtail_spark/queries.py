@@ -1953,6 +1953,52 @@ def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(fact, dim, ["role"], "t", dim_ts_col="eff_s")
 
 
+def q_tool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tool usage profile: calls, conversation coverage, error-
+    output rate, mean output size, mean wait until the next turn."""
+    from ilogtail_spark.functions.conversations import tool_stats
+
+    return tool_stats(_t(spark, sf_dir))
+
+
+O_TOOL_STATS = f"""{_CTE},
+g AS (
+  SELECT conv_id, tool, text,
+    lead(cast(epoch_ms(ts) // 1000 AS bigint)) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx)
+      - cast(epoch_ms(ts) // 1000 AS bigint) AS gap
+  FROM transcripts)
+SELECT tool, count(*) AS n_calls,
+  count(DISTINCT conv_id) AS n_convs,
+  cast(sum(CASE WHEN text LIKE '%ERROR%' THEN 1 ELSE 0 END) AS bigint)
+    AS n_error_outputs,
+  round(cast(sum(length(text)) AS bigint) * 1.0 / count(*), 4)
+    AS mean_output_chars,
+  round(cast(sum(gap) AS bigint) * 1.0 / count(gap), 4) AS mean_wait_s
+FROM g WHERE tool IS NOT NULL
+GROUP BY tool
+"""
+
+
+def q_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide turn-taking matrix: counts of consecutive
+    (prev_role → role) pairs within conversations."""
+    from ilogtail_spark.functions.conversations import role_transitions
+
+    return role_transitions(_t(spark, sf_dir))
+
+
+O_ROLE_TRANSITIONS = f"""{_CTE},
+g AS (
+  SELECT role,
+    lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+  FROM transcripts)
+SELECT prev_role, role, count(*) AS n
+FROM g WHERE prev_role IS NOT NULL
+GROUP BY prev_role, role
+"""
+
+
 def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly cohort retention: of the conversations active in hour w,
     how many are also active in w+1. Raw turns collapse to distinct
@@ -4652,6 +4698,8 @@ QUERIES: dict[str, QueryFn] = {
     "latency_windows": q_latency_windows,
     "retention": q_retention,
     "schema_drift": q_schema_drift,
+    "tool_stats": q_tool_stats,
+    "role_transitions": q_role_transitions,
     "asof_enrich": q_asof_enrich,
     "asof_enrich_bcast": q_asof_enrich_bcast,
     "rate_anomalies": q_rate_anomalies,
@@ -4792,6 +4840,8 @@ ORACLES: dict[str, str] = {
     "latency_windows": O_LATENCY_WINDOWS,
     "retention": O_RETENTION,
     "schema_drift": O_SCHEMA_DRIFT,
+    "tool_stats": O_TOOL_STATS,
+    "role_transitions": O_ROLE_TRANSITIONS,
     "asof_enrich": O_ASOF_ENRICH,
     # the broadcast-interval tier produces identical rows by
     # construction — shares the native-ASOF oracle verbatim (the

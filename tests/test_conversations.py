@@ -276,3 +276,47 @@ class TestSchemaDrift:
         assert out["a"] == (0, 3600, 2, 2)
         assert out["b"] == (3600, 7200, 2, 2)
         assert set(out) == {"a", "b"}  # the non-JSON row contributes nothing
+
+
+class TestToolStats:
+    def test_profile(self, spark):
+        from ilogtail_spark.functions.conversations import tool_stats
+
+        rows = [
+            ("c1", 0, "user", "q", None, _ts(0)),
+            ("c1", 1, "tool", "ok result", "python", _ts(10)),
+            ("c1", 2, "assistant", "a", None, _ts(13)),
+            ("c2", 0, "tool", "ERROR: boom", "python", _ts(0)),
+            ("c2", 1, "user", "retry", None, _ts(7)),
+            ("c2", 2, "tool", "fine", "shell", _ts(8)),  # last turn → no gap
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        out = {r["tool"]: r.asDict() for r in tool_stats(df).collect()}
+        py = out["python"]
+        assert py["n_calls"] == 2 and py["n_convs"] == 2
+        assert py["n_error_outputs"] == 1
+        # gaps: 3s (c1 turn1→2) and 7s (c2 turn0→1) → mean 5
+        assert py["mean_wait_s"] == 5.0
+        sh = out["shell"]
+        assert sh["n_calls"] == 1 and sh["mean_wait_s"] is None
+
+
+class TestRoleTransitions:
+    def test_matrix(self, spark):
+        from ilogtail_spark.functions.conversations import role_transitions
+
+        rows = [
+            ("c1", 0, "user", "q", None, _ts(0)),
+            ("c1", 1, "assistant", "a", None, _ts(1)),
+            ("c1", 2, "user", "q2", None, _ts(2)),
+            ("c2", 0, "user", "x", None, _ts(0)),
+            ("c2", 1, "assistant", "y", None, _ts(1)),
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        out = {
+            (r["prev_role"], r["role"]): r["n"]
+            for r in role_transitions(df).collect()
+        }
+        # conv boundaries never produce a transition (c2's opener has
+        # no prev), so exactly these pairs exist
+        assert out == {("user", "assistant"): 2, ("assistant", "user"): 1}

@@ -207,6 +207,10 @@ CHECKS = {
     # retention: distinct (user,bucket) collapse BEFORE the user-keyed
     # lead walk; no join
     "retention": (["HashAggregate", "partial_", "Window"], ["Join"]),
+    # per-tool rollup and the role-transition matrix: one conv window +
+    # one small-key agg; no join
+    "tool_stats": (["HashAggregate", "Window"], ["Join"]),
+    "role_transitions": (["HashAggregate", "partial_", "Window"], ["Join"]),
     # schema drift: key explode in the scan stage + two
     # map-side-combinable aggs; no join (the one Window is the
     # transcripts source's turn_idx derivation)
