@@ -687,3 +687,47 @@ def kmeans_train_distributed(
             (j, _unit(means[j]) if j in means else v) for j, v in cents
         ]
     return cents
+
+
+def embedding_drift(
+    old: DataFrame,
+    new: DataFrame,
+    group_cols: tuple[str, ...] = ("label",),
+    emb_col: str = "embedding",
+    *,
+    decimals: int = 6,
+) -> DataFrame:
+    """Embedding-distribution drift monitor between two corpus
+    snapshots: per (group, dimension), the component mean in each
+    snapshot and the delta — the QA check that catches a re-embedding
+    run (model swap, preprocessing change) silently shifting a slice of
+    the corpus. Distinct from `kmeans_step`'s assignment means: this
+    compares two VERSIONS of the same corpus under fixed groups.
+
+    Arithmetic is the repo's exact-aggregation discipline: components
+    round to a `decimals` grid and sum as DECIMAL (order-independent,
+    engine-exact); one double division per cell, re-rounded. Shape:
+    one posexplode per side (O(rows × dim), map-side-combinable agg on
+    (group, dim)) and a join on the O(groups × dim) cell space — never
+    row-shaped."""
+    def means(df: DataFrame, out: str) -> DataFrame:
+        comp = F.round(F.col("c").cast("double"), decimals).cast(
+            f"decimal(28,{decimals})"
+        )
+        return (
+            df.select(*group_cols, F.posexplode(emb_col).alias("dim", "c"))
+            .groupBy(*group_cols, "dim")
+            .agg(
+                F.round(
+                    (F.sum(comp)).cast("double") / F.count(F.lit(1)), decimals
+                ).alias(out)
+            )
+        )
+    keys = [*group_cols, "dim"]
+    j = means(old, "mean_old").join(means(new, "mean_new"), keys)
+    return j.select(
+        *keys,
+        "mean_old",
+        "mean_new",
+        F.round(F.col("mean_new") - F.col("mean_old"), decimals).alias("delta"),
+    )

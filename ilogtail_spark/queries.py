@@ -1953,6 +1953,56 @@ def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(fact, dim, ["role"], "t", dim_ts_col="eff_s")
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift between two snapshot versions: v2
+    deterministically shifts labels ≡0 (mod 3) by 0.01·(1+dim%3) — the
+    monitor reports per-(label, dim) means and deltas; unshifted labels
+    must show delta 0 on the rounded grid."""
+    from ilogtail_spark.functions.similarity import embedding_drift
+
+    e = _emb(spark, sf_dir)
+    as_double = F.transform("embedding", lambda c: c.cast("double"))
+    shifted = e.withColumn(
+        "embedding",
+        F.when(
+            F.col("label") % 3 == 0,
+            F.transform(
+                "embedding",
+                lambda c, i: c.cast("double")
+                + F.lit(0.01) * (F.lit(1) + i % 3).cast("double"),
+            ),
+        ).otherwise(as_double),
+    )
+    return embedding_drift(e, shifted, group_cols=("label",))
+
+
+O_EMBEDDING_DRIFT = """
+WITH o AS (
+  SELECT label,
+    cast(generate_subscripts(embedding, 1) - 1 AS int) AS dim,
+    cast(unnest(embedding) AS double) AS c
+  FROM embeddings),
+n AS (
+  SELECT label, dim,
+    c + CASE WHEN label % 3 = 0
+        THEN cast(0.01 AS double) * (1 + dim % 3) ELSE 0 END AS c
+  FROM o),
+mo AS (
+  SELECT label, dim,
+    round(cast(sum(cast(round(c, 6) AS DECIMAL(28, 6))) AS double)
+          / count(*), 6) AS mean_old
+  FROM o GROUP BY label, dim),
+mn AS (
+  SELECT label, dim,
+    round(cast(sum(cast(round(c, 6) AS DECIMAL(28, 6))) AS double)
+          / count(*), 6) AS mean_new
+  FROM n GROUP BY label, dim)
+SELECT label, dim, mean_old, mean_new,
+  round(mean_new - mean_old, 6) AS delta
+FROM mo JOIN mn USING (label, dim)
+"""
+
+
 def q_tool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-tool usage profile: calls, conversation coverage, error-
     output rate, mean output size, mean wait until the next turn."""
@@ -4700,6 +4750,7 @@ QUERIES: dict[str, QueryFn] = {
     "schema_drift": q_schema_drift,
     "tool_stats": q_tool_stats,
     "role_transitions": q_role_transitions,
+    "embedding_drift": q_embedding_drift,
     "asof_enrich": q_asof_enrich,
     "asof_enrich_bcast": q_asof_enrich_bcast,
     "rate_anomalies": q_rate_anomalies,
@@ -4842,6 +4893,7 @@ ORACLES: dict[str, str] = {
     "schema_drift": O_SCHEMA_DRIFT,
     "tool_stats": O_TOOL_STATS,
     "role_transitions": O_ROLE_TRANSITIONS,
+    "embedding_drift": O_EMBEDDING_DRIFT,
     "asof_enrich": O_ASOF_ENRICH,
     # the broadcast-interval tier produces identical rows by
     # construction — shares the native-ASOF oracle verbatim (the

@@ -2260,3 +2260,31 @@ class TestKmeansDistributed:
         a = kmeans_train_distributed(emb, k=3, iters=1)
         b = kmeans_train_distributed(emb, k=3, iters=1)
         assert a == b
+
+
+class TestEmbeddingDrift:
+    def test_shifted_groups_show_delta(self, spark):
+        from ilogtail_spark.functions.similarity import embedding_drift
+
+        rows = [
+            (0, [0.5, 0.5], 0), (1, [0.3, 0.7], 0),
+            (2, [0.1, 0.9], 1), (3, [0.2, 0.8], 1),
+        ]
+        old = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+        new = old.withColumn(
+            "embedding",
+            F.when(
+                F.col("label") == 1,
+                F.transform("embedding", lambda c: c + F.lit(0.25)),
+            ).otherwise(F.col("embedding")),
+        )
+        out = {
+            (r["label"], r["dim"]): (r["mean_old"], r["mean_new"], r["delta"])
+            for r in embedding_drift(old, new).collect()
+        }
+        assert out[(0, 0)] == (0.4, 0.4, 0.0)
+        assert out[(0, 1)] == (0.6, 0.6, 0.0)
+        assert out[(1, 0)] == (0.15, 0.4, 0.25)
+        assert out[(1, 1)] == (0.85, 1.1, 0.25)

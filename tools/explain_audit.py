@@ -211,6 +211,9 @@ CHECKS = {
     # one small-key agg; no join
     "tool_stats": (["HashAggregate", "Window"], ["Join"]),
     "role_transitions": (["HashAggregate", "partial_", "Window"], ["Join"]),
+    # drift monitor: two map-side-combinable (group, dim) aggs joined
+    # on the O(groups × dim) cell space — never row-shaped
+    "embedding_drift": (["HashAggregate", "partial_"], ["CartesianProduct"]),
     # schema drift: key explode in the scan stage + two
     # map-side-combinable aggs; no join (the one Window is the
     # transcripts source's turn_idx derivation)
