@@ -68,3 +68,59 @@ def pack_greedy(
         .groupBy(group_col)
         .applyInPandas(_pack, out_schema)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split documents into overlapping fixed-token-count chunks — the
+    RAG/embedding-prep primitive (chunk i starts at token
+    i·(chunk_tokens − overlap); the final chunk is the remainder, and a
+    doc at or under the budget yields exactly one chunk). Emits
+    (id, chunk_idx, start_tok, n_tok, chunk_text).
+
+    Pure column expressions: tokenize once, compute the chunk-start
+    sequence, slice per start, ONE posexplode — no shuffle at all, so
+    at 100 TB chunking fuses with the scan and the downstream embed/
+    index stage sets the parallelism. Chunk boundaries are token
+    arithmetic (deterministic, oracle-checkable), not byte offsets.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    from pyspark.sql import functions as F
+
+    from ilogtail_spark.functions.textstats import tokens
+
+    step = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # number of chunks: 1 + ceil(max(n - chunk_tokens, 0) / step),
+    # as integer arithmetic: 1 + (max(n - chunk_tokens, 0) + step - 1) / step
+    n_chunks = F.lit(1) + F.floor(
+        (F.greatest(n - chunk_tokens, F.lit(0)) + step - 1) / step
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            (i * step).alias("start_tok"),
+            F.least(F.lit(chunk_tokens), n - i * step).alias("n_tok"),
+            F.array_join(
+                F.slice(toks, i * step + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "c"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.col("c.start_tok").alias("start_tok"),
+        F.col("c.n_tok").alias("n_tok"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )

@@ -1953,6 +1953,38 @@ def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(fact, dim, ["role"], "t", dim_ts_col="eff_s")
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-token chunking (RAG/embedding prep): 32-token
+    chunks with 8-token overlap over the documents table — multiple
+    chunks per doc at this corpus's 10–120-word lengths. Zero-shuffle:
+    tokenize once, chunk-start arithmetic, one posexplode."""
+    from ilogtail_spark.functions.packing import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=32, overlap=8
+    )
+
+
+O_CHUNK_DOCUMENTS = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents),
+nn AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+c AS (
+  SELECT doc_id, toks, n,
+    1 + cast(floor((greatest(n - 32, 0) + 23) / 24) AS int) AS n_chunks
+  FROM nn),
+e AS (
+  SELECT doc_id, toks, n, unnest(range(0, n_chunks)) AS i FROM c)
+SELECT doc_id, cast(i AS int) AS chunk_idx,
+  cast(i * 24 AS int) AS start_tok,
+  cast(least(32, n - i * 24) AS int) AS n_tok,
+  array_to_string(list_slice(toks, i * 24 + 1, i * 24 + 32), ' ')
+    AS chunk_text
+FROM e
+"""
+
+
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-distribution drift between two snapshot versions: v2
     deterministically shifts labels ≡0 (mod 3) by 0.01·(1+dim%3) — the
@@ -4751,6 +4783,7 @@ QUERIES: dict[str, QueryFn] = {
     "tool_stats": q_tool_stats,
     "role_transitions": q_role_transitions,
     "embedding_drift": q_embedding_drift,
+    "chunk_documents": q_chunk_documents,
     "asof_enrich": q_asof_enrich,
     "asof_enrich_bcast": q_asof_enrich_bcast,
     "rate_anomalies": q_rate_anomalies,
@@ -4894,6 +4927,7 @@ ORACLES: dict[str, str] = {
     "tool_stats": O_TOOL_STATS,
     "role_transitions": O_ROLE_TRANSITIONS,
     "embedding_drift": O_EMBEDDING_DRIFT,
+    "chunk_documents": O_CHUNK_DOCUMENTS,
     "asof_enrich": O_ASOF_ENRICH,
     # the broadcast-interval tier produces identical rows by
     # construction — shares the native-ASOF oracle verbatim (the

@@ -2288,3 +2288,48 @@ class TestEmbeddingDrift:
         assert out[(0, 1)] == (0.6, 0.6, 0.0)
         assert out[(1, 0)] == (0.15, 0.4, 0.25)
         assert out[(1, 1)] == (0.85, 1.1, 0.25)
+
+
+class TestChunkDocuments:
+    def _run(self, spark, text, **kw):
+        from ilogtail_spark.functions.packing import chunk_documents
+
+        df = spark.createDataFrame([(1, text)], DOC_SCHEMA)
+        return sorted(
+            (r["chunk_idx"], r["start_tok"], r["n_tok"], r["chunk_text"])
+            for r in chunk_documents(df, **kw).collect()
+        )
+
+    def test_exact_multiple_no_overlap(self, spark):
+        text = " ".join(f"t{i}" for i in range(8))
+        got = self._run(spark, text, chunk_tokens=4, overlap=0)
+        assert got == [
+            (0, 0, 4, "t0 t1 t2 t3"),
+            (1, 4, 4, "t4 t5 t6 t7"),
+        ]
+
+    def test_overlap_windows(self, spark):
+        text = " ".join(f"t{i}" for i in range(10))
+        got = self._run(spark, text, chunk_tokens=4, overlap=2)
+        # starts at 0,2,4,6 — the chunk at 6 reaches token 9, so the
+        # doc is fully covered in exactly ceil((n-k)/step)+1 chunks
+        assert [g[1] for g in got] == [0, 2, 4, 6]
+        assert got[-1] == (3, 6, 4, "t6 t7 t8 t9")
+        # every adjacent pair shares exactly `overlap` tokens
+        assert got[0][3].split()[2:] == got[1][3].split()[:2]
+        # remainder case: 11 tokens leaves a genuine 3-token tail chunk
+        got11 = self._run(
+            spark, " ".join(f"t{i}" for i in range(11)),
+            chunk_tokens=4, overlap=2,
+        )
+        assert got11[-1] == (4, 8, 3, "t8 t9 t10")
+
+    def test_short_doc_single_chunk(self, spark):
+        got = self._run(spark, "a b c", chunk_tokens=10, overlap=3)
+        assert got == [(0, 0, 3, "a b c")]
+
+    def test_bad_overlap_raises(self, spark):
+        import pytest
+
+        with pytest.raises(ValueError):
+            self._run(spark, "a", chunk_tokens=4, overlap=4)

@@ -214,6 +214,8 @@ CHECKS = {
     # drift monitor: two map-side-combinable (group, dim) aggs joined
     # on the O(groups × dim) cell space — never row-shaped
     "embedding_drift": (["HashAggregate", "partial_"], ["CartesianProduct"]),
+    # chunking is a pure scan-fused explode — zero shuffle of any kind
+    "chunk_documents": (["Generate"], ["Join", "Exchange", "HashAggregate"]),
     # schema drift: key explode in the scan stage + two
     # map-side-combinable aggs; no join (the one Window is the
     # transcripts source's turn_idx derivation)
