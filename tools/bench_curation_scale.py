@@ -84,6 +84,15 @@ def main() -> None:
         n_pages=n // 10,
     )
 
+    # RAG chunking: ~40-token docs at 32/8 → ~2 chunks per doc; pure
+    # scan-fused explode, so this row measures raw projection throughput
+    from ilogtail_spark.functions.packing import chunk_documents
+
+    timed(
+        "chunk_documents_32_8",
+        lambda: chunk_documents(docs, chunk_tokens=32, overlap=8).count(),
+    )
+
     # snapshot diff: v2 drops ~6%, edits ~8%, adds ~3%
     v2 = (
         docs.filter(F.col("doc_id") % 17 != 3)
