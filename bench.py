@@ -121,7 +121,7 @@ def main() -> None:
         "line_dedup", "corpus_diff", "vocab_topk_cms", "distinct_hll",
         "funnel", "latency_windows", "retention", "schema_drift",
         "distinct_hll_rollup", "tool_stats", "role_transitions",
-        "embedding_drift", "chunk_documents",
+        "embedding_drift", "chunk_documents", "corpus_report",
     )
     noisy = {"minhash_lsh", "ngram_jaccard", "dedup_clusters", "spl_pipeline"}
     reps = {name: (3 if name in noisy else 2) for name in registry}

@@ -1775,6 +1775,7 @@ def q_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EN_STOP_SQL = "['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this']"
+_DE_STOP_SQL = "['der','die','das','und','oder','von','zu','im','ist','es','dass','für','auf','mit','als','war','bei','sein','ein','eine']"
 
 O_QUALITY_SCORE = rf"""
 WITH feat AS (
@@ -1951,6 +1952,78 @@ def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ASOF_DIM, "role string, eff_s long, rate double, tier string"
     )
     return asof_join(fact, dim, ["role"], "t", dim_ts_col="eff_s")
+
+
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus headline: doc/token totals, exact distinct texts
+    and the implied dup rate, mean quality score, language mix — the
+    summary a curation run prints before and after each pass. One scan
+    feeding one global aggregate; every ratio divides exact integer
+    sums once and lands on the rounded grid."""
+    from ilogtail_spark.functions.textstats import lang_id, quality_score
+
+    d = quality_score(lang_id(_docs(spark, sf_dir)))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+        F.round(
+            (F.count(F.lit(1)) - F.countDistinct(F.md5("text")))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dup_rate"),
+        F.round(F.sum("quality_score") / F.count(F.lit(1)), 6).alias(
+            "mean_quality"
+        ),
+        F.sum(F.when(F.col("lang_pred") == "en", 1).otherwise(0)).alias("n_en"),
+        F.sum(F.when(F.col("lang_pred") == "de", 1).otherwise(0)).alias("n_de"),
+        F.sum(F.when(F.col("lang_pred") == "und", 1).otherwise(0)).alias(
+            "n_und"
+        ),
+    )
+
+
+O_CORPUS_REPORT = rf"""
+WITH feat AS (
+  SELECT doc_id, text,
+    string_split_regex(trim(text), '\s+') AS toks,
+    length(text) AS n_char,
+    len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+    len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
+    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        x -> list_contains({_EN_STOP_SQL}, x))) AS en_hits,
+    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        x -> list_contains({_DE_STOP_SQL}, x))) AS de_hits
+  FROM documents),
+feat2 AS (
+  SELECT doc_id, text, en_hits, de_hits, len(toks) AS n_tokens,
+    round(n_punct / greatest(n_char, 1), 6) AS punct_ratio,
+    round(len(list_filter(toks, x -> list_contains({_EN_STOP_SQL}, lower(x))))
+          / greatest(len(toks), 1), 6) AS stopword_ratio,
+    round(n_upper / greatest(n_char, 1), 6) AS upper_ratio
+  FROM feat),
+scored AS (
+  SELECT doc_id, text, n_tokens,
+    round(cast((CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+        + (CASE WHEN stopword_ratio >= 0.05 THEN 0.3 ELSE 0.0 END)
+        + (CASE WHEN punct_ratio <= 0.2 THEN 0.2 ELSE 0.0 END)
+        + (CASE WHEN upper_ratio <= 0.3 THEN 0.1 ELSE 0.0 END) AS double), 2)
+      AS quality_score,
+    CASE WHEN en_hits > de_hits AND en_hits > 0 THEN 'en'
+         WHEN de_hits > en_hits AND de_hits > 0 THEN 'de'
+         ELSE 'und' END AS lang_pred
+  FROM feat2)
+SELECT count(*) AS n_docs,
+  cast(sum(n_tokens) AS bigint) AS total_tokens,
+  count(DISTINCT md5(text)) AS n_distinct,
+  round((count(*) - count(DISTINCT md5(text))) * 1.0 / count(*), 6)
+    AS dup_rate,
+  round(sum(quality_score) / count(*), 6) AS mean_quality,
+  cast(sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END) AS bigint) AS n_en,
+  cast(sum(CASE WHEN lang_pred = 'de' THEN 1 ELSE 0 END) AS bigint) AS n_de,
+  cast(sum(CASE WHEN lang_pred = 'und' THEN 1 ELSE 0 END) AS bigint) AS n_und
+FROM scored
+"""
 
 
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2714,8 +2787,6 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = lang_id(_docs(spark, sf_dir))
     return d.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n"))
 
-
-_DE_STOP_SQL = "['der','die','das','und','oder','von','zu','im','ist','es','dass','für','auf','mit','als','war','bei','sein','ein','eine']"
 
 O_LANG_ID = rf"""
 WITH hits AS (
@@ -4784,6 +4855,7 @@ QUERIES: dict[str, QueryFn] = {
     "role_transitions": q_role_transitions,
     "embedding_drift": q_embedding_drift,
     "chunk_documents": q_chunk_documents,
+    "corpus_report": q_corpus_report,
     "asof_enrich": q_asof_enrich,
     "asof_enrich_bcast": q_asof_enrich_bcast,
     "rate_anomalies": q_rate_anomalies,
@@ -4928,6 +5000,7 @@ ORACLES: dict[str, str] = {
     "role_transitions": O_ROLE_TRANSITIONS,
     "embedding_drift": O_EMBEDDING_DRIFT,
     "chunk_documents": O_CHUNK_DOCUMENTS,
+    "corpus_report": O_CORPUS_REPORT,
     "asof_enrich": O_ASOF_ENRICH,
     # the broadcast-interval tier produces identical rows by
     # construction — shares the native-ASOF oracle verbatim (the

@@ -216,6 +216,8 @@ CHECKS = {
     "embedding_drift": (["HashAggregate", "partial_"], ["CartesianProduct"]),
     # chunking is a pure scan-fused explode — zero shuffle of any kind
     "chunk_documents": (["Generate"], ["Join", "Exchange", "HashAggregate"]),
+    # one-row corpus headline: ONE scan, one global aggregate
+    "corpus_report": (["HashAggregate", "partial_"], ["Join", "Generate"]),
     # schema drift: key explode in the scan stage + two
     # map-side-combinable aggs; no join (the one Window is the
     # transcripts source's turn_idx derivation)
@@ -243,6 +245,7 @@ SCAN_LIMIT = {
     "length_quantiles_approx": 1,
     "dissect": 1,
     "zorder_key": 1,
+    "corpus_report": 1,       # headline must stay a single corpus pass
 }
 
 # single-materialization claims: expensive expressions that must appear
