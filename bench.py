@@ -122,6 +122,7 @@ def main() -> None:
         "funnel", "latency_windows", "retention", "schema_drift",
         "distinct_hll_rollup", "tool_stats", "role_transitions",
         "embedding_drift", "chunk_documents", "corpus_report",
+        "top_errors",
     )
     noisy = {"minhash_lsh", "ngram_jaccard", "dedup_clusters", "spl_pipeline"}
     reps = {name: (3 if name in noisy else 2) for name in registry}

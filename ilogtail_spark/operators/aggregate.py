@@ -248,6 +248,43 @@ def rate_anomalies(
     )
 
 
+def top_errors(
+    df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    *,
+    window_s: int = 3600,
+    k: int = 3,
+    match: str = "ERROR",
+) -> DataFrame:
+    """Top-k error signatures per tumbling window — the log-triage
+    query. Matching rows normalize into a signature (digit runs → '#',
+    so retry counts / ids / codes collapse into one template), count
+    per (window, signature), and each window keeps its k most frequent
+    (ties broken by signature for determinism).
+
+    Scale shape: the filter and normalization run in the scan; ONE
+    map-side-combinable (window, signature) count; the per-window
+    top-k is a rank window that Spark executes as WindowGroupLimit —
+    per-partition k-heaps BEFORE the shuffle, so the rank exchange
+    carries at most k·windows·partitions rows, never the full
+    signature space."""
+    t = F.unix_seconds(F.col(ts_col).cast("timestamp"))
+    bucket = (F.floor(t / window_s).cast("long") * window_s).alias("bucket")
+    sig = F.regexp_replace(F.col(text_col), "[0-9]+", "#").alias("signature")
+    counts = (
+        df.filter(F.col(text_col).contains(match))
+        .select(bucket, sig)
+        .groupBy("bucket", "signature")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("bucket").orderBy(F.desc("n"), "signature")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def schema_drift(
     df: DataFrame,
     text_col: str = "text",

@@ -2202,6 +2202,32 @@ FROM kb GROUP BY key
 """
 
 
+def q_top_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 error signatures per hour: digit runs collapse to '#' so
+    codes/ids share a template; per-window ranks execute as
+    WindowGroupLimit k-heaps."""
+    from ilogtail_spark.operators.aggregate import top_errors
+
+    return top_errors(_t(spark, sf_dir), window_s=3600, k=3)
+
+
+O_TOP_ERRORS = f"""{_CTE},
+c AS (
+  SELECT cast(epoch_ms(ts) // 1000 AS bigint) // 3600 * 3600 AS bucket,
+    regexp_replace(text, '[0-9]+', '#', 'g') AS signature,
+    count(*) AS n
+  FROM transcripts WHERE text LIKE '%ERROR%'
+  GROUP BY 1, 2),
+r AS (
+  SELECT bucket, signature, n,
+    row_number() OVER (PARTITION BY bucket ORDER BY n DESC, signature)
+      AS rank
+  FROM c)
+SELECT bucket, signature, n, cast(rank AS int) AS rank
+FROM r WHERE rank <= 3
+"""
+
+
 def q_latency_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reply-latency p50/p95/p99 per tumbling hour — the operations
     dashboard query. Quantiles via approx_percentile (GK,
@@ -4849,6 +4875,7 @@ QUERIES: dict[str, QueryFn] = {
     "distinct_hll_rollup": q_distinct_hll_rollup,
     "funnel": q_funnel,
     "latency_windows": q_latency_windows,
+    "top_errors": q_top_errors,
     "retention": q_retention,
     "schema_drift": q_schema_drift,
     "tool_stats": q_tool_stats,
@@ -4994,6 +5021,7 @@ ORACLES: dict[str, str] = {
     "distinct_hll_rollup": O_DISTINCT_HLL_ROLLUP,
     "funnel": O_FUNNEL,
     "latency_windows": O_LATENCY_WINDOWS,
+    "top_errors": O_TOP_ERRORS,
     "retention": O_RETENTION,
     "schema_drift": O_SCHEMA_DRIFT,
     "tool_stats": O_TOOL_STATS,

@@ -320,3 +320,40 @@ class TestRoleTransitions:
         # conv boundaries never produce a transition (c2's opener has
         # no prev), so exactly these pairs exist
         assert out == {("user", "assistant"): 2, ("assistant", "user"): 1}
+
+
+class TestTopErrors:
+    def test_topk_and_normalization(self, spark):
+        from ilogtail_spark.operators.aggregate import top_errors
+
+        rows = []
+        # hour 0: signature A (code collapses) x3, B x2, C x1, D x1
+        for i, txt in enumerate(
+            ["ERROR code=500", "ERROR code=502", "ERROR code=503",
+             "ERROR timeout 30s", "ERROR timeout 60s",
+             "ERROR disk full", "ERROR oom killed", "all fine here"]
+        ):
+            rows.append(("c1", i, "user", txt, None, _ts(i)))
+        # hour 1: one error only
+        rows.append(("c2", 0, "user", "ERROR lonely 1", None, _ts(3600)))
+        df = spark.createDataFrame(rows, SCHEMA)
+        out = [
+            (r["bucket"], r["signature"], r["n"], r["rank"])
+            for r in top_errors(df, k=2).orderBy("bucket", "rank").collect()
+        ]
+        base = 1704067200
+        assert out == [
+            (base, "ERROR code=#", 3, 1),
+            (base, "ERROR timeout #s", 2, 2),
+            (base + 3600, "ERROR lonely #", 1, 1),
+        ]
+
+    def test_windowgrouplimit_in_plan(self, spark):
+        from ilogtail_spark.operators.aggregate import top_errors
+
+        df = spark.createDataFrame(
+            [("c1", 0, "user", "ERROR x", None, _ts(0))], SCHEMA
+        )
+        plan = top_errors(df)._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "WindowGroupLimit" in final  # k-heaps, not a full sort

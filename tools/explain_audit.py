@@ -207,6 +207,10 @@ CHECKS = {
     # retention: distinct (user,bucket) collapse BEFORE the user-keyed
     # lead walk; no join
     "retention": (["HashAggregate", "partial_", "Window"], ["Join"]),
+    # error triage: map-side (window, signature) count + per-window
+    # k-heaps — never a full per-window sort
+    "top_errors": (["HashAggregate", "partial_", "WindowGroupLimit"],
+                   ["Join"]),
     # per-tool rollup and the role-transition matrix: one conv window +
     # one small-key agg; no join
     "tool_stats": (["HashAggregate", "Window"], ["Join"]),
