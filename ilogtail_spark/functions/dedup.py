@@ -746,9 +746,15 @@ def line_dedup(
     of a hot line on one task)."""
     line_raw = F.col("line")
     norm = F.trim(F.lower(line_raw)) if normalize else line_raw
+    # F.split treats its pattern as a Java regex while array_join below
+    # re-joins with the LITERAL sep — escape the split side so a caller's
+    # '.'/'|' separator splits literally and the round-trip stays exact
+    # (the default '\n' has no metacharacters, which masked this)
+    import re as _re
+
     lines = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias("pos", "line"),
     ).withColumn("k", F.md5(norm))
     dup_stats = (
         lines.groupBy("k")

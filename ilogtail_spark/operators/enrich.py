@@ -197,12 +197,20 @@ def asof_join(
         raise ValueError(
             f"asof_join: dim payload columns collide with fact columns: {sorted(clash)}"
         )
+    from pyspark.sql import types as T
+
+    # the payload travels as ONE struct so a single latest dim row wins
+    # ATOMICALLY: filling each column independently with last(ignorenulls)
+    # would let an older version's value leak through wherever the latest
+    # applicable version carries a NULL in one payload column — diverging
+    # from true as-of semantics (and from DuckDB's native ASOF JOIN).
+    p_type = T.StructType([T.StructField(c, dim.schema[c].dataType) for c in payload])
     f_tag = fact.select(
         *key_cols,
         F.col(ts_col).alias("__t"),
         F.lit(1).alias("__is_fact"),
         *[F.col(c) for c in fact_cols if c not in key_cols and c != ts_col],
-        *[F.lit(None).cast(dim.schema[c].dataType).alias(c) for c in payload],
+        F.lit(None).cast(p_type).alias("__p"),
     )
     d_tag = dim.select(
         *key_cols,
@@ -213,7 +221,7 @@ def asof_join(
             for c in fact_cols
             if c not in key_cols and c != ts_col
         ],
-        *payload,
+        F.struct(*payload).alias("__p"),
     )
     w = (
         Window.partitionBy(*key_cols)
@@ -225,13 +233,13 @@ def asof_join(
         "__t",
         "__is_fact",
         *[c for c in fact_cols if c not in key_cols and c != ts_col],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+        F.last("__p", ignorenulls=True).over(w).alias("__p"),
     )
     return filled.filter(F.col("__is_fact") == 1).select(
         *key_cols,
         F.col("__t").alias(ts_col),
         *[c for c in fact_cols if c not in key_cols and c != ts_col],
-        *payload,
+        *[F.col(f"__p.{c}").alias(c) for c in payload],
     )
 
 

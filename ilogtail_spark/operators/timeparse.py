@@ -96,22 +96,41 @@ def gotime_op(
     source_layout: str,
     dest_key: str,
     dest_layout: str,
+    *,
+    source_location: int | None = None,
+    dest_location: int | None = None,
 ) -> DataFrame:
     """processor_gotime (plugins/processor/gotime/processor_gotime.go:34-111):
     parse src with a Go layout and re-format into dest. Numeric modes
     (`seconds`/`milliseconds`/`microseconds`) accepted as layout names,
-    mirroring the plugin's special layouts."""
+    mirroring the plugin's special layouts.
+
+    `source_location`/`dest_location` are the reference's
+    SourceLocation/DestLocation UTC hour offsets (e.g. 8 = UTC+8):
+    parsing in zone UTC+h means the wall-clock string is h hours AHEAD
+    of the instant (instant = parsed-as-UTC − h·3600); formatting in
+    UTC+h renders instant + h·3600. None = session zone (the reference's
+    machineTimeZone sentinel −100 is treated the same). Locations are
+    ignored for the numeric timestamp layouts, as in the reference
+    (timestampFormat short-circuits location handling)."""
     numeric = {"seconds": F.timestamp_seconds, "milliseconds": F.timestamp_millis,
                "microseconds": F.timestamp_micros}
+
+    def _shift(ts, hours, sign):  # type: ignore[no-untyped-def]
+        if hours is None or hours == -100:
+            return ts
+        return ts + F.make_interval(secs=F.lit(float(sign * hours * 3600)))
+
     if source_layout in numeric:
         ts = numeric[source_layout](F.col(source_key).try_cast("long"))
     else:
         ts = F.try_to_timestamp(F.col(source_key), F.lit(gotime_to_java(source_layout)))
+        ts = _shift(ts, source_location, -1)
     if dest_layout in numeric:
         out = {"seconds": F.unix_seconds, "milliseconds": F.unix_millis,
                "microseconds": F.unix_micros}[dest_layout](ts).cast("string")
     else:
-        out = F.date_format(ts, gotime_to_java(dest_layout))
+        out = F.date_format(_shift(ts, dest_location, +1), gotime_to_java(dest_layout))
     return df.withColumn(dest_key, out)
 
 

@@ -492,3 +492,56 @@ def log_to_metric(
             ),
         )
     )
+
+
+def log_to_metric_dynamic(
+    df: DataFrame,
+    metric_values: dict[str, str],
+    label_keys: list[str],
+    *,
+    custom_labels: dict[str, str] | None = None,
+    time_col: str = "ts",
+) -> DataFrame:
+    """processor_log_to_sls_metric with the reference's FULL MetricValues
+    semantics (processor_log_to_sls_metric.go:34,310): each entry maps a
+    NAME-FIELD key to a VALUE-FIELD key — the metric name is read from
+    the row (dynamic), and one metric row is emitted per entry.
+
+    Multiple entries compile to ONE array-of-structs + explode (single
+    scan, no per-entry union re-scan — the same shape otel_metric uses).
+    Validation mirrors the reference: the name must match
+    ^[a-zA-Z_:][a-zA-Z0-9_:]*$, the value must be numeric, labels must
+    not contain | # $; failing rows are dropped. CustomMetricLabels are
+    constant labels merged into the sorted label string."""
+    lbls = {k: F.coalesce(F.col(k), F.lit("")) for k in label_keys}
+    for k, v in (custom_labels or {}).items():
+        lbls[k] = F.lit(v)
+    labels = F.concat_ws(
+        "|", *[F.concat_ws("#$#", F.lit(k), lbls[k]) for k in sorted(lbls)]
+    )
+    valid = F.lit(True)
+    for k in label_keys:
+        valid = valid & (~F.coalesce(F.col(k), F.lit("")).rlike(r"[|#$]"))
+    pairs = F.array(
+        *[
+            F.struct(
+                F.col(name_key).alias("n"),
+                F.col(value_key).try_cast("double").alias("v"),
+            )
+            for name_key, value_key in metric_values.items()
+        ]
+    )
+    exploded = df.filter(valid).select(
+        F.explode(pairs).alias("__m__"),
+        labels.alias("__labels__"),
+        (F.unix_micros(F.col(time_col).cast("timestamp")) * 1000).alias("__time_nano__"),
+    )
+    return exploded.filter(
+        F.col("__m__.n").rlike(r"^[a-zA-Z_:][a-zA-Z0-9_:]*$")
+        & F.col("__m__.v").isNotNull()
+    ).select(
+        F.col("__m__.n").alias("__name__"),
+        "__labels__",
+        F.col("__m__.v").alias("__value__"),
+        "__time_nano__",
+    )

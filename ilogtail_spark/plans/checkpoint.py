@@ -21,10 +21,17 @@ The table is driver-written (a few rows per run), never on the data path.
 from __future__ import annotations
 
 import json
+import time
 
 from pyspark.sql import SparkSession
 
-_SCHEMA = "run_id string, stage string, payload string, committed boolean"
+# commit_seq: parquet collect order follows FILE LISTING, not append
+# time — with one parquet file per commit, "the last row" is otherwise
+# arbitrary. Every commit stamps a monotonic sequence and `payload`
+# returns the record with the highest one (re-commits with updated
+# payloads — index compaction generations — depend on this). Tables
+# written before the column existed read as NULL and sort oldest.
+_SCHEMA = "run_id string, stage string, payload string, committed boolean, commit_seq long"
 
 
 class CheckpointTable:
@@ -48,14 +55,17 @@ class CheckpointTable:
         )
 
     def commit(self, run_id: str, stage: str, payload: dict | None = None) -> None:
-        row = [(run_id, stage, json.dumps(payload or {}, sort_keys=True), True)]
+        row = [(run_id, stage, json.dumps(payload or {}, sort_keys=True), True,
+                time.time_ns())]
         self.spark.createDataFrame(row, _SCHEMA).write.mode("append").parquet(self.path)
 
     def payload(self, run_id: str, stage: str) -> dict | None:
         df = self._read()
-        rows = df.filter(
-            (df.run_id == run_id) & (df.stage == stage) & df.committed
-        ).collect()
+        rows = (
+            df.filter((df.run_id == run_id) & (df.stage == stage) & df.committed)
+            .orderBy(df.commit_seq.asc_nulls_first())
+            .collect()
+        )
         if not rows:
             return None
         return json.loads(rows[-1]["payload"])

@@ -42,6 +42,47 @@ from ilogtail_spark.operators import timeparse as time_ops
 from ilogtail_spark.operators import transform as tx_ops
 from ilogtail_spark.operators.route import CopyCondition, RouteRule, route_copy, route_exclusive
 
+def _multiline_from_config(
+    df: DataFrame,
+    *,
+    begin_regex: str,
+    line_col: str = "content",
+    partition_col: str = "__source__",
+    order_col: str = "__offset__",
+) -> DataFrame:
+    """processor_split_log_regex on the config path: merge line rows into
+    records by begin-regex, then put the merged text back under the
+    original SplitKey column name so downstream processors see the same
+    field the reference's next plugin would. Requires the per-source
+    ordering columns that `config.read_inputs` attaches."""
+    from ilogtail_spark.operators.multiline import merge_multiline
+
+    for c in (partition_col, order_col):
+        if c not in df.columns:
+            raise KeyError(
+                f"multiline merge needs ordering column {c!r} — read the "
+                "input via config.read_inputs (or supply partition/order cols)"
+            )
+    out = merge_multiline(
+        df,
+        line_col=line_col,
+        partition_col=partition_col,
+        order_col=order_col,
+        begin_regex=begin_regex,
+        merged_col="__merged__",
+    )
+    return out.withColumnRenamed("__merged__", line_col)
+
+
+def _geoip_from_config(df: DataFrame, *, ip_col: str, db_path: str) -> DataFrame:
+    """processor_geoip on the config path: DBPath points at a parquet
+    range table (ip_start long, ip_end long, ...attrs) — the relational
+    stand-in for the reference's MaxMind .mmdb file, loaded once at plan
+    build exactly like the reference loads the DB at plugin Init."""
+    ranges = df.sparkSession.read.parquet(db_path)
+    return enrich_ops.geoip_range_join(df, ranges, ip_col)
+
+
 _PROCESSORS: dict[str, Callable[..., DataFrame]] = {
     # parse family (§2.2)
     "regex": parse_ops.regex_parse,
@@ -71,11 +112,17 @@ _PROCESSORS: dict[str, Callable[..., DataFrame]] = {
     "base64_decode": tx_ops.base64_decode,
     "md5": tx_ops.md5_field,
     "desensitize": tx_ops.desensitize,
+    "desensitize_md5": tx_ops.desensitize_md5_arrow,
     "string_replace": tx_ops.string_replace,
     "pack_json": tx_ops.pack_json,
+    "encrypt": tx_ops.encrypt_fields,
+    "log_to_metric_dynamic": tx_ops.log_to_metric_dynamic,
     # time (§2.3)
     "strptime": time_ops.strptime_op,
     "gotime": time_ops.gotime_op,
+    # config-path wrappers (multi-column / external-table operators)
+    "multiline_merge": _multiline_from_config,
+    "geoip": _geoip_from_config,
 }
 
 
@@ -131,6 +178,22 @@ def aggregates_for(df_routed: DataFrame, spec: dict[str, Any]) -> dict[str, Data
                 agg_ops.shard_hash(df_routed, a["keys"], a["shard_count"])
                 .groupBy("shard_bucket")
                 .agg(F.count(F.lit(1)).alias("log_count"))
+            )
+        elif a["type"] == "metadata_group":
+            # physical regroup (aggregator_metadata_group): co-locate, then
+            # the per-group count reuses the repartition's partitioning
+            out[f"meta_group_{'_'.join(a['keys'])}"] = (
+                agg_ops.metadata_group(df_routed, a["keys"])
+                .groupBy(*a["keys"])
+                .agg(F.count(F.lit(1)).alias("log_count"))
+            )
+        elif a["type"] == "context":
+            # aggregator_context / aggregator_default: per-source ordered
+            # sequence (the e2e LogOrder contract)
+            out["context_order"] = agg_ops.stable_order(
+                df_routed,
+                partition_col=a.get("partition_col", "conv_id"),
+                order_col=a.get("order_col", "turn_idx"),
             )
         else:
             raise KeyError(f"unknown aggregator type: {a['type']}")

@@ -196,34 +196,46 @@ class CorpusSnapshot:
         row per key. Run it like any table-maintenance job: off the
         ingest path, every N generations. Probe output is identical
         before/after by the membership-test argument. Returns
-        {'exact': (rows_before, rows_after), 'bands': (...)}."""
+        {'exact': (rows_before, rows_after), 'bands': (...)}.
+
+        Crash-safety (the torn-write-invisible invariant): each
+        compaction writes a FRESH GENERATION at a new location
+        (`{part}_g{N}`) while the committed generation stays untouched;
+        only after BOTH parts land does one commit flip the marker to
+        the new generation, and only after that are the old
+        generation's files deleted. A crash anywhere before the commit
+        leaves the previous commit fully loadable; a crash after it
+        leaves orphan files from the superseded generation (noted in
+        the commit payload as `superseded` — harmless, reclaimed by the
+        next successful compaction pass or any external GC).
+        """
         meta = self._require(snapshot_id, "dedup_index")
         out = {}
+        new_meta = dict(meta)
+        old_parts = {}
         for part in ("exact", "bands"):
             m = meta[part]
             df = self._load_bucketed(m)
             before = df.count()
-            compacted = df.distinct()
-            staging = f"{self.path}/{snapshot_id}/_compact_{part}"
-            compacted.write.mode("overwrite").parquet(staging)
-            fresh = self.spark.read.schema(df.schema).parquet(staging)
-            self.spark.sql(f"DROP TABLE IF EXISTS {m['table']}")
-            (
-                fresh.write.format("parquet")
-                .option("path", m["location"])
-                .bucketBy(m["buckets"], *m["keys"])
-                .sortBy(*m["keys"])
-                .mode("overwrite")
-                .saveAsTable(m["table"])
+            gen = int(m.get("gen", 0)) + 1
+            fresh_m = self._write_bucketed(
+                df.distinct(), snapshot_id, f"{part}_g{gen}", m["keys"]
             )
-            after = self.spark.table(m["table"]).count()
-            jvm = self.spark._jvm
-            sp = jvm.org.apache.hadoop.fs.Path(staging)
-            sp.getFileSystem(self.spark._jsc.hadoopConfiguration()).delete(
-                sp, True
-            )
+            fresh_m["gen"] = gen
+            after = self.spark.table(fresh_m["table"]).count()
+            new_meta[part] = fresh_m
+            old_parts[part] = m
             out[part] = (before, after)
-        self.ckpt.commit(snapshot_id, "dedup_index", meta)
+        # the flip: one commit makes the new generation authoritative
+        new_meta["superseded"] = [old_parts[p]["location"] for p in old_parts]
+        self.ckpt.commit(snapshot_id, "dedup_index", new_meta)
+        # post-commit cleanup — failures here orphan files, never state
+        jvm = self.spark._jvm
+        hconf = self.spark._jsc.hadoopConfiguration()
+        for part, m in old_parts.items():
+            self.spark.sql(f"DROP TABLE IF EXISTS {m['table']}")
+            op = jvm.org.apache.hadoop.fs.Path(m["location"])
+            op.getFileSystem(hconf).delete(op, True)
         return out
 
     # -- IVF centroids -------------------------------------------------

@@ -260,6 +260,19 @@ class TestAsofJoin:
         with pytest.raises(ValueError, match="rate"):
             self._impl()(f, d, ["k"], "t", dim_ts_col="eff")
 
+    def test_null_payload_in_latest_version_wins_atomically(self, spark):
+        """ADVICE r6: a NULL in the latest applicable dim version must NOT
+        let an older version's value leak through — the whole payload row
+        wins or loses together (true as-of / DuckDB ASOF semantics)."""
+        f = spark.createDataFrame([("a", 15, "x")], "k string, t long, fv string")
+        d = spark.createDataFrame(
+            [("a", 0, 1.0, "own0"), ("a", 10, None, "own1")],
+            "k string, eff long, rate double, owner string",
+        )
+        row = self._impl()(f, d, ["k"], "t", dim_ts_col="eff").first()
+        assert row["owner"] == "own1"
+        assert row["rate"] is None  # NOT 1.0 leaked from the eff=0 version
+
 
 class TestAsofJoinBroadcast(TestAsofJoin):
     """Same semantic matrix run against the broadcast-interval tier —

@@ -482,6 +482,15 @@ class TestLineDedup:
         out = self._run(spark, rows, normalize=True)
         assert out == {1: "Same Line "}  # first copy keeps ORIGINAL text
 
+    def test_regex_metachar_separator(self, spark):
+        # ADVICE r6: split side is a Java regex, join side is literal —
+        # a '.' or '|' separator must round-trip as a LITERAL
+        rows = [(1, "a.b.c"), (2, "x.b.y")]
+        out = self._run(spark, rows, sep=".", keep_first=False)
+        assert out == {1: "a.c", 2: "x.y"}
+        out = self._run(spark, [(1, "a|b"), (2, "c|b")], sep="|", keep_first=False)
+        assert out == {1: "a", 2: "c"}
+
 
 class TestGopherRules:
     def _rows(self, spark, rows, **kw):
