@@ -1552,15 +1552,42 @@ FROM transcripts WHERE text LIKE 'class=%'
 """
 
 
+# AES-128-CBC known-answer ciphertexts for the fixed key/IV below —
+# deterministic because key AND IV are pinned (the reference reads both
+# from config, parseKey:153-182). Cross-checked THREE ways: Spark
+# aes_encrypt produces them, `openssl enc -aes-128-cbc` reproduces them
+# (tests/test_transform_edges.py pins each literal against openssl), and
+# the DuckDB oracle carries them as CASE literals — upgrading encrypt
+# from rows-only to a full hash-checked query. Spark prepends the IV to
+# the ciphertext, hence the 32-zero prefix.
+_ENCRYPT_IV_PREFIX = "0" * 32
+_ENCRYPT_KAT = {
+    "assistant": "11E425EAE5C39A584AD893248BB9CC6E",
+    "system": "BD19A3EBC80DF096C0EAED2573DDD062",
+    "tool": "F6CDDC9CA8F54AEAB8451BEA1965E2B5",
+    "user": "8F5ADEB79E6020F2664C61E9CDD30816",
+}
+
+
 def q_encrypt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """processor_encrypt: AES-CBC hex over a field — deterministic but
-    engine-internal AES (no DuckDB oracle); rows-only check."""
+    """processor_encrypt: AES-CBC hex over the role field. Fixed key/IV
+    ⇒ deterministic ciphertext, fully oracle-checked via the
+    _ENCRYPT_KAT literals (one per distinct role)."""
     from ilogtail_spark.operators.transform import encrypt_fields
 
     t = _t(spark, sf_dir).filter(F.col("text").startswith("class="))
     # hex key material (parseKey:174 hex-decodes on every supply path)
-    e = encrypt_fields(t, ["text"], "0123456789abcdef".encode().hex())
-    return e.select("conv_id", "turn_idx", F.col("text").alias("encrypted"))
+    e = encrypt_fields(t, ["role"], "0123456789abcdef".encode().hex())
+    return e.select("conv_id", "turn_idx", F.col("role").alias("encrypted"))
+
+
+O_ENCRYPT = f"""{_CTE}
+SELECT conv_id, turn_idx,
+  CASE role
+    {' '.join(f"WHEN '{k}' THEN '{_ENCRYPT_IV_PREFIX}{v}'" for k, v in _ENCRYPT_KAT.items())}
+  END AS encrypted
+FROM transcripts WHERE text LIKE 'class=%'
+"""
 
 
 # =====================================================================
@@ -4791,6 +4818,79 @@ FROM ts
 
 
 # =====================================================================
+# YAML config adapter end-to-end (plans/config.py)
+# =====================================================================
+
+# A reference-shaped pipeline file, verbatim: processors + aggregators
+# incl. the logstore router (aggregator_router.go:97-168) and a value
+# grouper (aggregator_content_value_group.go:66-172). The QUERY compiles
+# this text with compile_ilogtail_config and runs it through
+# build_pipeline/aggregates_for — so the oracle checks the whole
+# adapter→compiler→operator chain, not just the operators.
+_YAML_PIPELINE_CFG = """
+enable: true
+processors:
+  - Type: processor_dict_map
+    SourceKey: role
+    DestKey: role_group
+    MapDict:
+      user: human
+      assistant: model
+      system: control
+    HandleMissing: true
+    Missing: Unknown
+    Mode: fill
+aggregators:
+  - Type: aggregator_logstore_router
+    SourceKey: role
+    RouterRegex:
+      - tool
+      - assistant|system
+    RouterLogstore:
+      - sink_tool
+      - sink_model
+  - Type: aggregator_content_value_group
+    GroupKeys:
+      - route
+      - role_group
+"""
+
+
+def q_yaml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An iLogtail YAML config (router + grouping aggregators, dict-map
+    processor) compiled by the adapter and executed end-to-end — the
+    grouped per-route counts the reference's aggregator stage emits."""
+    from ilogtail_spark.plans.config import compile_ilogtail_config
+    from ilogtail_spark.plans.pipeline import aggregates_for, build_pipeline
+
+    spec = compile_ilogtail_config(_YAML_PIPELINE_CFG)
+    routed = build_pipeline(_t(spark, sf_dir), spec)
+    return aggregates_for(routed, spec)["group_route_role_group"]
+
+
+O_YAML_PIPELINE = f"""{_CTE}
+, routed AS (
+  SELECT
+    CASE
+      WHEN regexp_full_match(role, 'tool') THEN 'sink_tool'
+      WHEN regexp_full_match(role, 'assistant|system') THEN 'sink_model'
+      ELSE 'sink_default'
+    END AS route,
+    CASE role
+      WHEN 'user' THEN 'human'
+      WHEN 'assistant' THEN 'model'
+      WHEN 'system' THEN 'control'
+      ELSE 'Unknown'
+    END AS role_group
+  FROM transcripts)
+SELECT route, role_group,
+  CAST(count(*) AS BIGINT) AS log_count,
+  concat_ws('_', coalesce(route, ''), coalesce(role_group, '')) AS group_key
+FROM routed GROUP BY route, role_group
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 
@@ -4839,6 +4939,7 @@ QUERIES: dict[str, QueryFn] = {
     "stable_order": q_stable_order,
     "stable_order_salted": q_stable_order_salted,
     "lineage": q_lineage,
+    "yaml_pipeline": q_yaml_pipeline,
     "shard_hash": q_shard_hash,
     "shard_hash_md5": q_shard_hash_md5,
     "desensitize": q_desensitize,
@@ -5094,11 +5195,12 @@ ORACLES: dict[str, str] = {
     "custom_flatten": O_CUSTOM_FLATTEN,
     "custom_single": O_CUSTOM_SINGLE,
     "media_frames": O_MEDIA_FRAMES,
+    "encrypt": O_ENCRYPT,
+    "yaml_pipeline": O_YAML_PIPELINE,
 }
 
 # queries intentionally without oracle (non-SQL-expressible internals):
 NO_ORACLE: dict[str, str] = {
-    "encrypt": "AES-CBC output has no DuckDB equivalent; determinism pytest-checked",
     "shard_hash": "xxhash64 is engine-internal; md5 twin is oracle-checked",
 }
 

@@ -29,6 +29,34 @@ class TestEncryptKnownAnswer:
         out = encrypt_fields(df, ["text"], self.KEY).first()
         assert out["text"].lower() == "00" * 16 + "674c7ef38e78cabd9cec9c125823a639"
 
+    def test_oracle_kat_literals_match_openssl(self, spark):
+        """The O_ENCRYPT oracle literals (queries._ENCRYPT_KAT) must stay
+        pinned to a real AES implementation: re-derive each via the
+        openssl CLI and via Spark, and require all three to agree."""
+        import shutil
+        import subprocess
+
+        from ilogtail_spark.queries import _ENCRYPT_IV_PREFIX, _ENCRYPT_KAT
+
+        df = spark.createDataFrame(
+            [(k,) for k in _ENCRYPT_KAT], "role string"
+        )
+        spark_out = {
+            r["orig"]: r["role"]
+            for r in encrypt_fields(
+                df.selectExpr("role", "role AS orig"), ["role"], self.KEY
+            ).collect()
+        }
+        for plain, ct in _ENCRYPT_KAT.items():
+            assert spark_out[plain] == _ENCRYPT_IV_PREFIX + ct
+            if shutil.which("openssl"):
+                got = subprocess.run(
+                    ["openssl", "enc", "-aes-128-cbc", "-K", self.KEY,
+                     "-iv", "00" * 16],
+                    input=plain.encode(), capture_output=True, check=True,
+                ).stdout.hex().upper()
+                assert got == ct
+
     def test_nonzero_iv_vector(self, spark):
         df = spark.createDataFrame([("sensitive-data",)], "text string")
         out = encrypt_fields(
