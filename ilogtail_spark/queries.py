@@ -4891,6 +4891,112 @@ FROM routed GROUP BY route, role_group
 
 
 # =====================================================================
+# protocol flusher wire shapes (loki / clickhouse / pulsar)
+# =====================================================================
+
+# shared SQL restating the custom_single JSON for the simple fixture the
+# three flusher queries use: fields={role, chars}, group tag env=prod
+_FLUSHER_LINES_CTE = """
+base AS (
+  SELECT conv_id, turn_idx, role,
+    cast(length(text) AS varchar) AS chars,
+    cast(epoch_ms(ts) // 1000 AS bigint) AS t
+  FROM transcripts WHERE turn_idx <= 2),
+lines AS (
+  SELECT *, concat('{"contents":{"chars":"', chars, '","role":"', role,
+    '"},"tags":{"env":"prod"},"time":', cast(t AS varchar), '}') AS j
+  FROM base)
+"""
+
+
+def _flusher_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir).filter(F.col("turn_idx") <= 2)
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        F.unix_seconds(F.col("ts").cast("timestamp")).alias("log_time"),
+        F.create_map(
+            F.lit("role"), F.col("role"),
+            F.lit("chars"), F.length("text").cast("string"),
+        ).alias("fields"),
+    )
+
+
+def q_loki_push(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flusher_loki push entries: canonical sorted label-set string from
+    static + dynamic (content./tag.-prefixed) labels, entry timestamp,
+    custom_single JSON line (flusher_loki.go:140-227)."""
+    from ilogtail_spark.operators.convert import loki_entries
+
+    out = loki_entries(
+        _flusher_fixture(spark, sf_dir),
+        dynamic_labels=["content.role", "tag.env"],
+        static_labels={"job": "ilogtail"},
+        group_tags={"env": "prod"},
+    )
+    return out.select("conv_id", "turn_idx", "labels", "entry_ts", "line")
+
+
+O_LOKI_PUSH = f"""{_CTE},
+{_FLUSHER_LINES_CTE}
+SELECT conv_id, turn_idx,
+  concat('{{env="prod", job="ilogtail", role="', role, '"}}') AS labels,
+  t AS entry_ts,
+  j AS line
+FROM lines
+"""
+
+
+def q_clickhouse_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flusher_clickhouse buffer-table rows: (_timestamp, _log) into
+    ilogtail_{Table}_buffer (flusher_clickhouse.go:194,277); event time
+    as the deterministic _timestamp (documented deviation from the
+    reference's ingest wall clock)."""
+    from ilogtail_spark.operators.convert import clickhouse_rows
+
+    out = clickhouse_rows(
+        _flusher_fixture(spark, sf_dir),
+        table="transcripts",
+        group_tags={"env": "prod"},
+    )
+    return out.select("conv_id", "turn_idx", "_timestamp", "_log", "sink_table")
+
+
+O_CLICKHOUSE_ROWS = f"""{_CTE},
+{_FLUSHER_LINES_CTE}
+SELECT conv_id, turn_idx, t AS _timestamp, j AS _log,
+  'ilogtail_transcripts_buffer' AS sink_table
+FROM lines
+"""
+
+
+def q_pulsar_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flusher_pulsar messages: dynamic %{{content.x}} topic, '###'-joined
+    partition key with missing-field skip, custom_single payload
+    (flusher_pulsar.go:195-215,306-324)."""
+    from ilogtail_spark.operators.convert import pulsar_messages
+
+    out = pulsar_messages(
+        _flusher_fixture(spark, sf_dir),
+        topic="logs_%{content.role}",
+        partition_keys=["content.role", "content.missing"],
+        default_key="transcripts",
+        group_tags={"env": "prod"},
+    )
+    return out.select("conv_id", "turn_idx", "topic", "key", "payload")
+
+
+O_PULSAR_MESSAGES = f"""{_CTE},
+{_FLUSHER_LINES_CTE}
+SELECT conv_id, turn_idx,
+  concat('logs_', role) AS topic,
+  role AS key,
+  j AS payload
+FROM lines
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 
@@ -4940,6 +5046,9 @@ QUERIES: dict[str, QueryFn] = {
     "stable_order_salted": q_stable_order_salted,
     "lineage": q_lineage,
     "yaml_pipeline": q_yaml_pipeline,
+    "loki_push": q_loki_push,
+    "clickhouse_rows": q_clickhouse_rows,
+    "pulsar_messages": q_pulsar_messages,
     "shard_hash": q_shard_hash,
     "shard_hash_md5": q_shard_hash_md5,
     "desensitize": q_desensitize,
@@ -5197,6 +5306,9 @@ ORACLES: dict[str, str] = {
     "media_frames": O_MEDIA_FRAMES,
     "encrypt": O_ENCRYPT,
     "yaml_pipeline": O_YAML_PIPELINE,
+    "loki_push": O_LOKI_PUSH,
+    "clickhouse_rows": O_CLICKHOUSE_ROWS,
+    "pulsar_messages": O_PULSAR_MESSAGES,
 }
 
 # queries intentionally without oracle (non-SQL-expressible internals):
