@@ -122,7 +122,8 @@ def main() -> None:
         "funnel", "latency_windows", "retention", "schema_drift",
         "distinct_hll_rollup", "tool_stats", "role_transitions",
         "embedding_drift", "chunk_documents", "corpus_report",
-        "top_errors",
+        "top_errors", "yaml_pipeline", "loki_push", "clickhouse_rows",
+        "pulsar_messages",
     )
     noisy = {"minhash_lsh", "ngram_jaccard", "dedup_clusters", "spl_pipeline"}
     reps = {name: (3 if name in noisy else 2) for name in registry}

@@ -226,6 +226,15 @@ CHECKS = {
     # map-side-combinable aggs; no join (the one Window is the
     # transcripts source's turn_idx derivation)
     "schema_drift": (["HashAggregate", "partial_", "Generate"], ["Join"]),
+    # round 7: the YAML-adapter pipeline compiles to the SAME plan shape a
+    # hand-built spec gets — router + dict-map fuse into the projection,
+    # one grouped agg; the adapter adds zero plan overhead
+    "yaml_pipeline": (["HashAggregate", "partial_"], ["Join"]),
+    # flusher wire shapes: ONE fused projection over the scan — labels/
+    # key/topic/JSON render without joins, aggregates, or explodes
+    "loki_push": (["ReadSchema"], ["Join", "HashAggregate", "Generate"]),
+    "clickhouse_rows": (["ReadSchema"], ["Join", "HashAggregate", "Generate"]),
+    "pulsar_messages": (["ReadSchema"], ["Join", "HashAggregate", "Generate"]),
 }
 
 # single-pass claims: at most N parquet scans in the physical plan
@@ -250,6 +259,9 @@ SCAN_LIMIT = {
     "dissect": 1,
     "zorder_key": 1,
     "corpus_report": 1,       # headline must stay a single corpus pass
+    "loki_push": 1,
+    "clickhouse_rows": 1,
+    "pulsar_messages": 1,
 }
 
 # single-materialization claims: expensive expressions that must appear
@@ -294,6 +306,14 @@ EXCHANGE_LIMIT = {
     "conversation_stats": 2,  # transcripts window + conv-keyed agg
     "weighted_sample": 1,     # the per-stratum rank window only
     "zorder_key": 0,          # pure map stage — no shuffle at all
+    # round 7: wire shapes ride the transcripts source window only —
+    # the converter/labels/key render must add ZERO exchanges
+    "loki_push": 1,
+    "clickhouse_rows": 1,
+    "pulsar_messages": 1,
+    # transcripts source window + the content_value_group agg; the
+    # adapter-compiled router/dict-map must add none
+    "yaml_pipeline": 2,
     # transcripts source window + the TINY dim's interval window; the
     # fact side itself must contribute zero exchanges — that is the
     # whole point of the broadcast-interval tier
