@@ -572,7 +572,7 @@ def run_ilogtail_config(
     reference's aggregator→flusher order."""
     from pyspark.sql import functions as F
 
-    from ilogtail_spark.operators.route import CopyCondition, route_copy
+    from ilogtail_spark.operators.route import route_copy
     from ilogtail_spark.plans.pipeline import apply_processors, apply_router
 
     if isinstance(config, str):
@@ -589,17 +589,8 @@ def run_ilogtail_config(
         # (the reference only emits file/offset with EnableLogPositionMeta)
         sink_df = out.drop("__source__", "__offset__")
         flushers = spec["flushers"]
-        if any(fl.get("Match") for fl in flushers):
-            conds = []
-            for i, fl in enumerate(flushers):
-                name = f"flusher_{i}_{fl.get('Type', 'sink')}"
-                m = fl.get("Match")
-                if m is None:
-                    conds.append(CopyCondition(sink=name))
-                elif m.get("Type", "tag") == "tag":
-                    conds.append(CopyCondition(sink=name, key=m["Key"], value=m["Value"]))
-                else:
-                    raise KeyError(f"unsupported flusher Match.Type: {m.get('Type')!r}")
+        conds = _flusher_conditions(flushers)
+        if conds is not None:
             routed = route_copy(sink_df, conds, route_col="__flusher__")
             (
                 routed.withColumn("route", F.col("__flusher__"))
@@ -616,3 +607,151 @@ def run_ilogtail_config(
                     )
                 )
     return out
+
+
+def _flusher_conditions(flushers: list[dict]) -> "list | None":
+    """Flusher `Match` blocks → route_copy conditions, or None when no
+    flusher carries one (legacy everyone-gets-everything layout).
+    Shared by the batch and streaming runners."""
+    from ilogtail_spark.operators.route import CopyCondition
+
+    if not any(fl.get("Match") for fl in flushers):
+        return None
+    conds = []
+    for i, fl in enumerate(flushers):
+        name = f"flusher_{i}_{fl.get('Type', 'sink')}"
+        m = fl.get("Match")
+        if m is None:
+            conds.append(CopyCondition(sink=name))
+        elif m.get("Type", "tag") == "tag":
+            conds.append(CopyCondition(sink=name, key=m["Key"], value=m["Value"]))
+        else:
+            raise KeyError(f"unsupported flusher Match.Type: {m.get('Type')!r}")
+    return conds
+
+
+def read_inputs_stream(
+    spark: SparkSession,
+    config: str | dict[str, Any],
+    *,
+    max_files_per_trigger: int = 16,
+) -> DataFrame:
+    """Streaming twin of :func:`read_inputs`: the reference agent TAILS
+    its input files continuously — the Structured Streaming file source
+    is the cluster equivalent (new files under the watched paths become
+    micro-batches; checkpointed offsets are the reference's read-offset
+    checkpoint, pluginmanager/checkpoint_manager.go:40-52).
+    maxFilesPerTrigger is the backpressure knob, like the reference's
+    bounded process queues. `__source__` rides along; there is no
+    `__offset__` on this path — order-dependent processors (multiline)
+    need the stateful streaming operator instead."""
+    if isinstance(config, str):
+        import yaml
+
+        config = yaml.safe_load(config)
+    inputs = config.get("inputs", []) or []
+    paths: list[str] = []
+    for i in inputs:
+        if i.get("Type") in ("input_file", "file_log"):
+            paths.extend(i.get("FilePaths", []))
+        else:
+            raise KeyError(f"unsupported input plugin: {i.get('Type')!r}")
+    if not paths:
+        raise ValueError("no file inputs in config")
+    from pyspark.sql import functions as F
+
+    streams = [
+        spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger).text(p)
+        for p in paths
+    ]
+    out = streams[0]
+    for s in streams[1:]:
+        out = out.unionByName(s)
+    return (
+        out.withColumnRenamed("value", "content")
+        .withColumn("__source__", F.input_file_name())
+    )
+
+
+def run_ilogtail_config_stream(
+    spark: SparkSession,
+    config: str | dict[str, Any],
+    *,
+    df: DataFrame | None = None,
+    out_dir: str,
+    available_now: bool = True,
+    timeout_sec: int = 120,
+) -> None:
+    """Streaming end-to-end for the SAME YAML file the batch runner
+    takes — the reference agent is a continuously-running process, so a
+    config must also compile to a Structured Streaming query. Stateless
+    processors and the router apply 1:1 on the stream; flushers write
+    per micro-batch through the same Match-condition routing, landing
+    under `batch_id=<n>/route=<flusher>` partitions with dynamic
+    partition overwrite — a retried micro-batch overwrites only its own
+    batch, so checkpointed offsets + idempotent writes give exactly-once
+    delivery across restarts (the reference's pack-id send dedup).
+
+    Order-dependent processors (multiline merge) raise here: on a
+    stream they need the cross-batch stateful operator
+    (streaming/stateful.py::stream_merge_multiline), not a window."""
+    from pyspark.sql import functions as F
+
+    from ilogtail_spark.operators.route import route_copy
+    from ilogtail_spark.plans.pipeline import apply_processors, apply_router
+
+    if isinstance(config, str):
+        import yaml
+
+        config = yaml.safe_load(config)
+    spec = compile_ilogtail_config(config)
+    for p in spec["processors"]:
+        if p["type"] == "multiline_merge":
+            raise ValueError(
+                "processor_split_log_regex on the streaming path needs the "
+                "stateful operator (streaming/stateful.py::"
+                "stream_merge_multiline), not the batch window form"
+            )
+    src = df if df is not None else read_inputs_stream(spark, config)
+    out = apply_processors(src, spec["processors"])
+    if spec.get("router"):
+        out = apply_router(out, spec["router"])
+    conds = _flusher_conditions(spec["flushers"])
+    flushers = spec["flushers"]
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        sink_df = batch_df.drop("__source__", "__offset__")
+        if conds is not None:
+            routed = (
+                route_copy(sink_df, conds, route_col="__flusher__")
+                .withColumn("route", F.col("__flusher__"))
+                .drop("__flusher__")
+                .withColumn("batch_id", F.lit(batch_id))
+            )
+            (
+                routed.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id", "route")
+                .parquet(f"{out_dir}/routed")
+            )
+        else:
+            stamped = sink_df.withColumn("batch_id", F.lit(batch_id))
+            for i, fl in enumerate(flushers):
+                (
+                    stamped.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(f"{out_dir}/flusher_{i}_{fl.get('Type', 'sink')}")
+                )
+
+    writer = (
+        out.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", f"{out_dir}/_stream_ckpt")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()

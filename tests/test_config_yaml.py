@@ -499,3 +499,76 @@ class TestFlusherRouting:
         df = spark.createDataFrame([("x",)], "a string")
         with pytest.raises(KeyError, match="event_type"):
             run_ilogtail_config(spark, cfg, df=df, out_dir=str(tmp_path / "s"))
+
+
+class TestStreamingConfig:
+    """run_ilogtail_config_stream: the same YAML compiles to a Structured
+    Streaming query — Match-routed idempotent micro-batch sinks,
+    checkpointed resume picks up only NEW files."""
+
+    CFG = {
+        "inputs": [{"Type": "input_file", "FilePaths": []}],  # set per test
+        "processors": [{
+            "Type": "processor_regex", "SourceKey": "content",
+            "Regex": r"(\w+) (\d+)", "Keys": ["level", "code"],
+        }],
+        "flushers": [
+            {"Type": "flusher_sls",
+             "Match": {"Type": "tag", "Key": "level", "Value": "ERROR"}},
+            {"Type": "flusher_file"},
+        ],
+    }
+
+    def _routed_counts(self, spark, out_dir):
+        import pyspark.sql.functions as F
+
+        df = spark.read.parquet(f"{out_dir}/routed")
+        return {
+            (r["route"], r["batch_id"]): r["n"]
+            for r in df.groupBy("route", "batch_id")
+            .agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+
+    def test_stream_match_routing_and_resume(self, spark, tmp_path):
+        from ilogtail_spark.plans.config import run_ilogtail_config_stream
+
+        watch = tmp_path / "logs"
+        watch.mkdir()
+        (watch / "a.log").write_text("ERROR 1\nINFO 2\nERROR 3\n")
+        cfg = dict(self.CFG)
+        cfg["inputs"] = [{"Type": "input_file", "FilePaths": [str(watch)]}]
+        out_dir = str(tmp_path / "sinks")
+
+        run_ilogtail_config_stream(spark, cfg, out_dir=out_dir, timeout_sec=90)
+        got = self._routed_counts(spark, out_dir)
+        by_route = {}
+        for (route, _b), n in got.items():
+            by_route[route] = by_route.get(route, 0) + n
+        assert by_route == {
+            "flusher_0_flusher_sls": 2,      # the two ERROR lines
+            "flusher_1_flusher_file": 3,     # unconditional: everything
+        }
+
+        # drop a NEW file and restart: checkpointed offsets mean only the
+        # new file is processed (the reference's resume-from-offset)
+        (watch / "b.log").write_text("ERROR 9\n")
+        run_ilogtail_config_stream(spark, cfg, out_dir=out_dir, timeout_sec=90)
+        by_route2 = {}
+        for (route, _b), n in self._routed_counts(spark, out_dir).items():
+            by_route2[route] = by_route2.get(route, 0) + n
+        assert by_route2 == {
+            "flusher_0_flusher_sls": 3,
+            "flusher_1_flusher_file": 4,
+        }
+
+    def test_multiline_raises_on_stream(self, spark, tmp_path):
+        from ilogtail_spark.plans.config import run_ilogtail_config_stream
+
+        cfg = {
+            "inputs": [{"Type": "input_file", "FilePaths": [str(tmp_path)]}],
+            "processors": [{"Type": "processor_split_log_regex",
+                            "SplitRegex": r"\d+.*"}],
+            "flushers": [{"Type": "flusher_file"}],
+        }
+        with pytest.raises(ValueError, match="stream_merge_multiline"):
+            run_ilogtail_config_stream(spark, cfg, out_dir=str(tmp_path / "o"))
