@@ -38,5 +38,7 @@ class TestRegistryHealth:
         assert not bad, bad
 
     def test_rows_only_set_is_minimal(self):
-        # every rows-only survivor must be genuinely engine-internal
-        assert set(NO_ORACLE) == {"encrypt", "shard_hash"}
+        # every rows-only survivor must be genuinely engine-internal —
+        # encrypt graduated to a full KAT-literal oracle in r7, leaving
+        # only the xxhash64 shard (whose md5 twin IS fully checked)
+        assert set(NO_ORACLE) == {"shard_hash"}
