@@ -363,6 +363,13 @@ def _p_geoip(c: dict) -> dict:
     return {"type": "geoip", "ip_col": c["SourceKey"], "db_path": c["DBPath"]}
 
 
+def _p_spl(c: dict) -> dict:
+    # ProcessorSPL (core/plugin/processor/ProcessorSPL.cpp:37): Script is
+    # the SPL query; TimeoutMilliSeconds is an agent-runtime knob with no
+    # relational meaning (Catalyst owns execution), accepted and ignored.
+    return {"type": "spl", "script": c["Script"]}
+
+
 def _p_log_to_metric(c: dict) -> dict:
     return {
         "type": "log_to_metric_dynamic",
@@ -407,6 +414,7 @@ _PROCESSOR_ADAPTERS: dict[str, Callable[[dict], dict]] = {
     "processor_encrypt": _p_encrypt,
     "processor_geoip": _p_geoip,
     "processor_log_to_sls_metric": _p_log_to_metric,
+    "processor_spl": _p_spl,
 }
 
 

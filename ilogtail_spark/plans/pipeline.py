@@ -74,6 +74,15 @@ def _multiline_from_config(
     return out.withColumnRenamed("__merged__", line_col)
 
 
+def _spl_from_config(df: DataFrame, *, script: str) -> DataFrame:
+    """processor_spl (core/plugin/processor/ProcessorSPL.cpp:37-76): the
+    YAML carries a full SPL query in `Script`; plans/spl.py compiles it
+    to the same lazy DataFrame the hand-written operators produce."""
+    from ilogtail_spark.plans.spl import spl_query
+
+    return spl_query(df, script)
+
+
 def _geoip_from_config(df: DataFrame, *, ip_col: str, db_path: str) -> DataFrame:
     """processor_geoip on the config path: DBPath points at a parquet
     range table (ip_start long, ip_end long, ...attrs) — the relational
@@ -123,6 +132,9 @@ _PROCESSORS: dict[str, Callable[..., DataFrame]] = {
     # config-path wrappers (multi-column / external-table operators)
     "multiline_merge": _multiline_from_config,
     "geoip": _geoip_from_config,
+    # SPL (§2.9): a whole SPL script as one processor stage, compiled by
+    # plans/spl.py into DataFrame ops (ProcessorSPL.cpp:37 Script param)
+    "spl": _spl_from_config,
 }
 
 

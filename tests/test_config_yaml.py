@@ -90,9 +90,9 @@ class TestYamlConfig:
         assert row["remote_addr"] is None
 
     def test_unknown_processor_raises(self, spark):
-        with pytest.raises(KeyError, match="processor_spl"):
+        with pytest.raises(KeyError, match="processor_nonexistent"):
             compile_ilogtail_config(
-                {"processors": [{"Type": "processor_spl"}], "flushers": []}
+                {"processors": [{"Type": "processor_nonexistent"}], "flushers": []}
             )
 
     def test_unknown_input_raises(self, spark):
@@ -572,3 +572,19 @@ class TestStreamingConfig:
         }
         with pytest.raises(ValueError, match="stream_merge_multiline"):
             run_ilogtail_config_stream(spark, cfg, out_dir=str(tmp_path / "o"))
+
+
+class TestSplProcessor:
+    def test_spl_script_through_yaml(self, spark):
+        df = spark.createDataFrame(
+            [("GET /a 200",), ("POST /b 500",)], "content string"
+        )
+        cfg = {"processors": [{
+            "Type": "processor_spl",
+            "Script": ("* | parse-regexp content, '(\\w+) (\\S+) (\\d+)' "
+                       "as method, url, status | where status = '500'"),
+            "TimeoutMilliSeconds": 1000,
+        }]}
+        rows = run_ilogtail_config(spark, cfg, df=df).collect()
+        assert len(rows) == 1
+        assert rows[0]["method"] == "POST" and rows[0]["url"] == "/b"
