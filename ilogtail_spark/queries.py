@@ -4997,6 +4997,313 @@ FROM lines
 
 
 # =====================================================================
+# network-input decoders (operators/netparse.py)
+# =====================================================================
+
+# Frame fixtures are synthesized by ONE shared SQL expression evaluated
+# identically by Spark and DuckDB (the _SYSLOG_TEXT_SQL trick): the
+# engine PARSES the frame, the oracle RE-DERIVES the expected fields
+# from the base columns — so a parse bug can't cancel out.
+
+_NP_PROG = "coalesce(tool, 'agentd')"
+_NP_MON = "substr('JanFebMarAprMayJunJulAugSepOctNovDec', 1 + (turn_idx % 12) * 3, 3)"
+
+_R3164_LINE_SQL = (
+    "CASE WHEN turn_idx % 7 = 3 THEN concat('bad frame ', cast(turn_idx AS string)) "
+    f"ELSE concat('<', cast(turn_idx % 192 AS string), '>', {_NP_MON}, ' ', "
+    "cast(1 + turn_idx % 28 AS string), ' ', "
+    "lpad(cast(turn_idx % 24 AS string), 2, '0'), ':', "
+    "lpad(cast(turn_idx % 60 AS string), 2, '0'), ':', "
+    "lpad(cast((turn_idx * 7) % 60 AS string), 2, '0'), ' host-', "
+    f"cast(turn_idx % 5 AS string), ' ', {_NP_PROG}, "
+    "CASE WHEN turn_idx % 2 = 0 THEN concat('[', cast(100 + turn_idx % 900 AS string), ']') ELSE '' END, "
+    "': event from ', role) END"
+)
+
+# oracle-side recomputation pieces (DuckDB dialect)
+_O3164_OK = "turn_idx % 7 <> 3"
+_O3164_TS = (
+    "cast(epoch_ns(make_timestamp(2026, 1 + turn_idx % 12, 1 + turn_idx % 28, "
+    "turn_idx % 24, turn_idx % 60, (turn_idx * 7) % 60)) AS string)"
+)
+
+
+def q_syslog_rfc3164(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """service_syslog decoder, RFC3164 protocol
+    (plugins/input/syslog/parser.go:83-119, field names syslog.go:411-431):
+    PRI→facility/severity split, year-less timestamp → nano epoch,
+    TAG[pid] program extraction, IgnoreParseFailure raw-content rows
+    (every 7th frame is garbage)."""
+    from ilogtail_spark.operators.netparse import syslog_parse
+
+    t = _t(spark, sf_dir).withColumn("frame", F.expr(_R3164_LINE_SQL))
+    out = syslog_parse(
+        t, "frame", protocol="rfc3164", default_year=2026,
+        hostname_fallback="h-fallback", host_ip="10.0.0.1",
+    )
+    return out.select(
+        "conv_id", "turn_idx", "_program_", "_priority_", "_facility_",
+        "_severity_", "_hostname_", "_ip_", "_content_", "_unixtimestamp_",
+    )
+
+
+O_SYSLOG_RFC3164 = f"""{_CTE}
+SELECT conv_id, turn_idx,
+  CASE WHEN {_O3164_OK} THEN {_NP_PROG} ELSE '' END AS _program_,
+  CASE WHEN {_O3164_OK} THEN cast(turn_idx % 192 AS string) ELSE '-1' END AS _priority_,
+  CASE WHEN {_O3164_OK} THEN cast((turn_idx % 192) // 8 AS string) ELSE '-1' END AS _facility_,
+  CASE WHEN {_O3164_OK} THEN cast((turn_idx % 192) % 8 AS string) ELSE '-1' END AS _severity_,
+  CASE WHEN {_O3164_OK} THEN concat('host-', cast(turn_idx % 5 AS string))
+       ELSE 'h-fallback' END AS _hostname_,
+  '10.0.0.1' AS _ip_,
+  CASE WHEN {_O3164_OK} THEN concat('event from ', role)
+       ELSE concat('bad frame ', cast(turn_idx AS string)) END AS _content_,
+  CASE WHEN {_O3164_OK} THEN {_O3164_TS} END AS _unixtimestamp_
+FROM transcripts
+"""
+
+
+_R5424_TZ = "CASE WHEN turn_idx % 3 = 0 THEN 'Z' WHEN turn_idx % 3 = 1 THEN '.250Z' ELSE '+02:00' END"
+_R5424_PROCID = (
+    "CASE WHEN turn_idx % 4 = 0 THEN '-' ELSE cast(1000 + turn_idx % 9000 AS string) END"
+)
+_R5424_MSGID = (
+    "CASE WHEN turn_idx % 5 = 0 THEN '-' ELSE concat('ID', cast(turn_idx % 97 AS string)) END"
+)
+_R5424_SD = (
+    "CASE WHEN turn_idx % 6 = 0 THEN '-' ELSE concat('[meta seq=\"', "
+    f"cast(turn_idx AS string), '\" svc=\"', {_NP_PROG}, '\"][origin]') END"
+)
+_R5424_LINE_SQL = (
+    "concat('<', cast(turn_idx % 192 AS string), '>1 2026-', "
+    "lpad(cast(1 + turn_idx % 12 AS string), 2, '0'), '-', "
+    "lpad(cast(1 + turn_idx % 28 AS string), 2, '0'), 'T', "
+    "lpad(cast(turn_idx % 24 AS string), 2, '0'), ':', "
+    "lpad(cast(turn_idx % 60 AS string), 2, '0'), ':', "
+    f"lpad(cast((turn_idx * 7) % 60 AS string), 2, '0'), {_R5424_TZ}, "
+    f"' host-', cast(turn_idx % 5 AS string), ' ', {_NP_PROG}, ' ', "
+    f"{_R5424_PROCID}, ' ', {_R5424_MSGID}, ' ', {_R5424_SD}, "
+    "' request ', cast(turn_idx AS string), ' from ', role)"
+)
+
+# wall-clock components → UTC nano epoch with the frame's own offset
+_O5424_TS = (
+    "cast(epoch_ns(make_timestamp(2026, 1 + turn_idx % 12, 1 + turn_idx % 28, "
+    "turn_idx % 24, turn_idx % 60, (turn_idx * 7) % 60)) "
+    "+ CASE WHEN turn_idx % 3 = 1 THEN 250000000 "
+    "       WHEN turn_idx % 3 = 2 THEN -7200000000000 ELSE 0 END AS string)"
+)
+
+
+def q_syslog_rfc5424(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """service_syslog decoder, RFC5424 protocol
+    (plugins/input/syslog/parser.go:122-172): RFC3339 timestamps with
+    offsets/fractions, `-` nilvalues for PROCID/MSGID/SD, and
+    structured-data → the sorted-key nested JSON of syslog.go:433-436."""
+    from ilogtail_spark.operators.netparse import syslog_parse
+
+    t = _t(spark, sf_dir).withColumn("frame", F.expr(_R5424_LINE_SQL))
+    out = syslog_parse(t, "frame", protocol="rfc5424",
+                       hostname_fallback="h-fallback")
+    return out.select(
+        "conv_id", "turn_idx", "_program_", "_priority_", "_facility_",
+        "_severity_", "_hostname_", "_content_", "_unixtimestamp_",
+        "_process_id_", "_message_id_", "_structured_data_",
+    )
+
+
+O_SYSLOG_RFC5424 = f"""{_CTE}
+SELECT conv_id, turn_idx,
+  {_NP_PROG} AS _program_,
+  cast(turn_idx % 192 AS string) AS _priority_,
+  cast((turn_idx % 192) // 8 AS string) AS _facility_,
+  cast((turn_idx % 192) % 8 AS string) AS _severity_,
+  concat('host-', cast(turn_idx % 5 AS string)) AS _hostname_,
+  concat('request ', cast(turn_idx AS string), ' from ', role) AS _content_,
+  {_O5424_TS} AS _unixtimestamp_,
+  CASE WHEN turn_idx % 4 = 0 THEN NULL
+       ELSE cast(1000 + turn_idx % 9000 AS string) END AS _process_id_,
+  CASE WHEN turn_idx % 5 = 0 THEN NULL
+       ELSE concat('ID', cast(turn_idx % 97 AS string)) END AS _message_id_,
+  CASE WHEN turn_idx % 6 = 0 THEN NULL
+       ELSE concat('{{"meta":{{"seq":"', cast(turn_idx AS string),
+                   '","svc":"', {_NP_PROG}, '"}},"origin":{{}}}}')
+  END AS _structured_data_
+FROM transcripts
+"""
+
+
+def q_syslog_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """service_syslog ParseProtocol=auto (parser.go:175-200): rfc3164
+    is tried first, rfc5424 second, per-frame — a mixed stream decodes
+    in one pass with both regexes fused into one CASE projection."""
+    from ilogtail_spark.operators.netparse import syslog_parse
+
+    mixed = (
+        f"CASE WHEN turn_idx % 2 = 0 THEN {_R3164_LINE_SQL} "
+        f"ELSE {_R5424_LINE_SQL} END"
+    )
+    t = _t(spark, sf_dir).withColumn("frame", F.expr(mixed))
+    out = syslog_parse(t, "frame", protocol="auto", default_year=2026,
+                       hostname_fallback="h-fallback")
+    return out.select(
+        "conv_id", "turn_idx", "_program_", "_priority_", "_facility_",
+        "_severity_", "_hostname_", "_content_", "_unixtimestamp_",
+    )
+
+
+O_SYSLOG_AUTO = f"""{_CTE}
+SELECT conv_id, turn_idx,
+  CASE WHEN turn_idx % 2 = 1 OR {_O3164_OK} THEN {_NP_PROG} ELSE '' END AS _program_,
+  CASE WHEN turn_idx % 2 = 1 OR {_O3164_OK}
+       THEN cast(turn_idx % 192 AS string) ELSE '-1' END AS _priority_,
+  CASE WHEN turn_idx % 2 = 1 OR {_O3164_OK}
+       THEN cast((turn_idx % 192) // 8 AS string) ELSE '-1' END AS _facility_,
+  CASE WHEN turn_idx % 2 = 1 OR {_O3164_OK}
+       THEN cast((turn_idx % 192) % 8 AS string) ELSE '-1' END AS _severity_,
+  CASE WHEN turn_idx % 2 = 1 OR {_O3164_OK}
+       THEN concat('host-', cast(turn_idx % 5 AS string))
+       ELSE 'h-fallback' END AS _hostname_,
+  CASE WHEN turn_idx % 2 = 1 THEN concat('request ', cast(turn_idx AS string), ' from ', role)
+       WHEN {_O3164_OK} THEN concat('event from ', role)
+       ELSE concat('bad frame ', cast(turn_idx AS string)) END AS _content_,
+  CASE WHEN turn_idx % 2 = 1 THEN {_O5424_TS}
+       WHEN {_O3164_OK} THEN {_O3164_TS} END AS _unixtimestamp_
+FROM transcripts
+"""
+
+
+_STATSD_LINE_SQL = (
+    f"concat({_NP_PROG}, '.calls:', cast(1 + turn_idx % 500 AS string), "
+    "CASE WHEN turn_idx % 3 = 0 THEN concat('|c', CASE WHEN turn_idx % 2 = 0 THEN '|@0.5' ELSE '' END) "
+    "     WHEN turn_idx % 3 = 1 THEN '|g' ELSE '|ms' END, "
+    f"'|#role:', role, ',tool:', {_NP_PROG})"
+)
+
+
+def q_statsd_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """statsd/dogstatsd decoder
+    (pkg/protocol/decoder/statsd/decoder.go:44-64): frame → SLS metric
+    shape; counters scaled by 1/sample-rate, tags → the sorted
+    MetricLabels string."""
+    from ilogtail_spark.operators.netparse import statsd_decode
+
+    t = _t(spark, sf_dir).withColumn("frame", F.expr(_STATSD_LINE_SQL))
+    out = statsd_decode(t, "frame", time_col="ts")
+    return out.select(
+        "conv_id", "turn_idx", "__name__", "__labels__", "__time_nano__",
+        "__value__", "__statsd_type__",
+    )
+
+
+O_STATSD_DECODE = f"""{_CTE}
+SELECT conv_id, turn_idx,
+  concat({_NP_PROG}, '.calls') AS __name__,
+  concat('role#$#', role, '|tool#$#', {_NP_PROG}) AS __labels__,
+  epoch_us(ts) * 1000 AS __time_nano__,
+  CASE WHEN turn_idx % 3 = 0 AND turn_idx % 2 = 0
+       THEN cast(1 + turn_idx % 500 AS double) * 2
+       ELSE cast(1 + turn_idx % 500 AS double) END AS __value__,
+  CASE WHEN turn_idx % 3 = 0 THEN 'c' WHEN turn_idx % 3 = 1 THEN 'g'
+       ELSE 'ms' END AS __statsd_type__
+FROM transcripts
+"""
+
+
+_INFLUX_NANO_SQL = "cast(1700000000000000000 + cast(turn_idx AS bigint) * 1000000 AS string)"
+_INFLUX_LINE_SQL = (
+    f"concat('conv,role=', role, ',tool=', {_NP_PROG}, "
+    "' value=', cast(turn_idx % 100 AS string), '.25,turns=', "
+    f"cast(1 + turn_idx % 40 AS string), 'i ', {_INFLUX_NANO_SQL})"
+)
+
+
+def q_influx_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """influx line-protocol decoder (input side —
+    pkg/protocol/decoder/influxdb/decoder.go:160-220): one metric row
+    PER FIELD, `measurement` vs `measurement:field` naming, int `i`
+    suffix handling, line-carried nano timestamps."""
+    from ilogtail_spark.operators.netparse import influx_decode
+
+    t = _t(spark, sf_dir).withColumn("frame", F.expr(_INFLUX_LINE_SQL))
+    out = influx_decode(t, "frame", time_col="ts")
+    return out.select(
+        "conv_id", "turn_idx", "__name__", "__labels__", "__time_nano__",
+        "__value__",
+    )
+
+
+O_INFLUX_DECODE = f"""{_CTE}
+SELECT conv_id, turn_idx,
+  'conv' AS __name__,
+  concat('role#$#', role, '|tool#$#', {_NP_PROG}) AS __labels__,
+  1700000000000000000 + cast(turn_idx AS bigint) * 1000000 AS __time_nano__,
+  concat(cast(turn_idx % 100 AS string), '.25') AS __value__
+FROM transcripts
+UNION ALL
+SELECT conv_id, turn_idx,
+  'conv:turns' AS __name__,
+  concat('role#$#', role, '|tool#$#', {_NP_PROG}) AS __labels__,
+  1700000000000000000 + cast(turn_idx AS bigint) * 1000000 AS __time_nano__,
+  cast(1 + turn_idx % 40 AS string) AS __value__
+FROM transcripts
+"""
+
+
+_OTLP_NANO_SQL = "cast(1700000000000000000 + cast(turn_idx AS bigint) * 1000000 AS string)"
+_OTLP_NANO2_SQL = "cast(1700000000000000001 + cast(turn_idx AS bigint) * 1000000 AS string)"
+_OTLP_DOC_SQL = (
+    "concat('{\"resourceLogs\":[{\"resource\":{\"attributes\":"
+    f"[{{\"key\":\"service.name\",\"value\":{{\"stringValue\":\"', {_NP_PROG}, "
+    "'\"}}]},\"scopeLogs\":[{\"logRecords\":["
+    f"{{\"timeUnixNano\":\"', {_OTLP_NANO_SQL}, "
+    "'\",\"severityNumber\":9,\"severityText\":\"INFO\",\"body\":"
+    "{\"stringValue\":\"turn ', cast(turn_idx AS string), ' from ', role, "
+    "'\"},\"attributes\":[{\"key\":\"tool\",\"value\":{\"stringValue\":\"', "
+    f"{_NP_PROG}, "
+    "'\"}},{\"key\":\"role\",\"value\":{\"stringValue\":\"', role, '\"}}]},"
+    f"{{\"timeUnixNano\":\"', {_OTLP_NANO2_SQL}, "
+    "'\",\"severityNumber\":17,\"severityText\":\"ERROR\",\"body\":"
+    "{\"stringValue\":\"err ', cast(turn_idx AS string), "
+    "'\"},\"attributes\":[]}]}]}]}')"
+)
+
+
+def q_otlp_log_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTLP/JSON logs decoder (ConvertOtlpLogV1,
+    pkg/protocol/decoder/opentelemetry/otlpDataToSLSProto.go:280-330):
+    ExportLogsServiceRequest → one row per LogRecord; attributes and
+    resource attributes marshal to sorted-key JSON, absent when empty."""
+    from ilogtail_spark.operators.netparse import otlp_log_decode
+
+    t = _t(spark, sf_dir).withColumn("payload", F.expr(_OTLP_DOC_SQL))
+    out = otlp_log_decode(t, "payload")
+    return out.select(
+        "conv_id", "turn_idx", "time_unix_nano", "severity_number",
+        "severity_text", "content", "attributes", "resources",
+    )
+
+
+O_OTLP_LOG_DECODE = f"""{_CTE}
+SELECT conv_id, turn_idx,
+  {_OTLP_NANO_SQL} AS time_unix_nano,
+  '9' AS severity_number, 'INFO' AS severity_text,
+  concat('turn ', cast(turn_idx AS string), ' from ', role) AS content,
+  concat('{{"role":"', role, '","tool":"', {_NP_PROG}, '"}}') AS attributes,
+  concat('{{"service.name":"', {_NP_PROG}, '"}}') AS resources
+FROM transcripts
+UNION ALL
+SELECT conv_id, turn_idx,
+  {_OTLP_NANO2_SQL} AS time_unix_nano,
+  '17' AS severity_number, 'ERROR' AS severity_text,
+  concat('err ', cast(turn_idx AS string)) AS content,
+  NULL AS attributes,
+  concat('{{"service.name":"', {_NP_PROG}, '"}}') AS resources
+FROM transcripts
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 
@@ -5049,6 +5356,12 @@ QUERIES: dict[str, QueryFn] = {
     "loki_push": q_loki_push,
     "clickhouse_rows": q_clickhouse_rows,
     "pulsar_messages": q_pulsar_messages,
+    "syslog_rfc3164": q_syslog_rfc3164,
+    "syslog_rfc5424": q_syslog_rfc5424,
+    "syslog_auto": q_syslog_auto,
+    "statsd_decode": q_statsd_decode,
+    "influx_decode": q_influx_decode,
+    "otlp_log_decode": q_otlp_log_decode,
     "shard_hash": q_shard_hash,
     "shard_hash_md5": q_shard_hash_md5,
     "desensitize": q_desensitize,
@@ -5309,6 +5622,12 @@ ORACLES: dict[str, str] = {
     "loki_push": O_LOKI_PUSH,
     "clickhouse_rows": O_CLICKHOUSE_ROWS,
     "pulsar_messages": O_PULSAR_MESSAGES,
+    "syslog_rfc3164": O_SYSLOG_RFC3164,
+    "syslog_rfc5424": O_SYSLOG_RFC5424,
+    "syslog_auto": O_SYSLOG_AUTO,
+    "statsd_decode": O_STATSD_DECODE,
+    "influx_decode": O_INFLUX_DECODE,
+    "otlp_log_decode": O_OTLP_LOG_DECODE,
 }
 
 # queries intentionally without oracle (non-SQL-expressible internals):
