@@ -323,7 +323,7 @@ def statsd_decode(
     df: DataFrame,
     source_key: str = "text",
     *,
-    time_col: str = "ts",
+    time_col: str | None = "ts",
 ) -> DataFrame:
     """The statsd decoder (pkg/protocol/decoder/statsd/decoder.go:44-64):
     each dogstatsd frame `name:value|type[|@rate][|#tags]` becomes one
@@ -333,7 +333,8 @@ def statsd_decode(
     normalization); other types take the literal value. Unparseable
     frames are DROPPED (decoder.go logs and skips). The reference
     stamps arrival time.Now(); here `time_col` supplies the event time
-    deterministically."""
+    deterministically (None — e.g. an archive replay with no arrival
+    time — emits NULL `__time_nano__`)."""
     p = regex_parse(df, _STATSD_RE, _STATSD_KEYS, source_key,
                     keep_source=True, dotall=False)
     value = F.col("m_value").try_cast("double")
@@ -348,9 +349,11 @@ def statsd_decode(
             *[c for c in df.columns if c != source_key],
             F.col("m_name").alias("__name__"),
             _labels_from_tags(F.col("m_tags")).alias("__labels__"),
-            (F.unix_micros(F.col(time_col).cast("timestamp")) * 1000).alias(
-                "__time_nano__"
-            ),
+            (
+                F.unix_micros(F.col(time_col).cast("timestamp")) * 1000
+                if time_col
+                else F.lit(None).cast("long")
+            ).alias("__time_nano__"),
             scaled.alias("__value__"),
             F.col("m_type").alias("__statsd_type__"),
         )

@@ -522,8 +522,17 @@ def compile_ilogtail_config(config: str | dict[str, Any]) -> dict[str, Any]:
 
 def read_inputs(spark: SparkSession, config: str | dict[str, Any]) -> DataFrame:
     """`inputs` section → a DataFrame with the reference's default field
-    name `content` (one row per line, input_file semantics). Only file
-    inputs exist in this engine (SURVEY §2.1 descopes network inputs).
+    name `content` (one row per line, input_file semantics).
+
+    Network inputs are supported in DECODER form (SURVEY §2.1 descopes
+    the listeners; operators/netparse.py implements the protocol
+    decoders): `service_syslog` and `service_http_server` here read
+    archived frames from `FilePaths` — one frame per line, the offline
+    replay of what the socket would have delivered — and run the exact
+    decoder the reference would (ParseProtocol / Format / FieldsExtend
+    at reference parameter names, syslog.go:52-54 and
+    input_http_server.go:59-66). service_syslog aliases `content` to
+    the decoded `_content_` so default-SourceKey processors chain on.
 
     Two metadata columns ride along for order-dependent processors
     (multiline merge): `__source__` = the file path (the reference's
@@ -536,22 +545,88 @@ def read_inputs(spark: SparkSession, config: str | dict[str, Any]) -> DataFrame:
 
         config = yaml.safe_load(config)
     inputs = config.get("inputs", []) or []
-    paths: list[str] = []
-    for i in inputs:
-        if i.get("Type") in ("input_file", "file_log"):
-            paths.extend(i.get("FilePaths", []))
-        else:
-            raise KeyError(f"unsupported input plugin: {i.get('Type')!r}")
-    if not paths:
-        raise ValueError("no file inputs in config")
+    if not inputs:
+        raise ValueError("no inputs in config")
     from pyspark.sql import functions as F
 
-    return (
-        spark.read.text(paths)
-        .withColumnRenamed("value", "content")
-        .withColumn("__source__", F.input_file_name())
-        .withColumn("__offset__", F.monotonically_increasing_id())
-    )
+    def _lines(i: dict) -> DataFrame:
+        paths = i.get("FilePaths", [])
+        if not paths:
+            raise ValueError(f"{i.get('Type')}: FilePaths required "
+                             "(offline frame archive)")
+        return (
+            spark.read.text(paths)
+            .withColumnRenamed("value", "content")
+            .withColumn("__source__", F.input_file_name())
+            .withColumn("__offset__", F.monotonically_increasing_id())
+        )
+
+    dfs = []
+    for i in inputs:
+        _validate_input(i)  # unknown Type/Format fails before any read
+        dfs.append(_decode_input(_lines(i), i))
+    df = dfs[0]
+    for d in dfs[1:]:
+        df = df.unionByName(d, allowMissingColumns=True)
+    return df
+
+
+_HTTP_FORMATS = ("influx", "influxdb", "statsd", "otlp_logv1")
+
+
+def _validate_input(i: dict) -> None:
+    typ = i.get("Type")
+    if typ in ("input_file", "file_log", "service_syslog", "service_otlp"):
+        return
+    if typ == "service_http_server":
+        if i.get("Format") not in _HTTP_FORMATS:
+            raise KeyError(
+                f"unsupported service_http_server Format: {i.get('Format')!r}"
+            )
+        return
+    raise KeyError(f"unsupported input plugin: {typ!r}")
+
+
+def _decode_input(df: DataFrame, i: dict) -> DataFrame:
+    """Apply a network input's protocol decoder to its frame lines.
+    Every decoder is a stateless projection (operators/netparse.py), so
+    this works identically on a batch or a streaming DataFrame —
+    read_inputs and read_inputs_stream share it."""
+    from pyspark.sql import functions as F
+
+    typ = i.get("Type")
+    if typ in ("input_file", "file_log"):
+        return df
+    if typ == "service_syslog":
+        from ilogtail_spark.operators.netparse import syslog_parse
+
+        out = syslog_parse(
+            df,
+            "content",
+            protocol=i.get("ParseProtocol", ""),
+            ignore_parse_failure=i.get("IgnoreParseFailure", True),
+            add_hostname=i.get("AddHostname", False),
+        )
+        return out.withColumn("content", F.col("_content_"))
+    if typ in ("service_http_server", "service_otlp"):
+        fmt = "otlp_logv1" if typ == "service_otlp" else i.get("Format")
+        if fmt in ("influx", "influxdb"):
+            from ilogtail_spark.operators.netparse import influx_decode
+
+            return influx_decode(
+                df, "content", time_col=None,
+                fields_extend=i.get("FieldsExtend", False),
+            )
+        if fmt == "statsd":
+            from ilogtail_spark.operators.netparse import statsd_decode
+
+            return statsd_decode(df, "content", time_col=None)
+        if fmt == "otlp_logv1":
+            from ilogtail_spark.operators.netparse import otlp_log_decode
+
+            return otlp_log_decode(df, "content")
+        raise KeyError(f"unsupported service_http_server Format: {fmt!r}")
+    raise KeyError(f"unsupported input plugin: {typ!r}")
 
 
 def run_ilogtail_config(
@@ -658,27 +733,39 @@ def read_inputs_stream(
 
         config = yaml.safe_load(config)
     inputs = config.get("inputs", []) or []
-    paths: list[str] = []
-    for i in inputs:
-        if i.get("Type") in ("input_file", "file_log"):
-            paths.extend(i.get("FilePaths", []))
-        else:
-            raise KeyError(f"unsupported input plugin: {i.get('Type')!r}")
-    if not paths:
-        raise ValueError("no file inputs in config")
+    if not inputs:
+        raise ValueError("no inputs in config")
     from pyspark.sql import functions as F
 
-    streams = [
-        spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger).text(p)
-        for p in paths
-    ]
-    out = streams[0]
-    for s in streams[1:]:
-        out = out.unionByName(s)
-    return (
-        out.withColumnRenamed("value", "content")
-        .withColumn("__source__", F.input_file_name())
-    )
+    def _stream_lines(i: dict) -> DataFrame:
+        paths = i.get("FilePaths", [])
+        if not paths:
+            raise ValueError(f"{i.get('Type')}: FilePaths required "
+                             "(offline frame archive)")
+        streams = [
+            spark.readStream.option(
+                "maxFilesPerTrigger", max_files_per_trigger
+            ).text(p)
+            for p in paths
+        ]
+        s = streams[0]
+        for extra in streams[1:]:
+            s = s.unionByName(extra)
+        return (
+            s.withColumnRenamed("value", "content")
+            .withColumn("__source__", F.input_file_name())
+        )
+
+    # network-input decoders are stateless projections, so they apply
+    # to the micro-batch stream exactly as they do in batch
+    dfs = []
+    for i in inputs:
+        _validate_input(i)
+        dfs.append(_decode_input(_stream_lines(i), i))
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out
 
 
 def run_ilogtail_config_stream(

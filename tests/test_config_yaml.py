@@ -96,8 +96,15 @@ class TestYamlConfig:
             )
 
     def test_unknown_input_raises(self, spark):
-        with pytest.raises(KeyError, match="service_http_server"):
-            read_inputs(spark, {"inputs": [{"Type": "service_http_server"}]})
+        with pytest.raises(KeyError, match="service_mqtt"):
+            read_inputs(spark, {"inputs": [{"Type": "service_mqtt"}]})
+
+    def test_http_server_unknown_format_raises(self, spark):
+        with pytest.raises(KeyError, match="Format"):
+            read_inputs(
+                spark,
+                {"inputs": [{"Type": "service_http_server", "Format": "sls"}]},
+            )
 
     def test_disabled_config_raises(self, spark):
         with pytest.raises(ValueError, match="enable"):
@@ -588,3 +595,99 @@ class TestSplProcessor:
         rows = run_ilogtail_config(spark, cfg, df=df).collect()
         assert len(rows) == 1
         assert rows[0]["method"] == "POST" and rows[0]["url"] == "/b"
+
+
+class TestNetworkInputReplay:
+    """service_syslog / service_http_server inputs in offline-replay
+    form: FilePaths carries the archived frames; the decoder half runs
+    at reference parameter names (syslog.go:52-54,
+    input_http_server.go:59-66)."""
+
+    def test_service_syslog_auto(self, spark, tmp_path):
+        p = tmp_path / "frames.log"
+        p.write_text(
+            "<60>Oct 09 14:36:47 hostname program: message\n"
+            "<34>1 2003-10-11T22:14:15.003Z mymachine.example.com su - ID47 - boom\n"
+            "garbage\n"
+        )
+        df = read_inputs(spark, {"inputs": [{
+            "Type": "service_syslog",
+            "FilePaths": [str(p)],
+            "ParseProtocol": "auto",
+            "IgnoreParseFailure": True,
+        }]})
+        rows = sorted(
+            (r["_priority_"], r["_program_"], r["content"])
+            for r in df.collect()
+        )
+        assert rows == [
+            ("-1", "", "garbage"),
+            ("34", "su", "boom"),
+            ("60", "program", "message"),
+        ]
+
+    def test_syslog_chains_into_processors(self, spark, tmp_path):
+        # decoded _content_ is re-exposed as `content`, so a default
+        # SourceKey processor chains on
+        p = tmp_path / "frames.log"
+        p.write_text("<13>Aug  1 14:32:44 h root: code=42 msg=ok\n")
+        cfg = {
+            "inputs": [{"Type": "service_syslog", "FilePaths": [str(p)],
+                        "ParseProtocol": "rfc3164"}],
+            "processors": [{"Type": "processor_split_key_value",
+                            "SourceKey": "content", "Delimiter": " ",
+                            "Separator": "=", "Keys": ["code", "msg"]}],
+        }
+        row = run_ilogtail_config(spark, cfg, df=read_inputs(spark, cfg)).collect()[0]
+        assert row["code"] == "42" and row["msg"] == "ok"
+
+    def test_http_server_influx(self, spark, tmp_path):
+        p = tmp_path / "points.txt"
+        p.write_text("cpu,host=a value=0.5,idle=7i 1700000000000000000\n")
+        df = read_inputs(spark, {"inputs": [{
+            "Type": "service_http_server",
+            "Format": "influxdb",
+        } | {"FilePaths": [str(p)]}]})
+        rows = sorted((r["__name__"], r["__value__"]) for r in df.collect())
+        assert rows == [("cpu", "0.5"), ("cpu:idle", "7")]
+
+    def test_http_server_statsd(self, spark, tmp_path):
+        p = tmp_path / "metrics.txt"
+        p.write_text("hits:4|c|@0.5|#env:ci\n")
+        df = read_inputs(spark, {"inputs": [{
+            "Type": "service_http_server", "Format": "statsd",
+            "FilePaths": [str(p)],
+        }]})
+        r = df.collect()[0]
+        assert (r["__name__"], r["__labels__"], r["__value__"]) == \
+            ("hits", "env#$#ci", 8.0)
+        assert r["__time_nano__"] is None  # no arrival time in replay
+
+    def test_filepaths_required(self, spark):
+        with pytest.raises(ValueError, match="FilePaths"):
+            read_inputs(spark, {"inputs": [{"Type": "service_syslog"}]})
+
+
+class TestNetworkInputStream:
+    def test_syslog_stream_decode(self, spark, tmp_path):
+        """service_syslog frames tailed as a stream decode through the
+        same stateless projection the batch reader uses."""
+        from ilogtail_spark.plans.config import run_ilogtail_config_stream
+
+        watch = tmp_path / "frames"
+        watch.mkdir()
+        (watch / "a.log").write_text(
+            "<60>Oct 09 14:36:47 hostname program: message one\n"
+            "<13>Aug  1 14:32:44 h root: message two\n"
+        )
+        cfg = {
+            "inputs": [{"Type": "service_syslog", "FilePaths": [str(watch)],
+                        "ParseProtocol": "rfc3164"}],
+            "processors": [],
+            "flushers": [{"Type": "flusher_file"}],
+        }
+        out_dir = str(tmp_path / "sinks")
+        run_ilogtail_config_stream(spark, cfg, out_dir=out_dir, timeout_sec=90)
+        got = spark.read.parquet(f"{out_dir}/flusher_0_flusher_file")
+        rows = sorted((r["_program_"], r["content"]) for r in got.collect())
+        assert rows == [("program", "message one"), ("root", "message two")]
