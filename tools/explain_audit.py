@@ -235,6 +235,15 @@ CHECKS = {
     "loki_push": (["ReadSchema"], ["Join", "HashAggregate", "Generate"]),
     "clickhouse_rows": (["ReadSchema"], ["Join", "HashAggregate", "Generate"]),
     "pulsar_messages": (["ReadSchema"], ["Join", "HashAggregate", "Generate"]),
+    # round 7: network-input decoders are pure fused projections over
+    # the frame column — no join, no aggregate; syslog has no Generate
+    # either (influx/otlp legitimately explode per-field / per-record)
+    "syslog_rfc3164": (["ReadSchema"], ["Join", "HashAggregate", "Generate"]),
+    "syslog_rfc5424": (["ReadSchema"], ["Join", "HashAggregate", "Generate"]),
+    "syslog_auto": (["ReadSchema"], ["Join", "HashAggregate", "Generate"]),
+    "statsd_decode": (["ReadSchema"], ["Join", "HashAggregate", "Generate"]),
+    "influx_decode": (["ReadSchema", "Generate"], ["Join", "HashAggregate"]),
+    "otlp_log_decode": (["ReadSchema", "Generate"], ["Join", "HashAggregate"]),
 }
 
 # single-pass claims: at most N parquet scans in the physical plan
@@ -262,6 +271,12 @@ SCAN_LIMIT = {
     "loki_push": 1,
     "clickhouse_rows": 1,
     "pulsar_messages": 1,
+    "syslog_rfc3164": 1,
+    "syslog_rfc5424": 1,
+    "syslog_auto": 1,
+    "statsd_decode": 1,
+    "influx_decode": 1,
+    "otlp_log_decode": 1,
 }
 
 # single-materialization claims: expensive expressions that must appear
@@ -311,6 +326,14 @@ EXCHANGE_LIMIT = {
     "loki_push": 1,
     "clickhouse_rows": 1,
     "pulsar_messages": 1,
+    # network-input decoders: transcripts source window only — the
+    # decode itself (regex CASE / explode / from_json) adds ZERO
+    "syslog_rfc3164": 1,
+    "syslog_rfc5424": 1,
+    "syslog_auto": 1,
+    "statsd_decode": 1,
+    "influx_decode": 1,
+    "otlp_log_decode": 1,
     # transcripts source window + the content_value_group agg; the
     # adapter-compiled router/dict-map must add none
     "yaml_pipeline": 2,
