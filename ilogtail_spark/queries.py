@@ -5304,6 +5304,86 @@ FROM transcripts
 
 
 # =====================================================================
+# BPE tokenizer training (functions/bpe.py)
+# =====================================================================
+
+# fixed merge list (what a trained tokenizer ships as): common English
+# bigram merges, in application order — both the Spark replace-fold and
+# the DuckDB oracle chain are generated from THIS list
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("an", "d"), ("o", "n"), ("r", "e"), ("e", "n"), ("in", "g"),
+]
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training step's statistics (Sennrich et al. 2016):
+    corpus → word-frequency table (the single corpus-scale shuffle) →
+    adjacent character-pair counts weighted by word frequency. The
+    trainer (functions/bpe.py::train_bpe) iterates this on the capped
+    vocabulary driver-side; differential-tested in tests/test_bpe.py."""
+    from ilogtail_spark.functions.bpe import pair_counts, word_freqs
+
+    wf = word_freqs(_docs(spark, sf_dir), "text")
+    return pair_counts(wf).select("left", "right", "cnt")
+
+
+O_BPE_PAIR_COUNTS = """
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) AS word
+  FROM documents
+), wf AS (SELECT word, count(*) AS freq FROM words GROUP BY word),
+syms AS (SELECT freq, regexp_extract_all(word, '.', 0) AS cs FROM wf),
+pairs AS (SELECT freq, unnest(list_zip(cs, cs[2:])) AS p FROM syms)
+SELECT p[1] AS "left", p[2] AS "right", cast(sum(freq) AS bigint) AS cnt
+FROM pairs WHERE p[2] IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def _duck_bpe_chain() -> str:
+    """The DuckDB twin of bpe.py's replace-fold merge application,
+    generated from the same _BPE_MERGES list."""
+    s = r"'  ' || regexp_replace(w, '(.)', '\1  ', 'g')"
+    for a, b in _BPE_MERGES:
+        s = f"replace({s}, ' {a}  {b} ', ' {a}{b} ')"
+    return f"string_split(trim({s}), '  ')"
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encoding with a fixed trained merge list: per word, the
+    greedy merge application compiles to a JVM-side literal-replace
+    fold over the double-space symbol string — zero Python on workers,
+    zero shuffle (the 100 TB tokenize is a pure map stage)."""
+    from ilogtail_spark.functions.bpe import encode_bpe
+
+    d = _docs(spark, sf_dir)
+    out = encode_bpe(d, "text", _BPE_MERGES)
+    words = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    return out.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.size("bpe_tokens").alias("n_tokens"),
+        F.array_join(F.slice("bpe_tokens", 1, 12), " ").alias("head"),
+    )
+
+
+O_BPE_ENCODE = f"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+', 0) AS ws
+  FROM documents
+), e AS (
+  SELECT doc_id, ws,
+         flatten(list_transform(ws, w -> {_duck_bpe_chain()})) AS toks
+  FROM d
+)
+SELECT doc_id, cast(len(ws) AS int) AS n_words,
+       cast(len(toks) AS int) AS n_tokens,
+       array_to_string(toks[1:12], ' ') AS head
+FROM e
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 
@@ -5362,6 +5442,8 @@ QUERIES: dict[str, QueryFn] = {
     "statsd_decode": q_statsd_decode,
     "influx_decode": q_influx_decode,
     "otlp_log_decode": q_otlp_log_decode,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "bpe_encode": q_bpe_encode,
     "shard_hash": q_shard_hash,
     "shard_hash_md5": q_shard_hash_md5,
     "desensitize": q_desensitize,
@@ -5628,6 +5710,8 @@ ORACLES: dict[str, str] = {
     "statsd_decode": O_STATSD_DECODE,
     "influx_decode": O_INFLUX_DECODE,
     "otlp_log_decode": O_OTLP_LOG_DECODE,
+    "bpe_pair_counts": O_BPE_PAIR_COUNTS,
+    "bpe_encode": O_BPE_ENCODE,
 }
 
 # queries intentionally without oracle (non-SQL-expressible internals):

@@ -244,6 +244,10 @@ CHECKS = {
     "statsd_decode": (["ReadSchema"], ["Join", "HashAggregate", "Generate"]),
     "influx_decode": (["ReadSchema", "Generate"], ["Join", "HashAggregate"]),
     "otlp_log_decode": (["ReadSchema", "Generate"], ["Join", "HashAggregate"]),
+    # BPE: encode is a pure map stage (the tokenize at 100 TB must not
+    # shuffle); pair counting is two map-side-combinable aggs, no join
+    "bpe_encode": (["ReadSchema"], ["Join", "HashAggregate", "Exchange"]),
+    "bpe_pair_counts": (["partial_"], ["Join", "SortMergeJoin"]),
 }
 
 # single-pass claims: at most N parquet scans in the physical plan
@@ -277,6 +281,8 @@ SCAN_LIMIT = {
     "statsd_decode": 1,
     "influx_decode": 1,
     "otlp_log_decode": 1,
+    "bpe_pair_counts": 1,
+    "bpe_encode": 1,
 }
 
 # single-materialization claims: expensive expressions that must appear
@@ -334,6 +340,10 @@ EXCHANGE_LIMIT = {
     "statsd_decode": 1,
     "influx_decode": 1,
     "otlp_log_decode": 1,
+    # word-keyed freq agg + (left,right) pair agg — nothing else
+    "bpe_pair_counts": 2,
+    # the 100 TB tokenize is a pure map stage — zero exchanges
+    "bpe_encode": 0,
     # transcripts source window + the content_value_group agg; the
     # adapter-compiled router/dict-map must add none
     "yaml_pipeline": 2,
