@@ -141,3 +141,56 @@ def write_routed(
     the reference's 1024-log/3MiB group caps physically
     (plugins/aggregator/baseagg/aggregator_base.go:26-29)."""
     df.write.mode(mode).partitionBy(route_col).format(fmt).save(base_path)
+
+
+def route_opentelemetry(
+    df: DataFrame,
+    n_fields: Column | str,
+    *,
+    metrics_logstore: str = "otlp-metrics",
+    trace_logstore: str = "otlp-traces",
+    log_logstore: str = "otlp-logs",
+    route_col: str = "__logstore__",
+) -> DataFrame:
+    """aggregator_opentelemetry
+    (plugins/aggregator/opentelemetry/aggregator_opentelemetry.go:78-90):
+    routes each event to one of three per-signal logstores purely by its
+    content-field count — ≤5 fields is an SLS metric shape, ≥19 is a
+    trace span shape, anything between is a log. `n_fields` is the
+    field-count column (`F.size` of a map payload, or a count of
+    non-null event fields); empty events (count 0) are dropped, as the
+    reference's Add returns without enqueueing. One CASE projection —
+    the per-logstore grouping downstream is write_routed's partitionBy."""
+    n = F.col(n_fields) if isinstance(n_fields, str) else n_fields
+    route = (
+        F.when(n <= 5, F.lit(metrics_logstore))
+        .when(n >= 19, F.lit(trace_logstore))
+        .otherwise(F.lit(log_logstore))
+    )
+    return df.filter(n > 0).withColumn(route_col, route)
+
+
+def route_skywalking(
+    df: DataFrame,
+    first_key: Column | str,
+    *,
+    metrics_logstore: str = "skywalking-metrics",
+    trace_logstore: str = "skywalking-traces",
+    log_logstore: str = "skywalking-logs",
+    route_col: str = "__logstore__",
+) -> DataFrame:
+    """aggregator_skywalking
+    (plugins/aggregator/skywalking/aggregator_skywalking.go:94-110):
+    routes by the event's FIRST content key — `__name__` → metrics,
+    `links` → traces, `otlp.name` → logs, anything else falls through
+    to logs (the reference warns and logs-routes). `first_key` is that
+    key as a column (for a map payload: `map_keys(m)[0]`, map entry
+    order is insertion order under from_json). NULL/empty-key rows are
+    dropped like the reference's empty-contents guard."""
+    k = F.col(first_key) if isinstance(first_key, str) else first_key
+    route = (
+        F.when(k == "__name__", F.lit(metrics_logstore))
+        .when(k == "links", F.lit(trace_logstore))
+        .otherwise(F.lit(log_logstore))
+    )
+    return df.filter(k.isNotNull() & (k != "")).withColumn(route_col, route)

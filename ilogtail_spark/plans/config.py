@@ -450,6 +450,26 @@ def _a_context(c: dict) -> dict:
     return {"type": "context", "partition_col": "__source__", "order_col": "__offset__"}
 
 
+def _a_opentelemetry(c: dict) -> dict:
+    # aggregator_opentelemetry.go:39-47 logstore defaults
+    return {
+        "type": "otel_route",
+        "metrics_logstore": c.get("MetricsLogstore") or "otlp-metrics",
+        "trace_logstore": c.get("TraceLogstore") or "otlp-traces",
+        "log_logstore": c.get("LogLogstore") or "otlp-logs",
+    }
+
+
+def _a_skywalking(c: dict) -> dict:
+    # aggregator_skywalking.go:33-35 logstore defaults
+    return {
+        "type": "skywalking_route",
+        "metrics_logstore": c.get("MetricsLogstore") or "skywalking-metrics",
+        "trace_logstore": c.get("TraceLogstore") or "skywalking-traces",
+        "log_logstore": c.get("LogLogstore") or "skywalking-logs",
+    }
+
+
 _AGGREGATOR_ADAPTERS: dict[str, Callable[[dict], dict]] = {
     "aggregator_content_value_group": _a_content_value_group,
     "aggregator_metadata_group": _a_metadata_group,
@@ -457,6 +477,8 @@ _AGGREGATOR_ADAPTERS: dict[str, Callable[[dict], dict]] = {
     "aggregator_context": _a_context,
     "aggregator_default": _a_context,
     "aggregator_base": _a_context,
+    "aggregator_opentelemetry": _a_opentelemetry,
+    "aggregator_skywalking": _a_skywalking,
 }
 
 

@@ -207,6 +207,48 @@ def aggregates_for(df_routed: DataFrame, spec: dict[str, Any]) -> dict[str, Data
                 partition_col=a.get("partition_col", "conv_id"),
                 order_col=a.get("order_col", "turn_idx"),
             )
+        elif a["type"] in ("otel_route", "skywalking_route"):
+            # per-signal logstore routers: on the column-shaped row the
+            # event's "contents" are the non-metadata columns — field
+            # count = non-null columns; "first key" = the reference's
+            # recognized keys checked by presence
+            from ilogtail_spark.operators.route import (
+                route_opentelemetry,
+                route_skywalking,
+            )
+
+            meta = {"__source__", "__offset__", "route", "__flusher__"}
+            fields = [c for c in df_routed.columns if c not in meta]
+            stores = {
+                k: a[k]
+                for k in ("metrics_logstore", "trace_logstore", "log_logstore")
+            }
+            if a["type"] == "otel_route":
+                n = None
+                for c in fields:
+                    ind = F.col(f"`{c}`").isNotNull().cast("int")
+                    n = ind if n is None else n + ind
+                routed = route_opentelemetry(df_routed, n, **stores)
+            else:
+                k = None
+                for key in ("__name__", "links", "otlp.name"):
+                    if key in fields:
+                        present = F.col(f"`{key}`").isNotNull()
+                        k = (
+                            F.when(present, F.lit(key))
+                            if k is None
+                            else k.when(present, F.lit(key))
+                        )
+                any_field = None
+                for c in fields:
+                    ind = F.col(f"`{c}`").isNotNull()
+                    any_field = ind if any_field is None else any_field | ind
+                fallthrough = F.when(any_field, F.lit("__other__"))
+                k = k.otherwise(fallthrough) if k is not None else fallthrough
+                routed = route_skywalking(df_routed, k, **stores)
+            out[f"{a['type']}_counts"] = routed.groupBy(
+                F.col("__logstore__").alias("logstore")
+            ).agg(F.count(F.lit(1)).alias("log_count"))
         else:
             raise KeyError(f"unknown aggregator type: {a['type']}")
     return out

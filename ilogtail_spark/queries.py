@@ -5304,6 +5304,83 @@ FROM transcripts
 
 
 # =====================================================================
+# per-signal aggregator routers (operators/route.py)
+# =====================================================================
+
+def q_otel_aggregate_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregator_opentelemetry (aggregator_opentelemetry.go:78-90):
+    per-signal logstore routing by content-field count (≤5 metric,
+    ≥19 trace, else log; empty dropped) — exercised over a synthetic
+    variable-width map payload, checked as per-sink × role counts (the
+    reference's per-logstore delivered-count invariant)."""
+    from ilogtail_spark.operators.route import route_opentelemetry
+
+    t = _t(spark, sf_dir)
+    n = (
+        F.when(F.col("turn_idx") % 4 == 0, F.lit(3))
+        .when(F.col("turn_idx") % 4 == 1, F.lit(20))
+        .when(F.col("turn_idx") % 4 == 2, F.lit(8))
+        .otherwise(F.lit(0))
+    )
+    payload = F.when(
+        n > 0,
+        F.expr(
+            "str_to_map(concat_ws(',', transform(sequence(1, __n), "
+            "i -> concat('k', i, ':', i))), ',', ':')"
+        ),
+    )
+    t = t.withColumn("__n", n).withColumn("payload", payload)
+    r = route_opentelemetry(t, F.size("payload"))
+    return (
+        r.groupBy(F.col("__logstore__").alias("logstore"), "role")
+        .agg(F.count(F.lit(1)).alias("n_logs"))
+    )
+
+
+O_OTEL_AGGREGATE_ROUTE = f"""{_CTE}
+SELECT CASE WHEN turn_idx % 4 = 0 THEN 'otlp-metrics'
+            WHEN turn_idx % 4 = 1 THEN 'otlp-traces'
+            ELSE 'otlp-logs' END AS logstore,
+       role, count(*) AS n_logs
+FROM transcripts WHERE turn_idx % 4 <> 3
+GROUP BY 1, 2
+"""
+
+
+def q_skywalking_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregator_skywalking (aggregator_skywalking.go:94-110): routing
+    by the FIRST content key of each event (`__name__` metric, `links`
+    trace, `otlp.name` log, unknown falls through to logs, empty-key
+    dropped) — first key read from a map payload, counts per sink."""
+    from ilogtail_spark.operators.route import route_skywalking
+
+    t = _t(spark, sf_dir)
+    first = (
+        F.when(F.col("turn_idx") % 5 == 0, F.lit("__name__"))
+        .when(F.col("turn_idx") % 5 == 1, F.lit("links"))
+        .when(F.col("turn_idx") % 5 == 2, F.lit("otlp.name"))
+        .when(F.col("turn_idx") % 5 == 3, F.lit("unknown_topic"))
+        .otherwise(F.lit(""))
+    )
+    t = t.withColumn("payload", F.create_map(first, F.col("text")))
+    r = route_skywalking(t, F.element_at(F.map_keys(F.col("payload")), 1))
+    return (
+        r.groupBy(F.col("__logstore__").alias("logstore"), "role")
+        .agg(F.count(F.lit(1)).alias("n_logs"))
+    )
+
+
+O_SKYWALKING_ROUTE = f"""{_CTE}
+SELECT CASE WHEN turn_idx % 5 = 0 THEN 'skywalking-metrics'
+            WHEN turn_idx % 5 = 1 THEN 'skywalking-traces'
+            ELSE 'skywalking-logs' END AS logstore,
+       role, count(*) AS n_logs
+FROM transcripts WHERE turn_idx % 5 <> 4
+GROUP BY 1, 2
+"""
+
+
+# =====================================================================
 # BPE tokenizer training (functions/bpe.py)
 # =====================================================================
 
@@ -5442,6 +5519,8 @@ QUERIES: dict[str, QueryFn] = {
     "statsd_decode": q_statsd_decode,
     "influx_decode": q_influx_decode,
     "otlp_log_decode": q_otlp_log_decode,
+    "otel_aggregate_route": q_otel_aggregate_route,
+    "skywalking_route": q_skywalking_route,
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_encode": q_bpe_encode,
     "shard_hash": q_shard_hash,
@@ -5710,6 +5789,8 @@ ORACLES: dict[str, str] = {
     "statsd_decode": O_STATSD_DECODE,
     "influx_decode": O_INFLUX_DECODE,
     "otlp_log_decode": O_OTLP_LOG_DECODE,
+    "otel_aggregate_route": O_OTEL_AGGREGATE_ROUTE,
+    "skywalking_route": O_SKYWALKING_ROUTE,
     "bpe_pair_counts": O_BPE_PAIR_COUNTS,
     "bpe_encode": O_BPE_ENCODE,
 }

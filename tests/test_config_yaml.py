@@ -351,9 +351,9 @@ class TestAdapterAggregators:
     previously silently dropped, violating the loud-failure contract."""
 
     def test_unknown_aggregator_raises(self):
-        with pytest.raises(KeyError, match="aggregator_skywalking"):
+        with pytest.raises(KeyError, match="aggregator_nonexistent"):
             compile_ilogtail_config(
-                {"processors": [], "aggregators": [{"Type": "aggregator_skywalking"}]}
+                {"processors": [], "aggregators": [{"Type": "aggregator_nonexistent"}]}
             )
 
     def test_content_value_group_counts(self, spark):
@@ -371,6 +371,53 @@ class TestAdapterAggregators:
         aggs = aggregates_for(routed, spec)
         rows = {r["group_key"]: r["log_count"] for r in aggs["group_k1_k2"].collect()}
         assert rows == {"a_x": 2, "b_y": 1}
+
+    def test_otel_route_counts(self, spark):
+        # aggregator_opentelemetry: field-count dispatch (<=5 metric,
+        # >=19 trace, else log, empty dropped) over 20 event columns
+        from ilogtail_spark.plans.pipeline import aggregates_for, build_pipeline
+
+        cols = [f"f{i:02d}" for i in range(20)]
+        def row(n):
+            return tuple(("v" if i < n else None) for i in range(20))
+        df = spark.createDataFrame(
+            [row(3), row(5), row(20), row(19), row(8), row(6), row(0)],
+            ", ".join(f"{c} string" for c in cols),
+        )
+        spec = compile_ilogtail_config({
+            "processors": [],
+            "aggregators": [{"Type": "aggregator_opentelemetry",
+                             "TraceLogstore": "spans"}],
+        })
+        routed = build_pipeline(df, spec)
+        aggs = aggregates_for(routed, spec)
+        got = {r["logstore"]: r["log_count"]
+               for r in aggs["otel_route_counts"].collect()}
+        assert got == {"otlp-metrics": 2, "spans": 2, "otlp-logs": 2}
+
+    def test_skywalking_route_counts(self, spark):
+        # aggregator_skywalking: first-content-key dispatch; unknown
+        # keys fall through to logs, all-null rows are dropped
+        from ilogtail_spark.plans.pipeline import aggregates_for, build_pipeline
+
+        df = spark.createDataFrame(
+            [("m1", None, None, None),
+             (None, "[span]", None, None),
+             (None, None, "svc", None),
+             (None, None, None, "other"),
+             (None, None, None, None)],
+            "`__name__` string, links string, `otlp.name` string, misc string",
+        )
+        spec = compile_ilogtail_config({
+            "processors": [],
+            "aggregators": [{"Type": "aggregator_skywalking"}],
+        })
+        routed = build_pipeline(df, spec)
+        aggs = aggregates_for(routed, spec)
+        got = {r["logstore"]: r["log_count"]
+               for r in aggs["skywalking_route_counts"].collect()}
+        assert got == {"skywalking-metrics": 1, "skywalking-traces": 1,
+                       "skywalking-logs": 2}
 
     def test_context_e2e_case(self, spark, tmp_path):
         """Mirrors /root/reference/test/e2e/test_cases/aggregator_context/
