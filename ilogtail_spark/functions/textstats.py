@@ -1038,6 +1038,93 @@ def unigram_nll(
     )
 
 
+def _bigrams(ts: Column) -> Column:
+    """token array → array<struct<prev,tok>> of adjacent pairs."""
+    n1 = F.greatest(F.size(ts) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(ts, 1, n1),
+        F.slice(ts, 2, n1),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("tok")),
+    )
+
+
+def bigram_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train a bigram language model: returns ``(vocab, ctx, total)`` —
+    `vocab` is (prev, tok, cnt) for bigrams seen ≥ `min_count` times,
+    `ctx` is the per-context denominator (prev, ctx_cnt) counted over
+    ALL bigrams (so p(tok|prev) stays a true conditional distribution
+    as the cutoff moves — same discipline as :func:`unigram_vocab`),
+    `total` the 1-row bigram count for the unseen-context floor.
+    One explode + one (prev, tok)-keyed aggregation; ctx and total are
+    rollups of the same relation (localCheckpointed, shared)."""
+    bg = df.select(
+        F.explode(_bigrams(tokens(F.col(text_col)))).alias("bg")
+    ).select("bg.prev", "bg.tok")
+    all_bg = bg.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    all_bg = all_bg.localCheckpoint(eager=False)
+    ctx = all_bg.groupBy("prev").agg(F.sum("cnt").alias("ctx_cnt"))
+    total = all_bg.agg(F.sum("cnt").alias("total_bigrams"))
+    return all_bg.filter(F.col("cnt") >= min_count), ctx, total
+
+
+def bigram_nll(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_count: int = 2,
+    model: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under a bigram LM —
+    the sharper KenLM-style tier above :func:`unigram_nll` (CCNet uses
+    a 5-gram; the plan shape is identical from bigram up): fluent text
+    scores low, shuffled/boilerplate/gibberish text scores high even
+    when its unigram mix looks normal. Output: (id, n_bigrams, nll),
+    nll = -Σ log p(tok|prev) / n; docs with <2 tokens have no bigrams
+    and drop out. p = cnt/ctx_cnt; sub-threshold or unseen bigrams take
+    the floor 1/ctx_cnt (1/total_bigrams when the context itself is
+    unseen — only possible with a pretrained `model`).
+
+    Same bit-exact arithmetic as unigram_nll: per-bigram log-probs on a
+    6-decimal grid, DECIMAL(18,6) order-independent sum, one double
+    division. Plan: explode → (prev,tok) train agg → broadcast model
+    joins → doc-keyed agg; at 100 TB pretrain with :func:`bigram_vocab`
+    write-time and let AQE pick the join strategy."""
+    if model is None:
+        model = bigram_vocab(df, text_col, min_count)
+    vocab, ctx, total = model
+    bg = df.select(
+        F.col(id_col), F.explode(_bigrams(tokens(F.col(text_col)))).alias("bg")
+    ).select(id_col, "bg.prev", "bg.tok")
+    scored = (
+        bg.join(F.broadcast(vocab), ["prev", "tok"], "left")
+        .join(F.broadcast(ctx), ["prev"], "left")
+        .join(F.broadcast(total))
+        .withColumn(
+            "logp",
+            F.round(
+                F.log(
+                    F.coalesce(F.col("cnt"), F.lit(1))
+                    / F.coalesce(F.col("ctx_cnt"), F.col("total_bigrams"))
+                ),
+                6,
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            -F.sum(F.col("logp").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("nll"),
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     k: int,

@@ -2836,6 +2836,35 @@ FROM sc GROUP BY doc_id
 """
 
 
+def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity tier (the KenLM-shaped step above
+    unigram_nll): per-doc mean -log p(tok|prev), self-trained, 6-dec
+    grid + DECIMAL sum for order-independent exactness."""
+    from ilogtail_spark.functions.textstats import bigram_nll
+
+    return bigram_nll(_docs(spark, sf_dir))
+
+
+O_BIGRAM_NLL = r"""
+WITH ts AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+bg0 AS (SELECT doc_id, unnest(list_zip(t, t[2:])) AS p FROM ts),
+bg AS (SELECT doc_id, p[1] AS prev, p[2] AS tok FROM bg0 WHERE p[2] IS NOT NULL),
+va AS (SELECT prev, tok, count(*) AS cnt FROM bg GROUP BY 1, 2),
+ctx AS (SELECT prev, cast(sum(cnt) AS bigint) AS ctx_cnt FROM va GROUP BY 1),
+tot AS (SELECT cast(sum(cnt) AS bigint) AS total_bigrams FROM va),
+v AS (SELECT * FROM va WHERE cnt >= 2),
+sc AS (
+  SELECT b.doc_id,
+    round(ln(coalesce(v.cnt, 1) / coalesce(c.ctx_cnt, t.total_bigrams)), 6) AS logp
+  FROM bg b LEFT JOIN v USING (prev, tok) LEFT JOIN ctx c USING (prev)
+  CROSS JOIN tot t)
+SELECT doc_id, count(*) AS n_bigrams,
+  round(-cast(sum(cast(logp AS DECIMAL(18,6))) AS double) / count(*), 6) AS nll
+FROM sc GROUP BY doc_id
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = lang_id(_docs(spark, sf_dir))
     return d.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n"))
@@ -5520,6 +5549,7 @@ QUERIES: dict[str, QueryFn] = {
     "influx_decode": q_influx_decode,
     "otlp_log_decode": q_otlp_log_decode,
     "otel_aggregate_route": q_otel_aggregate_route,
+    "bigram_nll": q_bigram_nll,
     "skywalking_route": q_skywalking_route,
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_encode": q_bpe_encode,
@@ -5790,6 +5820,7 @@ ORACLES: dict[str, str] = {
     "influx_decode": O_INFLUX_DECODE,
     "otlp_log_decode": O_OTLP_LOG_DECODE,
     "otel_aggregate_route": O_OTEL_AGGREGATE_ROUTE,
+    "bigram_nll": O_BIGRAM_NLL,
     "skywalking_route": O_SKYWALKING_ROUTE,
     "bpe_pair_counts": O_BPE_PAIR_COUNTS,
     "bpe_encode": O_BPE_ENCODE,

@@ -2131,6 +2131,61 @@ class TestUnigramNLL:
             unigram_nll(docs, vocab=vocab)
 
 
+class TestBigramNLL:
+    """bigram_nll: the KenLM-shaped tier above unigram — conditional
+    probabilities, context denominators, unseen-context floor."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+        )
+
+    def test_self_scored_values(self, spark):
+        import math
+
+        from ilogtail_spark.functions.textstats import bigram_nll
+
+        # bigrams: (a,b) x2, (b,a) x1, (a,c) x1; ctx a=3, b=1
+        docs = self._docs(spark, ["a b a b", "a c"])
+        out = {r["doc_id"]: r for r in bigram_nll(docs, min_count=2).collect()}
+        lp = lambda c, d: round(math.log(c / d), 6)
+        # doc0: (a,b)=2/3, (b,a)=floor 1/1, (a,b)=2/3
+        exp0 = round(-(2 * lp(2, 3) + lp(1, 1)) / 3, 6)
+        # doc1: (a,c) sub-threshold -> floor 1/ctx(a)=1/3
+        exp1 = round(-lp(1, 3) / 1, 6)
+        assert out[0]["n_bigrams"] == 3 and abs(out[0]["nll"] - exp0) < 1e-12
+        assert out[1]["n_bigrams"] == 1 and abs(out[1]["nll"] - exp1) < 1e-12
+
+    def test_short_docs_drop_out(self, spark):
+        from ilogtail_spark.functions.textstats import bigram_nll
+
+        docs = self._docs(spark, ["solo", "two words"])
+        got = {r["doc_id"] for r in bigram_nll(docs, min_count=1).collect()}
+        assert got == {1}
+
+    def test_pretrained_unseen_context_floor(self, spark):
+        import math
+
+        from ilogtail_spark.functions.textstats import bigram_nll, bigram_vocab
+
+        train = self._docs(spark, ["a b a b a b"])  # (a,b)x3 (b,a)x2, total 5
+        model = bigram_vocab(train, min_count=1)
+        new = self._docs(spark, ["z q"])  # context z unseen -> 1/total=1/5
+        out = bigram_nll(new, model=model).first()
+        exp = round(-round(math.log(1 / 5), 6) / 1, 6)
+        assert out["n_bigrams"] == 1 and abs(out["nll"] - exp) < 1e-12
+
+    def test_scrambled_text_scores_worse_than_fluent(self, spark):
+        from ilogtail_spark.functions.textstats import bigram_nll
+
+        fluent = "the cat sat on the mat " * 4
+        scrambled = "mat the on sat the cat " * 4
+        docs = self._docs(spark, [fluent + "the cat sat on the mat",
+                                  scrambled + "cat mat sat the on the"])
+        out = {r["doc_id"]: r["nll"] for r in bigram_nll(docs, min_count=2).collect()}
+        assert out[1] > out[0]
+
+
 class TestWeightedSample:
     """weighted_sample: E–S priorities replayed exactly in pure Python."""
 

@@ -248,6 +248,12 @@ CHECKS = {
     # shuffle); pair counting is two map-side-combinable aggs, no join
     "bpe_encode": (["ReadSchema"], ["Join", "HashAggregate", "Exchange"]),
     "bpe_pair_counts": (["partial_"], ["Join", "SortMergeJoin"]),
+    # per-signal aggregator routers: CASE projection + one count agg
+    "otel_aggregate_route": (["partial_"], ["Join", "SortMergeJoin"]),
+    "skywalking_route": (["partial_"], ["Join", "SortMergeJoin"]),
+    # bigram LM: the model joins must be BROADCAST (the LM is small;
+    # a sort-merge fallback would shuffle the full bigram explosion)
+    "bigram_nll": (["BroadcastHashJoin"], ["SortMergeJoin"]),
 }
 
 # single-pass claims: at most N parquet scans in the physical plan
@@ -342,6 +348,13 @@ EXCHANGE_LIMIT = {
     "otlp_log_decode": 1,
     # word-keyed freq agg + (left,right) pair agg — nothing else
     "bpe_pair_counts": 2,
+    # transcripts source window + the per-sink count agg — the router
+    # CASE itself adds nothing
+    "otel_aggregate_route": 2,
+    "skywalking_route": 2,
+    # (prev,tok) train agg + ctx rollup + 1-row total + doc-keyed score
+    # agg — each load-bearing; broadcasts are not counted here
+    "bigram_nll": 4,
     # the 100 TB tokenize is a pure map stage — zero exchanges
     "bpe_encode": 0,
     # transcripts source window + the content_value_group agg; the
