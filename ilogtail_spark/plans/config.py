@@ -561,7 +561,13 @@ def read_inputs(spark: SparkSession, config: str | dict[str, Any]) -> DataFrame:
     per-file read context) and `__offset__`, monotonically increasing in
     file order — text input splits are assigned in offset order, so the
     id orders lines within each source exactly like the reference's byte
-    offsets. Only ORDER is promised, not density."""
+    offsets. Only ORDER is promised, not density.
+
+    Multiple inputs union by column name (missing columns NULL-fill);
+    mixing decoder types whose shared column names carry different
+    Spark types (e.g. statsd's double `__value__` with influx's string
+    `__value__`) fails loudly at plan time — split such pipelines into
+    one config per protocol, as the reference deployments do."""
     if isinstance(config, str):
         import yaml
 

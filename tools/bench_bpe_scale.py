@@ -42,23 +42,24 @@ def main() -> None:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    docs = gen_docs(spark, n_docs)
+    docs = spark.read.parquet(gen_docs(spark, n_docs))
 
     t0 = time.time()
-    vocab_size = word_freqs(docs, "text").count()
+    TOKEN_RE = "[a-z0-9]+"  # the scale corpus uses alphanumeric tokens
+    vocab_size = word_freqs(docs, "text", token_re=TOKEN_RE).count()
     t_wf = time.time() - t0
     print(json.dumps({"op": "word_freqs", "n_docs": n_docs,
                       "distinct_words": vocab_size, "sec": round(t_wf, 2)}))
 
     t0 = time.time()
     merges = train_bpe(spark, docs, "text", num_merges=n_merges,
-                       top_words=50_000)
+                       top_words=50_000, token_re=TOKEN_RE)
     t_tr = time.time() - t0
     print(json.dumps({"op": "train_bpe", "n_merges": len(merges),
                       "top_words": 50_000, "sec": round(t_tr, 2),
                       "first_merges": ["".join(m) for m in merges[:8]]}))
 
-    enc = encode_bpe(docs, "text", merges)
+    enc = encode_bpe(docs, "text", merges, token_re=TOKEN_RE)
     plan = enc._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, "encode must stay a pure map stage"
     t0 = time.time()
