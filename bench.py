@@ -124,6 +124,11 @@ def main() -> None:
         "embedding_drift", "chunk_documents", "corpus_report",
         "top_errors", "yaml_pipeline", "loki_push", "clickhouse_rows",
         "pulsar_messages",
+        # round 7: network-input decoders, per-signal routers, BPE, bigram
+        "syslog_rfc3164", "syslog_rfc5424", "syslog_auto", "statsd_decode",
+        "influx_decode", "otlp_log_decode", "prometheus_series",
+        "otel_aggregate_route", "skywalking_route",
+        "bpe_pair_counts", "bpe_encode", "bigram_nll",
     )
     noisy = {"minhash_lsh", "ngram_jaccard", "dedup_clusters", "spl_pipeline"}
     reps = {name: (3 if name in noisy else 2) for name in registry}

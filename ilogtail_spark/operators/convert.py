@@ -711,3 +711,79 @@ def pulsar_messages(
             "payload": F.col("single_json"),
         }
     )
+
+
+def prometheus_series(
+    df: DataFrame,
+    *,
+    name_col: str = "__name__",
+    labels_col: str = "__labels__",
+    value_col: str = "__value__",
+    time_col: str = "__time_nano__",
+) -> DataFrame:
+    """flusher_prometheus wire shape: SLS metric rows → one remote-write
+    TimeSeries per event (pkg/protocol/encoder/prometheus/utils.go:44-61
+    genPromRemoteWriteTimeseries). `series` is the label set rendered as
+    the canonical '{name="value",...}' string with `__name__` appended
+    as a label and the whole set sorted LEXICOGRAPHICALLY by label name
+    (utils.go:83-88, the remote-write spec's MUST); labels with empty
+    name or value are dropped (utils.go:71-75, spec's MUST NOT);
+    `timestamp_ms` is the event's nanos / 1e6 (utils.go:57 — the
+    encoder's inverse of the input_prometheus decode); `value` the
+    sample double. Label values are backslash/quote-escaped exactly
+    like loki's canonical label string so the rendering is injective.
+
+    The snappy+protobuf framing and HTTP retry/batching are transport
+    (flusher_prometheus.go:92-151) — per SURVEY's flusher mapping they
+    collapse to the sink write; this converter is the semantic content
+    a remote-write receiver sees. One fused projection, zero shuffle.
+    """
+    esc = lambda c: F.replace(  # noqa: E731
+        F.replace(c, F.lit("\\"), F.lit("\\\\")), F.lit('"'), F.lit('\\"')
+    )
+    pairs = F.filter(
+        F.split(F.coalesce(F.col(labels_col), F.lit("")), r"\|"),
+        lambda t: t != "",
+    )
+    labels = F.transform(
+        pairs,
+        lambda t: F.struct(
+            F.substring_index(t, "#$#", 1).alias("name"),
+            t.substr(
+                F.length(F.substring_index(t, "#$#", 1)) + F.lit(4),
+                F.length(t),
+            ).alias("value"),
+        ),
+    )
+    labels = F.concat(
+        labels,
+        F.array(F.struct(
+            F.lit("__name__").alias("name"),
+            F.col(name_col).alias("value"),
+        )),
+    )
+    labels = F.array_sort(
+        F.filter(labels, lambda s: (s["name"] != "") & (s["value"] != ""))
+    )
+    series = F.concat(
+        F.lit("{"),
+        F.array_join(
+            F.transform(
+                labels,
+                lambda s: F.concat(
+                    s["name"], F.lit('="'), esc(s["value"]), F.lit('"')
+                ),
+            ),
+            ",",
+        ),
+        F.lit("}"),
+    )
+    return df.withColumns(
+        {
+            "series": series,
+            "value": F.col(value_col).cast("double"),
+            # integer division — exact at any epoch, matching Go's
+            # int64 truncating divide (utils.go:57)
+            "timestamp_ms": F.expr(f"cast({time_col} AS long) div 1000000"),
+        }
+    )

@@ -5332,6 +5332,31 @@ FROM transcripts
 """
 
 
+def q_prometheus_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flusher_prometheus wire shape (encoder/prometheus/utils.go:44-88):
+    metric event → remote-write TimeSeries; `__name__` joins the label
+    set, the set sorts lexicographically, nanos truncate to ms."""
+    from ilogtail_spark.operators.convert import prometheus_series
+
+    t = _t(spark, sf_dir)
+    p = regex_parse(t, _APP_RE, ["ts_str", "pid", "thread", "level", "code"],
+                    "text", keep_source=True, dotall=False)
+    p = p.filter(F.col("level").isNotNull())
+    m = log_to_metric(p, "app_code", "code", ["role", "level"], time_col="ts")
+    out = prometheus_series(m)
+    return out.select("series", "value", "timestamp_ms")
+
+
+O_PROMETHEUS_SERIES = f"""{_CTE}
+SELECT concat('{{__name__="app_code",level=', '"',
+              regexp_extract(text, '{_APP_RE}', 4), '",role="', role, '"}}')
+         AS series,
+  cast(cast(regexp_extract(text, '{_APP_RE}', 5) AS int) AS double) AS value,
+  cast(epoch_ms(ts) AS bigint) AS timestamp_ms
+FROM transcripts WHERE regexp_matches(text, '{_APP_RE}')
+"""
+
+
 # =====================================================================
 # per-signal aggregator routers (operators/route.py)
 # =====================================================================
@@ -5548,6 +5573,7 @@ QUERIES: dict[str, QueryFn] = {
     "statsd_decode": q_statsd_decode,
     "influx_decode": q_influx_decode,
     "otlp_log_decode": q_otlp_log_decode,
+    "prometheus_series": q_prometheus_series,
     "otel_aggregate_route": q_otel_aggregate_route,
     "bigram_nll": q_bigram_nll,
     "skywalking_route": q_skywalking_route,
@@ -5819,6 +5845,7 @@ ORACLES: dict[str, str] = {
     "statsd_decode": O_STATSD_DECODE,
     "influx_decode": O_INFLUX_DECODE,
     "otlp_log_decode": O_OTLP_LOG_DECODE,
+    "prometheus_series": O_PROMETHEUS_SERIES,
     "otel_aggregate_route": O_OTEL_AGGREGATE_ROUTE,
     "bigram_nll": O_BIGRAM_NLL,
     "skywalking_route": O_SKYWALKING_ROUTE,

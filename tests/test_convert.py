@@ -193,3 +193,50 @@ class TestFlusherWireShapes:
             df, partition_keys=["content.role"], topic="t", default_key="d"
         ).first()
         assert out["key"] == ""  # found-but-empty keys as '', not default
+
+
+class TestPrometheusSeries:
+    """flusher_prometheus remote-write shaping (encoder/prometheus/
+    utils.go:44-88): __name__ joins the label set, lexicographic sort,
+    empty names/values dropped, nanos truncate to ms."""
+
+    def _metric(self, spark, labels, name="m", value=1.5,
+                nanos=1700000000123456789):
+        from pyspark.sql import functions as F
+
+        return spark.createDataFrame(
+            [(name, labels, float(value), nanos)],
+            "__name__ string, __labels__ string, __value__ double, "
+            "__time_nano__ long",
+        )
+
+    def test_sorted_with_name_label(self, spark):
+        from ilogtail_spark.operators.convert import prometheus_series
+
+        # 'Z' < '_' < 'a' in ASCII: the sort must interleave __name__
+        r = prometheus_series(
+            self._metric(spark, "role#$#user|Zone#$#eu")
+        ).first()
+        assert r["series"] == '{Zone="eu",__name__="m",role="user"}'
+        assert r["value"] == 1.5
+        assert r["timestamp_ms"] == 1700000000123  # truncating divide
+
+    def test_empty_values_dropped(self, spark):
+        from ilogtail_spark.operators.convert import prometheus_series
+
+        r = prometheus_series(self._metric(spark, "empty#$#|a#$#1")).first()
+        assert r["series"] == '{__name__="m",a="1"}'
+
+    def test_no_labels(self, spark):
+        from ilogtail_spark.operators.convert import prometheus_series
+
+        r = prometheus_series(self._metric(spark, "")).first()
+        assert r["series"] == '{__name__="m"}'
+
+    def test_value_escaping(self, spark):
+        from ilogtail_spark.operators.convert import prometheus_series
+
+        r = prometheus_series(
+            self._metric(spark, 'q#$#say "hi" c:\\tmp')
+        ).first()
+        assert r["series"] == '{__name__="m",q="say \\"hi\\" c:\\\\tmp"}'

@@ -254,6 +254,8 @@ CHECKS = {
     # bigram LM: the model joins must be BROADCAST (the LM is small;
     # a sort-merge fallback would shuffle the full bigram explosion)
     "bigram_nll": (["BroadcastHashJoin"], ["SortMergeJoin"]),
+    # remote-write shaping is a pure projection over the metric rows
+    "prometheus_series": (["ReadSchema"], ["Join", "HashAggregate", "Generate"]),
 }
 
 # single-pass claims: at most N parquet scans in the physical plan
@@ -352,6 +354,8 @@ EXCHANGE_LIMIT = {
     # CASE itself adds nothing
     "otel_aggregate_route": 2,
     "skywalking_route": 2,
+    # transcripts source window only — label render adds ZERO
+    "prometheus_series": 1,
     # (prev,tok) train agg + ctx rollup + 1-row total + doc-keyed score
     # agg — each load-bearing; broadcasts are not counted here
     "bigram_nll": 4,
