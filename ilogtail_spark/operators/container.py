@@ -52,22 +52,52 @@ def _finish(
     keep_source: bool,
     keep_source_if_parse_error: bool,
 ) -> DataFrame:
+    # Materialize every derived expression BEFORE touching the source
+    # column: `valid`/`time_c`/... are unresolved expressions over
+    # F.col(source_key), so overwriting that column first would silently
+    # re-evaluate them against the PARSED value — with the adapter's
+    # default source_key='content' that made IgnoringStdout/Stderr
+    # no-ops (valid re-read 'noise' instead of the raw frame).
     df = df.withColumns(
         {
-            "_time_": F.when(valid, time_c),
-            "_source_": F.when(valid, stream_c),
-            "content": F.when(valid, content_c),
-            "is_partial": F.when(valid, partial_c).otherwise(F.lit(False)),
+            "__cvalid__": valid,
+            "__ctime__": time_c,
+            "__cstream__": stream_c,
+            "__ccontent__": content_c,
+            "__cpartial__": partial_c,
+        }
+    )
+    v = F.col("__cvalid__")
+    df = df.withColumns(
+        {
+            "_time_": F.when(v, F.col("__ctime__")),
+            "_source_": F.when(v, F.col("__cstream__")),
+            "is_partial": F.when(v, F.col("__cpartial__")).otherwise(F.lit(False)),
         }
     )
     # IgnoringStdout / IgnoringStderr drop the event entirely
     # (ProcessorParseContainerLogNative.cpp:219-228); invalid rows obey the
     # keep-source-when-parse-fail rule instead.
     if ignoring_stdout:
-        df = df.filter(~(valid & (F.col("_source_") == "stdout")))
+        df = df.filter(~(v & (F.col("_source_") == "stdout")))
     if ignoring_stderr:
-        df = df.filter(~(valid & (F.col("_source_") == "stderr")))
-    return _apply_keep_source(df, source_key, valid, keep_source, keep_source_if_parse_error)
+        df = df.filter(~(v & (F.col("_source_") == "stderr")))
+    if source_key == "content":
+        # the parsed content replaces the raw frame in place; a parse
+        # failure keeps the raw frame (the native processor returns the
+        # event untouched) unless keep_source_if_parse_error is off
+        fail = (
+            F.col("content")
+            if keep_source_if_parse_error
+            else F.lit(None).cast("string")
+        )
+        df = df.withColumn("content", F.when(v, F.col("__ccontent__")).otherwise(fail))
+    else:
+        df = df.withColumn("content", F.when(v, F.col("__ccontent__")))
+        df = _apply_keep_source(
+            df, source_key, v, keep_source, keep_source_if_parse_error
+        )
+    return df.drop("__cvalid__", "__ctime__", "__cstream__", "__ccontent__", "__cpartial__")
 
 
 def container_log_parse(

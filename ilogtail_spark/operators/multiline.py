@@ -29,6 +29,7 @@ def merge_multiline(
     record_col: str = "record_id",
     merged_col: str = "merged",
     sep: str = "\n",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """processor_split_log_regex
     (plugins/processor/split/logregex/split_log_regex.go:27-35) /
@@ -43,6 +44,9 @@ def merge_multiline(
     record's first line_no — deterministic because the concat order is
     forced by sorting the collected (line_no, line) structs, never by
     arrival order (collect_list alone is NOT order-stable in Spark).
+    `carry_cols` ride along as the record's FIRST line's values (the
+    reference keeps the first event's metadata on the merged event) —
+    min_by inside the same aggregation, no extra shuffle.
     """
     from ilogtail_spark.partitioning import cores_repartition
 
@@ -62,6 +66,10 @@ def merge_multiline(
         with_rec.groupBy(partition_col, record_col)
         .agg(
             F.min(order_col).alias("first_line_no"),
+            *[
+                F.min_by(c, F.col(order_col)).alias(c)
+                for c in carry_cols
+            ],
             F.array_sort(
                 F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(line_col).alias("l")))
             ).alias("__lines__"),

@@ -604,7 +604,8 @@ _HTTP_FORMATS = ("influx", "influxdb", "statsd", "otlp_logv1")
 
 def _validate_input(i: dict) -> None:
     typ = i.get("Type")
-    if typ in ("input_file", "file_log", "service_syslog", "service_otlp"):
+    if typ in ("input_file", "file_log", "service_syslog", "service_otlp",
+               "input_container_stdio"):
         return
     if typ == "service_http_server":
         if i.get("Format") not in _HTTP_FORMATS:
@@ -625,6 +626,53 @@ def _decode_input(df: DataFrame, i: dict) -> DataFrame:
     typ = i.get("Type")
     if typ in ("input_file", "file_log"):
         return df
+    if typ == "input_container_stdio":
+        # offline replay of the container runtime's log files
+        # (core/plugin/input/InputContainerStdio.cpp): parse the runtime
+        # format, merge containerd P/F partial parts, then the optional
+        # Multiline.StartPattern merge — exactly the reference's inner
+        # processor chain. ContainerFilters select WHICH containers to
+        # tail (transport) — here the FilePaths selection plays that
+        # role. Needs the batch reader's __offset__ ordering.
+        from ilogtail_spark.operators.container import (
+            container_log_parse,
+            merge_partial_logs,
+        )
+
+        if "__offset__" not in df.columns:
+            raise ValueError(
+                "input_container_stdio needs per-file line order "
+                "(__offset__) — stream replay requires the stateful "
+                "merge operators instead"
+            )
+        out = container_log_parse(
+            df,
+            "content",
+            fmt=i.get("Format", "containerd_text"),
+            ignoring_stdout=i.get("IgnoringStdout", False),
+            ignoring_stderr=i.get("IgnoringStderr", False),
+        )
+        out = merge_partial_logs(
+            out, partition_col="__source__", order_col="__offset__"
+        ).withColumnRenamed("first_line_no", "__offset__")
+        start = (i.get("Multiline") or {}).get("StartPattern")
+        if start:
+            from ilogtail_spark.operators.multiline import merge_multiline
+
+            out = (
+                merge_multiline(
+                    out,
+                    line_col="content",
+                    partition_col="__source__",
+                    order_col="__offset__",
+                    begin_regex=start,
+                    merged_col="__merged__",
+                    carry_cols=("_time_", "_source_"),
+                )
+                .withColumnRenamed("__merged__", "content")
+                .withColumnRenamed("first_line_no", "__offset__")
+            )
+        return out
     if typ == "service_syslog":
         from ilogtail_spark.operators.netparse import syslog_parse
 

@@ -710,6 +710,62 @@ class TestNetworkInputReplay:
             ("hits", "env#$#ci", 8.0)
         assert r["__time_nano__"] is None  # no arrival time in replay
 
+    def test_http_server_influx_e2e_case(self, spark, tmp_path):
+        """Mirrors /root/reference/test/e2e/test_cases/input_http_server/
+        case.feature: Format=influxdb + FieldsExtend over the case's own
+        frame `weather,city=hz value=32` must yield the feature file's
+        expected kv set (__name__/__value__/__labels__/__type__); the
+        `__tag__:db` entry is the HTTP query param — transport, n/a."""
+        p = tmp_path / "body.txt"
+        p.write_text("weather,city=hz value=32\n")
+        df = read_inputs(spark, {"inputs": [{
+            "Type": "service_http_server", "Format": "influxdb",
+            "FieldsExtend": True, "FilePaths": [str(p)],
+        }]})
+        r = df.collect()[0]
+        assert r["__name__"] == "weather"
+        assert r["__value__"] == "32"
+        assert r["__labels__"] == "city#$#hz"
+        assert r["__type__"] == "float"
+
+    def test_container_stdio_multiline_e2e_case(self, spark, tmp_path):
+        """Mirrors /root/reference/test/e2e/test_cases/
+        input_container_stdio_multiline/case.feature: containerd-format
+        stdout with Multiline.StartPattern "today" must merge into one
+        record whose content is exactly 'today\nhello' with
+        _source_=stdout (stderr ignored)."""
+        p = tmp_path / "0.log"
+        p.write_text(
+            "2024-01-01T00:00:01.000000000Z stdout F today\n"
+            "2024-01-01T00:00:02.000000000Z stdout F hello\n"
+            "2024-01-01T00:00:03.000000000Z stderr F noise\n"
+            "2024-01-01T00:00:04.000000000Z stdout F today\n"
+            "2024-01-01T00:00:05.000000000Z stdout F again\n"
+        )
+        df = read_inputs(spark, {"inputs": [{
+            "Type": "input_container_stdio",
+            "FilePaths": [str(p)],
+            "IgnoringStderr": True,
+            "Multiline": {"StartPattern": "today"},
+        }]})
+        rows = sorted(r["content"] for r in df.collect())
+        assert rows == ["today\nagain", "today\nhello"]
+        srcs = {r["_source_"] for r in df.collect()}
+        assert srcs == {"stdout"}
+
+    def test_container_stdio_partial_parts(self, spark, tmp_path):
+        # containerd P-flag parts concatenate with NO separator
+        p = tmp_path / "0.log"
+        p.write_text(
+            "2024-01-01T00:00:01Z stdout P hel\n"
+            "2024-01-01T00:00:01Z stdout P lo \n"
+            "2024-01-01T00:00:01Z stdout F world\n"
+        )
+        df = read_inputs(spark, {"inputs": [{
+            "Type": "input_container_stdio", "FilePaths": [str(p)],
+        }]})
+        assert [r["content"] for r in df.collect()] == ["hello world"]
+
     def test_filepaths_required(self, spark):
         with pytest.raises(ValueError, match="FilePaths"):
             read_inputs(spark, {"inputs": [{"Type": "service_syslog"}]})
