@@ -592,6 +592,27 @@ def read_inputs(spark: SparkSession, config: str | dict[str, Any]) -> DataFrame:
     dfs = []
     for i in inputs:
         _validate_input(i)  # unknown Type/Format fails before any read
+        if i.get("Type") in _SQL_INPUTS:
+            # incremental SQL-query inputs read TABLES, not frame lines
+            from ilogtail_spark.sources.sqlquery import SqlQueryInput
+
+            dfs.append(
+                SqlQueryInput(
+                    spark,
+                    i["StateMent"],
+                    tables=i["Tables"],
+                    ckpt_path=i["CheckPointPath"],
+                    instance=i.get("Instance", i["Type"]),
+                    checkpoint=i.get("CheckPoint", False),
+                    checkpoint_column=i.get("CheckPointColumn"),
+                    checkpoint_column_type=i.get(
+                        "CheckPointColumnType", "string"
+                    ),
+                    checkpoint_start=i.get("CheckPointStart", ""),
+                    max_sync_size=i.get("MaxSyncSize", 0),
+                ).collect()
+            )
+            continue
         dfs.append(_decode_input(_lines(i), i))
     df = dfs[0]
     for d in dfs[1:]:
@@ -601,11 +622,19 @@ def read_inputs(spark: SparkSession, config: str | dict[str, Any]) -> DataFrame:
 
 _HTTP_FORMATS = ("influx", "influxdb", "statsd", "otlp_logv1")
 
+# service_mysql's offline siblings share one shape (plugins/input/{mysql,
+# pgsql,mssql} differ only in driver/DSN — transport)
+_SQL_INPUTS = ("service_mysql", "service_pgsql", "service_mssql")
+
 
 def _validate_input(i: dict) -> None:
     typ = i.get("Type")
     if typ in ("input_file", "file_log", "service_syslog", "service_otlp",
                "input_container_stdio"):
+        return
+    if typ in _SQL_INPUTS:
+        if not i.get("StateMent"):
+            raise ValueError(f"{typ}: StateMent required")  # mysql.go:101
         return
     if typ == "service_http_server":
         if i.get("Format") not in _HTTP_FORMATS:
