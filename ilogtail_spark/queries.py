@@ -5332,6 +5332,46 @@ FROM transcripts
 """
 
 
+_CDC_EVENT_SQL = (
+    "CASE WHEN turn_idx % 13 = 0 THEN 'ddl' "
+    "WHEN turn_idx % 11 = 0 THEN 'row_delete' "
+    "WHEN turn_idx % 3 = 0 THEN 'row_insert' ELSE 'row_update' END"
+)
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """input_canal's semantic core (input_canal.go:211-215,349-406):
+    apply a binlog-shaped change stream — row_insert/update/delete plus
+    ignored ddl events, ordered by binlog offset — to materialize each
+    key's current row. One max_by aggregate: shuffle carries O(keys),
+    not O(events) (no full-partition sort like a row_number window)."""
+    from ilogtail_spark.operators.cdc import cdc_apply
+
+    t = _t(spark, sf_dir)
+    events = t.select(
+        "conv_id",
+        (F.col("turn_idx") % 7).alias("pk"),
+        F.col("turn_idx").alias("_offset_"),
+        F.expr(_CDC_EVENT_SQL).alias("_event_"),
+        "text", "role",
+    )
+    state = cdc_apply(events, ["conv_id", "pk"], order_cols=["_offset_"],
+                      payload_cols=["text", "role"])
+    return state.select("conv_id", "pk", "text", "role")
+
+
+O_CDC_APPLY = f"""{_CTE},
+ev AS (
+  SELECT conv_id, turn_idx % 7 AS pk, turn_idx AS off, text, role,
+         {_CDC_EVENT_SQL} AS e
+  FROM transcripts),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, pk ORDER BY off DESC) AS rn
+  FROM ev WHERE e LIKE 'row_%')
+SELECT conv_id, pk, text, role FROM r WHERE rn = 1 AND e <> 'row_delete'
+"""
+
+
 def q_prometheus_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """flusher_prometheus wire shape (encoder/prometheus/utils.go:44-88):
     metric event → remote-write TimeSeries; `__name__` joins the label
@@ -5573,6 +5613,7 @@ QUERIES: dict[str, QueryFn] = {
     "statsd_decode": q_statsd_decode,
     "influx_decode": q_influx_decode,
     "otlp_log_decode": q_otlp_log_decode,
+    "cdc_apply": q_cdc_apply,
     "prometheus_series": q_prometheus_series,
     "otel_aggregate_route": q_otel_aggregate_route,
     "bigram_nll": q_bigram_nll,
@@ -5845,6 +5886,7 @@ ORACLES: dict[str, str] = {
     "statsd_decode": O_STATSD_DECODE,
     "influx_decode": O_INFLUX_DECODE,
     "otlp_log_decode": O_OTLP_LOG_DECODE,
+    "cdc_apply": O_CDC_APPLY,
     "prometheus_series": O_PROMETHEUS_SERIES,
     "otel_aggregate_route": O_OTEL_AGGREGATE_ROUTE,
     "bigram_nll": O_BIGRAM_NLL,

@@ -256,6 +256,10 @@ CHECKS = {
     "bigram_nll": (["BroadcastHashJoin"], ["SortMergeJoin"]),
     # remote-write shaping is a pure projection over the metric rows
     "prometheus_series": (["ReadSchema"], ["Join", "HashAggregate", "Generate"]),
+    # CDC apply: ONE partial max_by agg, never a join; the plan's only
+    # Window is the transcripts SOURCE synthesis (tests/test_cdc.py pins
+    # the operator itself Window-free on a plain input)
+    "cdc_apply": (["partial_max_by"], ["Join", "SortMergeJoin"]),
 }
 
 # single-pass claims: at most N parquet scans in the physical plan
@@ -356,6 +360,8 @@ EXCHANGE_LIMIT = {
     "skywalking_route": 2,
     # transcripts source window only — label render adds ZERO
     "prometheus_series": 1,
+    # transcripts source window + the keyed max_by agg
+    "cdc_apply": 2,
     # (prev,tok) train agg + ctx rollup + 1-row total + doc-keyed score
     # agg — each load-bearing; broadcasts are not counted here
     "bigram_nll": 4,
