@@ -91,3 +91,77 @@ def cdc_apply(
     return latest.filter(F.col("__row.__keep")).select(
         *key_cols, *[F.col(f"__row.{c}").alias(c) for c in payload_cols]
     )
+
+
+class CdcStateTable:
+    """Durable materialized state for a CDC stream: each micro-batch
+    folds into the committed state via :func:`cdc_apply` and lands as a
+    FRESH GENERATION (`gen_N` directory) whose commit-marker flip makes
+    it authoritative — the same torn-write-invisible discipline as
+    plans/snapshot.py's compaction: a crash mid-write leaves the
+    previous generation fully loadable, a crash after the flip leaves
+    only orphan files. Batch ordering supplies recency across batches
+    (a monotonic binlog: any event outranks the prior state by
+    construction), so no order column needs to persist in the state.
+
+    Use with foreachBatch:
+
+        def sink(batch_df, batch_id):
+            state.apply_batch(batch_df, batch_id)
+
+    `apply_batch` is idempotent per batch_id — a retried micro-batch
+    re-applies onto the same PRIOR generation (the reference's send
+    dedup analog; cdc application is idempotent anyway: same events,
+    same winners).
+    """
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        key_cols: list[str],
+        *,
+        order_cols: list[str] | None = None,
+        payload_cols: list[str] | None = None,
+        event_col: str = "_event_",
+    ) -> None:
+        from ilogtail_spark.plans.checkpoint import CheckpointTable
+
+        self.spark = spark
+        self.path = path
+        self.key_cols = list(key_cols)
+        self.order_cols = list(order_cols or ["_offset_"])
+        self.payload_cols = payload_cols
+        self.event_col = event_col
+        self.ckpt = CheckpointTable(spark, f"{path}/_commits")
+
+    def _meta(self) -> dict | None:
+        return self.ckpt.payload("cdc_state", "state")
+
+    def current(self) -> "DataFrame | None":
+        meta = self._meta()
+        if meta is None:
+            return None
+        return self.spark.read.parquet(meta["location"])
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        meta = self._meta()
+        if meta is not None and int(meta.get("batch_id", -1)) >= int(batch_id):
+            return  # replayed micro-batch: already folded in
+        base = self.current()
+        new_state = cdc_apply(
+            batch_df,
+            self.key_cols,
+            order_cols=self.order_cols,
+            payload_cols=self.payload_cols,
+            event_col=self.event_col,
+            base=base,
+        )
+        gen = int(meta.get("gen", 0)) + 1 if meta else 1
+        location = f"{self.path}/gen_{gen}"
+        new_state.write.mode("overwrite").parquet(location)
+        self.ckpt.commit(
+            "cdc_state", "state",
+            {"location": location, "gen": gen, "batch_id": int(batch_id),
+             "superseded": (meta or {}).get("location")},
+        )
