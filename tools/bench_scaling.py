@@ -162,7 +162,15 @@ def main() -> None:
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
     best_eff_all = max(b for (_, b) in effs.values())
     percore = max(thr(min(runs[lv])) / lv for lv in LEVELS)
-    with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
+    # BASELINE.md is CURATED: it accumulates the cross-session history
+    # table and per-window narratives that this generator knows nothing
+    # about (an r7 run once clobbered five sessions of history). The
+    # generated report therefore lands in scaling_latest.md; BASELINE.md
+    # is only seeded when absent — merge new windows into it by hand.
+    out_path = f"{REPO}/BENCH/scaling_latest.md"
+    if not os.path.exists(f"{REPO}/BENCH/BASELINE.md"):
+        out_path = f"{REPO}/BENCH/BASELINE.md"
+    with open(out_path, "w") as f:
         f.write(f"""# BENCH baseline — scaling + throughput evidence
 
 Workload: flagship parse → enrich → route → aggregate pipeline
@@ -239,7 +247,7 @@ turns/sec/core. This engine: up to {percore:,.0f} turns/sec/core with the
 full parse+enrich+route+aggregate DAG (single-pass sentinel regex parse;
 zero per-row Python).
 """)
-    print(f"wrote {REPO}/BENCH/BASELINE.md")
+    print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":
