@@ -128,7 +128,7 @@ def main() -> None:
         "syslog_rfc3164", "syslog_rfc5424", "syslog_auto", "statsd_decode",
         "influx_decode", "otlp_log_decode", "prometheus_series",
         "otel_aggregate_route", "skywalking_route",
-        "bpe_pair_counts", "bpe_encode", "bigram_nll",
+        "bpe_pair_counts", "bpe_encode", "bigram_nll", "cdc_apply",
     )
     noisy = {"minhash_lsh", "ngram_jaccard", "dedup_clusters", "spl_pipeline"}
     reps = {name: (3 if name in noisy else 2) for name in registry}

@@ -222,10 +222,12 @@ def syslog_parse(
         nil5 = lambda c: F.when(F.col(c) != "-", F.col(c))  # noqa: E731
         ts5 = nil5("ts5").try_cast("timestamp")
         r5 = F.struct(
-            F.col("app5").alias("program"),
+            # '-' NILVALUEs: nil Appname leaves program "" and nil
+            # Hostname falls back (parser.go:156-163, syslog.go:420-423)
+            F.coalesce(nil5("app5"), F.lit("")).alias("program"),
             F.col("pri5").alias("priority"),
             ts5.alias("ts"),
-            F.col("host5").alias("hostname"),
+            F.coalesce(nil5("host5"), F.lit("")).alias("hostname"),
             F.coalesce(F.col("msg5"), F.lit("")).alias("content"),
             F.when(F.col("sd5") != "-", _sd_json("sd5")).alias("sd"),
             nil5("msgid5").alias("msgid"),

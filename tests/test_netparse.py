@@ -135,6 +135,19 @@ class TestSyslogRfc5424:
         assert r["_content_"] == "BOM'su root' failed for lonvick on /dev/pts/8"
         assert r["_unixtimestamp_"] == "1065910455003000000"
 
+    def test_nil_hostname_appname(self, spark):  # noqa: F811
+        # '-' NILVALUE hostname/appname: program stays "" and hostname
+        # takes the fallback (parser.go:156-163, syslog.go:420-423)
+        df = spark.createDataFrame(
+            [("<34>1 2003-10-11T22:14:15Z - - - - - msg body",)], ["text"]
+        )
+        r = syslog_parse(df, protocol="rfc5424",
+                         hostname_fallback="me").collect()[0]
+        assert r["_program_"] == ""
+        assert r["_hostname_"] == "me"
+        assert r["_priority_"] == "34"
+        assert r["_content_"] == "msg body"
+
     def test_rfc3164_frame_fails_5424(self, spark):  # noqa: F811
         df = spark.createDataFrame(
             [("Jul 29 06:20:01 ecs-test-yyh systemd: Started Session 4530 of user root.",)],
