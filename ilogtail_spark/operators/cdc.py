@@ -124,6 +124,7 @@ class CdcStateTable:
         order_cols: list[str] | None = None,
         payload_cols: list[str] | None = None,
         event_col: str = "_event_",
+        keep_generations: int = 2,
     ) -> None:
         from ilogtail_spark.plans.checkpoint import CheckpointTable
 
@@ -133,6 +134,11 @@ class CdcStateTable:
         self.order_cols = list(order_cols or ["_offset_"])
         self.payload_cols = payload_cols
         self.event_col = event_col
+        # every batch writes a FULL state copy; without retention a
+        # long-running stream accumulates one copy per trigger. Keep
+        # the newest `keep_generations` (≥2: current + its predecessor
+        # for in-flight readers), GC the rest post-commit.
+        self.keep_generations = max(2, int(keep_generations))
         self.ckpt = CheckpointTable(spark, f"{path}/_commits")
 
     def _meta(self) -> dict | None:
@@ -165,3 +171,13 @@ class CdcStateTable:
             {"location": location, "gen": gen, "batch_id": int(batch_id),
              "superseded": (meta or {}).get("location")},
         )
+        # post-commit GC — failures here orphan files, never state
+        # (the commit already points at the new generation)
+        old_gen = gen - self.keep_generations
+        if old_gen >= 1:
+            jvm = self.spark._jvm
+            hconf = self.spark._jsc.hadoopConfiguration()
+            op = jvm.org.apache.hadoop.fs.Path(f"{self.path}/gen_{old_gen}")
+            fs = op.getFileSystem(hconf)
+            if fs.exists(op):
+                fs.delete(op, True)

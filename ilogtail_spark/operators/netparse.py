@@ -114,15 +114,26 @@ def syslog_parse(
     """service_syslog's decoder (plugins/input/syslog/parser.go:54-208,
     field emission at syslog.go:400-446) as ONE fused projection.
 
-    protocol ∈ {'', 'rfc3164', 'rfc5424', 'auto'} exactly as the
-    reference's ParseProtocol (syslog.go:52, parser.go:203-208):
-    '' stores the raw frame in `_content_` without parsing; 'auto'
-    tries rfc3164 then rfc5424 (parser.go:175-200 order). On parse
-    failure, `ignore_parse_failure=True` emits the raw frame as
-    `_content_` with priority/facility/severity "-1" (parser.go:100-106);
-    False DROPS the frame (syslog.go:403-408). `add_hostname` is the
-    reference's AddHostname: the frame has no hostname token (unixgram
-    /dev/log) and `hostname_fallback` supplies it.
+    protocol ∈ {'', 'rfc3164', 'rfc5424', 'auto'} as the reference's
+    ParseProtocol (syslog.go:52, parser.go:203-208): '' stores the raw
+    frame in `_content_` without parsing; 'auto' tries rfc3164 first,
+    rfc5424 second (parser.go:175-200 order). On parse failure,
+    `ignore_parse_failure=True` emits the raw frame as `_content_` with
+    priority/facility/severity "-1" (parser.go:100-106); False DROPS
+    the frame (syslog.go:403-408). `add_hostname` is the reference's
+    AddHostname: the frame has no hostname token (unixgram /dev/log)
+    and `hostname_fallback` supplies it.
+
+    DELIBERATE delta for 'auto' + ignore_parse_failure=True: the
+    reference builds each sub-parser with the SAME ignoreParseFailure
+    flag, so its rfc3164 parser "succeeds" with the raw-content
+    fallback on every frame and the autoParser NEVER reaches rfc5424
+    (parser.go:97-106 + 183-186) — reference 'auto' only actually
+    dispatches when IgnoreParseFailure is false. Here 'auto' always
+    tries both grammars and falls back only when neither matches (the
+    behavior the mode's name promises); with ignore_parse_failure=False
+    the two implementations coincide exactly. Pinned by
+    tests/test_netparse.py::TestSyslogAuto.
 
     Determinism deltas vs the reference (documented, test-pinned):
     - RFC3164 has no year; the reference stamps the agent's current
@@ -299,26 +310,35 @@ _STATSD_RE = (
 _STATSD_KEYS = ["m_name", "m_value", "m_type", "m_rate", "m_tags"]
 
 
-def _labels_from_tags(tags: Column) -> Column:
-    """`k:v,k2:v2` → sorted `k#$#v|k2#$#v2` — the MetricLabels string
-    emitted by helper.NewMetricLog (pkg/helper/log_helper.go:258-286),
-    same format `operators/transform.py::log_to_metric` uses."""
-    pairs = F.array_sort(F.split(tags, ","))
-    kv = F.transform(
-        pairs,
-        lambda t: F.concat(
-            F.substring_index(t, ":", 1),
-            F.lit("#$#"),
-            # value = everything after the FIRST ':' (values may hold ':')
+def _labels_from_pairs(tags: Column, sep: str) -> Column:
+    """Tag list → the sorted MetricLabels string `k#$#v|k2#$#v2`
+    (helper.NewMetricLog, pkg/helper/log_helper.go:258-286; sort is by
+    label NAME, log_helper.go:140 — NOT by the raw 'k:v' pair string,
+    which diverges whenever a key is a prefix of another and the
+    separator doesn't sort where the comparison needs it, e.g.
+    'env.id:3' vs 'env:prod'). Split each pair at the FIRST `sep`
+    (values may contain it), sort struct(k, v), then render."""
+    structs = F.transform(
+        F.split(tags, ","),
+        lambda t: F.struct(
+            F.substring_index(t, sep, 1).alias("k"),
             t.substr(
-                F.length(F.substring_index(t, ":", 1)) + F.lit(2),
+                F.length(F.substring_index(t, sep, 1)) + F.lit(2),
                 F.length(t),
-            ),
+            ).alias("v"),
         ),
+    )
+    kv = F.transform(
+        F.array_sort(structs),
+        lambda s: F.concat(s["k"], F.lit("#$#"), s["v"]),
     )
     return F.when(
         F.coalesce(tags, F.lit("")) != "", F.array_join(kv, "|")
     ).otherwise(F.lit(""))
+
+
+def _labels_from_tags(tags: Column) -> Column:
+    return _labels_from_pairs(tags, ":")
 
 
 def statsd_decode(
@@ -406,22 +426,9 @@ def influx_decode(
                     keep_source=True, dotall=False)
     p = p.filter(F.col("i_meas").isNotNull())
 
-    tags = F.expr(
-        "array_sort(filter(split(i_tags, ','), x -> x != ''))"
-    )
-    labels = F.array_join(
-        F.transform(
-            tags,
-            lambda t: F.concat(
-                F.substring_index(t, "=", 1),
-                F.lit("#$#"),
-                t.substr(
-                    F.length(F.substring_index(t, "=", 1)) + F.lit(2),
-                    F.length(t),
-                ),
-            ),
-        ),
-        "|",
+    # key-sorted MetricLabels string (same name-sort contract as statsd)
+    labels = _labels_from_pairs(
+        F.regexp_replace(F.col("i_tags"), "^,", ""), "="
     )
 
     fields = F.split(F.col("i_fields"), ",")

@@ -183,14 +183,16 @@ def route_skywalking(
     (plugins/aggregator/skywalking/aggregator_skywalking.go:94-110):
     routes by the event's FIRST content key — `__name__` → metrics,
     `links` → traces, `otlp.name` → logs, anything else falls through
-    to logs (the reference warns and logs-routes). `first_key` is that
-    key as a column (for a map payload: `map_keys(m)[0]`, map entry
-    order is insertion order under from_json). NULL/empty-key rows are
-    dropped like the reference's empty-contents guard."""
+    to logs (the reference warns and logs-routes — INCLUDING an
+    empty-string key: the default branch fires for any unrecognized
+    first key). `first_key` is that key as a column (for a map payload:
+    `map_keys(m)[0]`, map entry order is insertion order under
+    from_json); NULL means the event has no contents at all and is
+    dropped (the len(Contents)>0 guard, aggregator_skywalking.go:95)."""
     k = F.col(first_key) if isinstance(first_key, str) else first_key
     route = (
         F.when(k == "__name__", F.lit(metrics_logstore))
         .when(k == "links", F.lit(trace_logstore))
         .otherwise(F.lit(log_logstore))
     )
-    return df.filter(k.isNotNull() & (k != "")).withColumn(route_col, route)
+    return df.filter(k.isNotNull()).withColumn(route_col, route)

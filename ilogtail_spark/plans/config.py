@@ -635,6 +635,13 @@ def _validate_input(i: dict) -> None:
     if typ in _SQL_INPUTS:
         if not i.get("StateMent"):
             raise ValueError(f"{typ}: StateMent required")  # mysql.go:101
+        if not i.get("Tables"):
+            raise ValueError(
+                f"{typ}: Tables required (view name → parquet/Iceberg "
+                "path — the offline stand-in for the DSN)"
+            )
+        if not i.get("CheckPointPath"):
+            raise ValueError(f"{typ}: CheckPointPath required")
         return
     if typ == "service_http_server":
         if i.get("Format") not in _HTTP_FORMATS:
@@ -866,6 +873,13 @@ def read_inputs_stream(
     dfs = []
     for i in inputs:
         _validate_input(i)
+        if i.get("Type") in _SQL_INPUTS:
+            raise ValueError(
+                f"{i.get('Type')}: batch-only — the reference polls on "
+                "an interval, which here is the batch runner re-invoked "
+                "per cycle (each read_inputs call = one Collect); the "
+                "file-stream source cannot carry the checkpoint bind"
+            )
         dfs.append(_decode_input(_stream_lines(i), i))
     out = dfs[0]
     for d in dfs[1:]:

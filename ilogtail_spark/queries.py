@@ -5444,8 +5444,9 @@ GROUP BY 1, 2
 def q_skywalking_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """aggregator_skywalking (aggregator_skywalking.go:94-110): routing
     by the FIRST content key of each event (`__name__` metric, `links`
-    trace, `otlp.name` log, unknown falls through to logs, empty-key
-    dropped) — first key read from a map payload, counts per sink."""
+    trace, `otlp.name` log, unknown AND empty keys fall through to
+    logs; only zero-contents events drop) — first key read from a map
+    payload, counts per sink."""
     from ilogtail_spark.operators.route import route_skywalking
 
     t = _t(spark, sf_dir)
@@ -5469,7 +5470,7 @@ SELECT CASE WHEN turn_idx % 5 = 0 THEN 'skywalking-metrics'
             WHEN turn_idx % 5 = 1 THEN 'skywalking-traces'
             ELSE 'skywalking-logs' END AS logstore,
        role, count(*) AS n_logs
-FROM transcripts WHERE turn_idx % 5 <> 4
+FROM transcripts
 GROUP BY 1, 2
 """
 

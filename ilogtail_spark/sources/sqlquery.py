@@ -77,6 +77,17 @@ class SqlQueryInput:
                 "CheckPoint statement needs a '?' placeholder "
                 "(mysql.go binds the saved value to it)"
             )
+        if max_sync_size and "order by" not in statement.lower():
+            # LIMIT over an unordered statement is nondeterministic: the
+            # checkpoint agg and the downstream consumer each execute
+            # the plan and may materialize DIFFERENT row subsets — rows
+            # below the saved max would be skipped forever. The
+            # reference's paging has the same requirement implicitly
+            # (OFFSET paging over an unordered query double/under-reads).
+            raise ValueError(
+                "MaxSyncSize requires an ORDER BY on the checkpoint "
+                "column (deterministic page under re-execution)"
+            )
         self.spark = spark
         self.statement = statement
         self.tables = dict(tables)

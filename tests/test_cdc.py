@@ -106,6 +106,23 @@ class TestCdcStateTable:
         assert st._meta()["gen"] == gen_before
         assert {r["pk"]: r["val"] for r in st.current().collect()} == {1: "a"}
 
+    def test_generation_gc(self, spark, tmp_path):
+        import os
+
+        from ilogtail_spark.operators.cdc import CdcStateTable
+
+        path = str(tmp_path / "state")
+        st = CdcStateTable(spark, path, ["pk"], payload_cols=["val"],
+                           keep_generations=2)
+        for i in range(4):
+            b = spark.createDataFrame(
+                [(1, 10 + i, "row_update", f"v{i}")], SCHEMA
+            )
+            st.apply_batch(b, i)
+        gens = sorted(d for d in os.listdir(path) if d.startswith("gen_"))
+        assert gens == ["gen_3", "gen_4"]  # newest 2 kept, 1..2 GCed
+        assert {r["val"] for r in st.current().collect()} == {"v3"}
+
     def test_foreachbatch_stream(self, spark, tmp_path):
         from ilogtail_spark.operators.cdc import CdcStateTable
 

@@ -397,7 +397,7 @@ class TestAdapterAggregators:
 
     def test_skywalking_route_counts(self, spark):
         # aggregator_skywalking: first-content-key dispatch; unknown
-        # keys fall through to logs, all-null rows are dropped
+        # keys fall through to logs, only zero-contents rows drop
         from ilogtail_spark.plans.pipeline import aggregates_for, build_pipeline
 
         df = spark.createDataFrame(

@@ -183,6 +183,24 @@ class TestSyslogAuto:
             syslog_parse(df, protocol="cef")
 
 
+class TestLabelKeySort:
+    def test_prefix_key_sorts_by_name_not_pair_string(self, spark):  # noqa: F811
+        # 'env.id:3' vs 'env:prod': raw-pair sort would put env.id first
+        # ('.' < ':'); MetricLabels sorts by KEY (log_helper.go:140)
+        df = spark.createDataFrame(
+            [("m:1|c|#env:prod,env.id:3",)], ["text"]
+        ).withColumn("ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        r = statsd_decode(df).collect()[0]
+        assert r["__labels__"] == "env#$#prod|env.id#$#3"
+
+    def test_influx_prefix_tag_key_sort(self, spark):  # noqa: F811
+        df = spark.createDataFrame(
+            [("m,env=prod,env.id=3 value=1 5",)], ["text"]
+        )
+        r = influx_decode(df).collect()[0]
+        assert r["__labels__"] == "env#$#prod|env.id#$#3"
+
+
 class TestStatsdDecode:
     def test_counter_rate_tags(self, spark):  # noqa: F811
         df = spark.createDataFrame(
