@@ -846,9 +846,19 @@ def ngram_contamination(
     hashes on both sides, equi-join on the hash, count distinct shared
     grams per (train, test) pair. The join shuffles O(docs × grams)
     hashes — never materializes docs² — and the test side is tiny
-    (benchmark suites), so it broadcasts at corpus scale. Returns
-    (train_id, test_id, shared_ngrams), one row per contaminated pair.
+    (benchmark suites, the operator's contract), so it carries an
+    explicit broadcast hint: the train side is then NEVER shuffled —
+    the whole pass is scan → explode → broadcast-probe → partial agg in
+    one stage, and the only exchange carries the already-reduced
+    (train, test, count) groups. The train scan is spread to the
+    session's cores first (`spread_for_expansion`, gated on actual
+    split count) because the explode+probe stage is row-expanding
+    CPU work that would otherwise inherit a small fixture's 1-split
+    parallelism. Returns (train_id, test_id, shared_ngrams), one row
+    per contaminated pair.
     """
+    from ilogtail_spark.partitioning import spread_for_expansion
+
     def grams(df: DataFrame, out: str) -> DataFrame:
         return df.select(
             F.col(id_col).alias(out),
@@ -859,10 +869,10 @@ def ngram_contamination(
             ).alias("g"),
         )
 
-    tr = grams(train, "train_id")
+    tr = grams(spread_for_expansion(train, id_col), "train_id")
     te = grams(test, "test_id")
     return (
-        tr.join(te, "g")
+        tr.join(F.broadcast(te), "g")
         .groupBy("train_id", "test_id")
         .agg(F.count(F.lit(1)).alias("shared_ngrams"))
         .filter(F.col("shared_ngrams") >= min_shared)
@@ -942,13 +952,15 @@ def bloom_contamination(
         bit positions; positions fold into 64-bit words via a map-side-
         combinable `bit_or` aggregate, one O(n_bits/64)-row shuffle.
         The grams themselves never shuffle.
-      * probe — each train gram checks its `n_hashes` bits through
-        broadcast hash joins on the word index. The bitmap is at most
-        `n_bits/64` rows (128 KiB of payload at the default) — bounded
-        by the PARAMETER, not the data, so the broadcast hint cannot hit
-        the ceiling that forbids hints on data-sized relations
-        (cf. `dedup_keep_one`). Canonically identical builds collapse to
-        one ReusedExchange.
+      * probe — the (word, bits) rows fold into ONE dense
+        ``array<long>`` row (map_from_entries + a sequence fill — still
+        bounded by the PARAMETER at n_bits/64 longs, 128 KiB default),
+        that single row broadcasts, and every train gram evaluates all
+        `n_hashes` membership tests as one fused whole-stage-codegen
+        predicate over the array column. One broadcast of one bounded
+        row replaces the former chain of `n_hashes` broadcast hash
+        joins (each of which re-materialized rows and carried its own
+        BroadcastExchange; measured 35.4 s → see OPTIMIZATION_r08.md).
       * confirm — survivors (true overlaps + ~fpp of train grams) run
         the exact `ngram_contamination` join.
 
@@ -974,6 +986,8 @@ def bloom_contamination(
     to skip the build entirely — the test corpus is then never scanned
     for the filter stage, only for the final exact confirm join."""
 
+    from ilogtail_spark.partitioning import spread_for_expansion
+
     def grams(df: DataFrame, out: str) -> DataFrame:
         return df.select(
             F.col(id_col).alias(out),
@@ -987,21 +1001,21 @@ def bloom_contamination(
     def pos(g: Column, i: int) -> Column:
         return F.pmod(F.xxhash64(g, F.lit(i)), F.lit(n_bits))
 
-    tr = grams(train, "train_id")
+    # the explode + n_hashes-probe stage is row-expanding CPU work: fan
+    # the train scan out to the session's cores when the source has
+    # fewer splits (a no-op when the scan already has enough splits)
+    tr = grams(spread_for_expansion(train, id_col), "train_id")
     te = grams(test, "test_id")
 
     if bitmap is None:
-        # materialize ONCE: each of the n_hashes probe joins broadcasts
-        # this relation, and (measured) ReuseExchange does not kick in
-        # across the differently-keyed joins — without this the test
-        # scan + bitmap build re-executes per probe. Bounded rows, so
-        # the checkpoint is O(n_bits/64); ContextCleaner reclaims it.
-        # A caller-supplied bitmap is already parquet/file-backed, so it
-        # needs no checkpoint — each probe join re-reads ≤128 KiB.
+        # consumed exactly once (by the dense fold below), so no
+        # checkpoint is needed — the former eager localCheckpoint
+        # existed only because each of the n_hashes probe JOINS
+        # re-broadcast the relation separately.
         bitmap = bloom_bitmap(
             test, id_col=id_col, text_col=text_col,
             n=n, n_bits=n_bits, n_hashes=n_hashes,
-        ).localCheckpoint(eager=True)
+        )
 
     if bitmap_literal:
         # ceil sizing: bit positions are pmod(hash, n_bits), so the top
@@ -1028,30 +1042,57 @@ def bloom_contamination(
             hit = probe if hit is None else (hit & probe)
         cand = tr.filter(hit)
     else:
-        cand = tr
-        for i in range(n_hashes):
-            bm = bitmap.select(
-                F.col("word").alias(f"__w{i}__"),
-                F.col("bits").alias(f"__b{i}__"),
+        # fold the (word, bits) rows into ONE dense array<long> row —
+        # O(n_bits/64) values, bounded by the parameter — broadcast
+        # that single row, and evaluate all n_hashes membership tests
+        # as one fused codegen predicate. Missing words (no bit set in
+        # that 64-bit span) read as 0 via the coalesce fill.
+        n_words = (n_bits + 63) // 64
+        dense = (
+            bitmap.groupBy()
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("word", "bits"))
+                ).alias("__m__")
             )
-            cand = (
-                cand.withColumn(f"__p{i}__", pos(F.col("g"), i))
-                .join(
-                    F.broadcast(bm),
-                    F.shiftrightunsigned(F.col(f"__p{i}__"), 6)
-                    == F.col(f"__w{i}__"),
-                )
-                .filter(
-                    F.expr(
-                        f"(__b{i}__ & shiftleft(CAST(1 AS BIGINT), "
-                        f"CAST(__p{i}__ % 64 AS INT))) != 0"
+            .select(
+                F.transform(
+                    F.sequence(
+                        F.lit(0).cast("bigint"),
+                        F.lit(n_words - 1).cast("bigint"),
+                    ),
+                    lambda w: F.coalesce(
+                        F.element_at(F.col("__m__"), w),
+                        F.lit(0).cast("bigint"),
+                    ),
+                ).alias("__bm__")
+            )
+        )
+        hit = None
+        for i in range(n_hashes):
+            p = pos(F.col("g"), i)
+            probe = (
+                F.get(F.col("__bm__"), F.shiftrightunsigned(p, 6).cast("int"))
+                .bitwiseAND(
+                    # F.shiftleft only takes a Python-int shift; the SQL
+                    # function accepts a column
+                    F.call_function(
+                        "shiftleft",
+                        F.lit(1).cast("bigint"),
+                        F.pmod(p, F.lit(64)).cast("int"),
                     )
                 )
-                .drop(f"__p{i}__", f"__w{i}__", f"__b{i}__")
+                != 0
             )
+            hit = probe if hit is None else (hit & probe)
+        cand = tr.join(F.broadcast(dense)).filter(hit).drop("__bm__")
 
+    # the test side is the bounded held-out suite (the operator's
+    # contract, same as `ngram_contamination`): broadcast it so the
+    # surviving train grams are never shuffled — the only exchange in
+    # the whole plan then carries the already-aggregated pair counts
     return (
-        cand.join(te, "g")
+        cand.join(F.broadcast(te), "g")
         .groupBy("train_id", "test_id")
         .agg(F.count(F.lit(1)).alias("shared_ngrams"))
         .filter(F.col("shared_ngrams") >= min_shared)
