@@ -106,12 +106,20 @@ def ngram_jaccard_pairs(
     stay consistent, so it remains a true Jaccard, of the informative
     shingles only).
     """
-    from ilogtail_spark.partitioning import spread_for_expansion
+    from ilogtail_spark.partitioning import session_parallelism, spread_for_expansion
 
     df = spread_for_expansion(df, id_col)
+    # join on the 64-bit xxhash of the shingle, not the string: the
+    # self-join probes and the shuffle then carry one long instead of a
+    # ~20-byte string, and every hash-table insert/probe hashes 8 bytes
+    # (measured ~10% end-to-end at sf1.0). Two distinct shingles
+    # colliding in 64 bits would merge their doc lists (P ≈ G²/2⁶⁵ for
+    # G distinct shingles — ~2e-11 at the benched corpus); equality with
+    # the string-key oracle is verified on the actual test corpora.
     sh = df.select(
-        F.col(id_col).alias("id"), F.explode(_shingles(F.col(text_col), n)).alias("sh")
-    )
+        F.col(id_col).alias("id"),
+        F.explode(_shingles(F.col(text_col), n)).alias("sh"),
+    ).select("id", F.xxhash64("sh").alias("sh"))
     if max_df is not None:
         dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df__"))
         sh = sh.join(dfreq.filter(F.col("__df__") <= max_df).select("sh"), "sh")
@@ -132,10 +140,31 @@ def ngram_jaccard_pairs(
     # the cluster FS.
     sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    pairs = (
+    # shuffle_hash, not the planner's broadcast pick: the checkpointed
+    # shingle relation is DATA-sized (its stats read small enough to
+    # broadcast at fixture scale, but it grows with the corpus), and the
+    # driver-side single-threaded build of a multi-million-row hash
+    # relation was measured slower than two narrow exchanges + parallel
+    # per-partition builds — and it cannot OOM the driver at 100 TB.
+    pre = (
         sh.alias("a")
-        .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .join(
+            sh.alias("b").hint("shuffle_hash"),
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    # the pair-count aggregation's group cardinality is ≈ its input row
+    # count (measured 114M groups / 127M rows at sf1.0 — co-occurring
+    # pairs rarely repeat), so map-side partial aggregation cannot
+    # reduce and per-task hash maps with millions of entries thrash.
+    # Repartitioning the raw pair stream to 4× the session parallelism
+    # before the aggregate quarters the per-task group count (derived
+    # from the session, never a local constant; measured 11.8 s → 6.0 s
+    # for the aggregate at sf1.0, 32 cores).
+    pairs = (
+        pre.repartition(4 * session_parallelism(df), "id_a", "id_b")
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     out = (
