@@ -113,9 +113,19 @@ def prom_parse(
     # LAST and recovered with a limit-4 split. Measured 2.3x over four
     # regexp_extract passes at sf0.1.
     packed = F.regexp_replace(src, _LINE_RE, "\x02$1\x01$3\x01$4\x01$2")
-    matched = packed.startswith("\x02")
-    parts = F.split(F.substring(packed, 2, F.lit(2147483647)), "\x01", 4)
-    name = F.get(parts, 0)
+    # pin the packed+split chain as a NAMED column: the row filter and
+    # all five output columns reference it, and unpinned, Catalyst
+    # inlines the (synthesized line +) anchored regex rewrite into
+    # every site (see exprutil.pin — the name matters: a pinned tree
+    # embedded per-consumer is nondeterministic per copy, which also
+    # defeats runtime subexpression elimination)
+    from ilogtail_spark.exprutil import pin
+
+    df = df.withColumn("__pp__", pin(F.split(packed, "\x01", 4)))
+    parts = F.col("__pp__")
+    head = F.get(parts, 0)
+    matched = head.startswith("\x02")
+    name = F.substring(head, 2, F.lit(2147483647))
     val_tok = F.get(parts, 1)
     ts_tok = F.coalesce(F.get(parts, 2), F.lit(""))
     blob = F.coalesce(F.get(parts, 3), F.lit(""))
@@ -171,7 +181,7 @@ def prom_parse(
                 "__time_ns__": t_ns.cast("long"),
             }
         )
-        .drop(source_key)
+        .drop(source_key, "__pp__")
     )
 
 

@@ -93,6 +93,25 @@ def _t(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transcripts_df(spark, sf_dir)
 
 
+def _barrier(df: DataFrame) -> DataFrame:
+    """Lazy localCheckpoint as an OPTIMIZER BARRIER for queries whose
+    downstream operators reference expensive derived columns many
+    times. Catalyst's CollapseProject / PushDownPredicates substitute a
+    derived column's defining expression into EVERY referencing site —
+    the transcripts text-generation CASE + sentinel parse regex
+    appeared 15× in prometheus_series' physical plan, re-executing the
+    synthesize+parse chain per reference (measured 12.9 s; 1.6 s with
+    the barrier at sf1.0). Materializing the narrow parsed relation
+    once per invocation bounds the chain to exactly one evaluation.
+    The blocks are built INSIDE the timed query on every invocation and
+    reclaimed by the ContextCleaner — a plan barrier, never a cross-run
+    cache. At 100 TB this is the guide's 'materialise an intermediate
+    to truncate the plan' rule; on preemptible executors prefer
+    persist()+unpersist (recomputable lineage) as discussed in
+    functions/dedup.py."""
+    return df.localCheckpoint(eager=False)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Plain scan — NO unconditional repartition. The row-expanding,
     # doc-keyed operators (shingle explode, 64-permutation MinHash,
@@ -563,7 +582,9 @@ def q_apsara_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ilogtail_spark.operators.apsara import apsara_parse
 
     t = _t(spark, sf_dir).withColumn("ap", F.expr(_APSARA_TEXT_SQL))
-    p = apsara_parse(t, "ap", kv_keys=["rolek", "seq"])
+    # barrier: 8 output columns each re-inline the apsara-line synth +
+    # bracketed-field parse without it (see _barrier)
+    p = _barrier(apsara_parse(t, "ap", kv_keys=["rolek", "seq"]))
     return p.select(
         "conv_id", "turn_idx", "microtime",
         F.col("__LEVEL__").alias("level"),
@@ -5379,10 +5400,17 @@ def q_prometheus_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ilogtail_spark.operators.convert import prometheus_series
 
     t = _t(spark, sf_dir)
+    # guard: every _APP_RE match starts with a digit — rows failing the
+    # cheap prefilter skip the expensive regex (guide's guard contract)
     p = regex_parse(t, _APP_RE, ["ts_str", "pid", "thread", "level", "code"],
-                    "text", keep_source=True, dotall=False)
+                    "text", keep_source=True, dotall=False,
+                    guard_regex=r"^\d")
     p = p.filter(F.col("level").isNotNull())
-    m = log_to_metric(p, "app_code", "code", ["role", "level"], time_col="ts")
+    # log_to_metric + prometheus_series reference the parsed columns
+    # many times; without the barrier the text-gen + parse chain is
+    # inlined 15× into the plan (12.9 s → 1.6 s at sf1.0)
+    m = log_to_metric(_barrier(p), "app_code", "code", ["role", "level"],
+                      time_col="ts")
     out = prometheus_series(m)
     return out.select("series", "value", "timestamp_ms")
 
