@@ -90,6 +90,10 @@ def chunk_documents(
     index stage sets the parallelism. Chunk boundaries are token
     arithmetic (deterministic, oracle-checkable), not byte offsets.
     """
+    from ilogtail_spark.partitioning import spread_for_expansion
+
+    df = spread_for_expansion(df, id_col)
+
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     from pyspark.sql import functions as F

@@ -625,8 +625,16 @@ def kmeans_step(
         )
     else:
         raise ValueError(f"unknown assign mode {assign!r}")
-    nrm = _norm(F.col(vec_col))
-    unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm)
+    # the norm must be a PINNED NAMED column: inlined into the
+    # transform lambda it re-evaluates the O(dim) aggregate once per
+    # component — O(dim²) per row, measured 6.6 s vs 1.5 s at sf1.0
+    # (see exprutil.pin)
+    from ilogtail_spark.exprutil import pin
+
+    assigned = assigned.withColumn("__nrm__", pin(_norm(F.col(vec_col))))
+    unit = F.transform(
+        F.col(vec_col), lambda x: x.cast("double") / F.col("__nrm__")
+    )
     comp = assigned.select(
         F.col("centroid").cast("long").alias("centroid"),
         F.posexplode(unit).alias("dim", "comp"),

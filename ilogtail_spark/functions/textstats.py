@@ -136,6 +136,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality features + composite score:
     length, mean token length, punctuation ratio, stopword ratio,
     uppercase ratio. Deterministic arithmetic only (oracle-checkable)."""
+
     t = F.col(text_col)
     toks = tokens(t)
     n_tok = F.size(toks)
@@ -197,6 +198,7 @@ def quality_logistic(
     the final σ is rounded to 6 as well). The accumulation is a fixed
     left-associated chain in `weights` order — same discipline as the
     BM25 score chain."""
+
     d = quality_score(df, text_col).withColumn(
         "log_n_tokens", F.round(F.log1p(F.col("n_tokens")), 6)
     )
@@ -338,6 +340,7 @@ def lang_id(
     length-delta of a replace (regexp_count measured 50× slower here),
     highest total wins.
     """
+
     if mode == "trigram":
         low = F.lower(F.col(text_col))
 
@@ -710,6 +713,10 @@ def vocab_topk(
     count_distinct of a (token, doc) pre-distinct, and the corpus
     total is a 1-row broadcast. Top-k is per-partition heaps
     (TakeOrderedAndProject), never a full sort."""
+    from ilogtail_spark.partitioning import spread_for_expansion
+
+    df = spread_for_expansion(df)
+
     tok = df.select(
         F.col(id_col).alias("__doc__"),
         F.explode(tokens(F.col(text_col))).alias("token"),
@@ -767,6 +774,10 @@ def count_min_sketch(
     time, and (c) merges across shards/days by simple (row,bucket) sum
     — the frequency-stats analog of the Bloom bitmap in
     `bloom_contamination`."""
+    from ilogtail_spark.partitioning import spread_for_expansion
+
+    df = spread_for_expansion(df)
+
     toks = df.select(
         F.explode(tokens(F.col(text_col))).alias("token")
     )
@@ -974,8 +985,16 @@ def unigram_vocab(
     ones, so probabilities stay a true distribution as the cutoff
     moves). One explode + one token-keyed aggregation; the token
     relation is localCheckpointed because both outputs read it (same
-    executor-loss trade-off as documented in dedup.py:125)."""
-    tok = df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+    executor-loss trade-off as documented in dedup.py:125). The scan is
+    spread to the session's cores first — tokenize+explode is
+    row-expanding CPU work that would otherwise run on a small
+    fixture's single input split (spread_for_expansion is a no-op when
+    the scan already has enough splits)."""
+    from ilogtail_spark.partitioning import spread_for_expansion
+
+    tok = spread_for_expansion(df).select(
+        F.explode(tokens(F.col(text_col))).alias("tok")
+    )
     vocab_all = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     vocab_all = vocab_all.localCheckpoint(eager=False)
     total = vocab_all.agg(F.sum("cnt").alias("total_tokens"))
@@ -1019,7 +1038,11 @@ def unigram_nll(
         raise ValueError("pass both vocab and total, or neither")
     if vocab is None:
         vocab, total = unigram_vocab(df, text_col, min_count)
-    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    from ilogtail_spark.partitioning import spread_for_expansion
+
+    tok = spread_for_expansion(df, id_col).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
     scored = (
         tok.join(F.broadcast(vocab), "tok", "left")
         .join(F.broadcast(total))
@@ -1060,8 +1083,11 @@ def bigram_vocab(
     as the cutoff moves — same discipline as :func:`unigram_vocab`),
     `total` the 1-row bigram count for the unseen-context floor.
     One explode + one (prev, tok)-keyed aggregation; ctx and total are
-    rollups of the same relation (localCheckpointed, shared)."""
-    bg = df.select(
+    rollups of the same relation (localCheckpointed, shared). The scan
+    is spread to the session's cores first (see unigram_vocab)."""
+    from ilogtail_spark.partitioning import spread_for_expansion
+
+    bg = spread_for_expansion(df).select(
         F.explode(_bigrams(tokens(F.col(text_col)))).alias("bg")
     ).select("bg.prev", "bg.tok")
     all_bg = bg.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("cnt"))
@@ -1097,7 +1123,9 @@ def bigram_nll(
     if model is None:
         model = bigram_vocab(df, text_col, min_count)
     vocab, ctx, total = model
-    bg = df.select(
+    from ilogtail_spark.partitioning import spread_for_expansion
+
+    bg = spread_for_expansion(df, id_col).select(
         F.col(id_col), F.explode(_bigrams(tokens(F.col(text_col)))).alias("bg")
     ).select(id_col, "bg.prev", "bg.tok")
     scored = (

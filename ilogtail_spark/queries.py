@@ -1804,7 +1804,10 @@ FROM documents
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = quality_score(_docs(spark, sf_dir))
+    from ilogtail_spark.partitioning import spread_for_expansion
+
+    # spread: the fused projection is CPU work over a single-split scan
+    d = quality_score(spread_for_expansion(_docs(spark, sf_dir), "doc_id"))
     return d.select("doc_id", "n_tokens", "mean_token_len", "punct_ratio",
                     "stopword_ratio", "upper_ratio", "quality_score")
 
@@ -1818,7 +1821,9 @@ def q_quality_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     differences cannot surface)."""
     from ilogtail_spark.functions.textstats import quality_logistic
 
-    d = quality_logistic(_docs(spark, sf_dir))
+    from ilogtail_spark.partitioning import spread_for_expansion
+
+    d = quality_logistic(spread_for_expansion(_docs(spark, sf_dir), "doc_id"))
     return d.select("doc_id", "quality_prob")
 
 
@@ -2010,7 +2015,9 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums once and lands on the rounded grid."""
     from ilogtail_spark.functions.textstats import lang_id, quality_score
 
-    d = quality_score(lang_id(_docs(spark, sf_dir)))
+    from ilogtail_spark.partitioning import spread_for_expansion
+
+    d = quality_score(lang_id(spread_for_expansion(_docs(spark, sf_dir))))
     return d.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
@@ -2485,7 +2492,11 @@ def q_vocab_topk_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens,
     )
 
-    d = _docs(spark, sf_dir)
+    from ilogtail_spark.partitioning import spread_for_expansion
+
+    # spread: tokenize+explode over the single-split documents scan
+    # would otherwise run on one core (same gate as the operators)
+    d = spread_for_expansion(_docs(spark, sf_dir))
     tok = d.select(F.explode(tokens(F.col("text"))).alias("token"))
     tf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
     top = tf.orderBy(F.desc("tf"), "token").limit(30)
@@ -2887,7 +2898,9 @@ FROM sc GROUP BY doc_id
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = lang_id(_docs(spark, sf_dir))
+    from ilogtail_spark.partitioning import spread_for_expansion
+
+    d = lang_id(spread_for_expansion(_docs(spark, sf_dir)))
     return d.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n"))
 
 
