@@ -208,8 +208,18 @@ def _regex_parse_onepass(
     )
     if guard is not None:
         packed = F.when(guard, packed)
-    matched = packed.isNotNull() & packed.startswith(_ONEPASS_SENT)
-    arr = F.split(F.substring(packed, 2, 2147483647), _ONEPASS_SEP)
+    # pin the single regex execution as a NAMED column: the N key
+    # columns, the matched flag, and any downstream filter on a parsed
+    # key all reference it, and unpinned, Catalyst inlines the regex
+    # (and whatever expression synthesized the source) into every site
+    # (see exprutil.pin; spl_pipeline measured 8.9 s → see
+    # OPTIMIZATION_r08.md)
+    from ilogtail_spark.exprutil import pin
+
+    df = df.withColumn("__rxp__", pin(packed))
+    packed_ref = F.col("__rxp__")
+    matched = packed_ref.isNotNull() & packed_ref.startswith(_ONEPASS_SENT)
+    arr = F.split(F.substring(packed_ref, 2, 2147483647), _ONEPASS_SEP)
     cols = {}
     for k, idxs in _key_slots(keys).items():
         raw = arr.getItem(idxs[0])
@@ -222,7 +232,8 @@ def _regex_parse_onepass(
     # matched must be evaluated against the ORIGINAL column before
     # keep-source nulls it; withColumns computes from the same input row.
     df = df.withColumns(cols)
-    return _apply_keep_source(df, source_key, matched, keep_source, keep_source_if_parse_error)
+    df = _apply_keep_source(df, source_key, matched, keep_source, keep_source_if_parse_error)
+    return df.drop("__rxp__")
 
 
 def _regex_parse_arrow(
