@@ -139,7 +139,13 @@ def encode_bpe(
     toks = F.flatten(
         F.transform(words, lambda w: _tokens_of(w, merges or []))
     )
-    return df.withColumn(out_col, toks)
+    # pin: the per-word replace-fold is the dominant per-row cost, and
+    # any consumer referencing the token array more than once (counts +
+    # head slice, say) would otherwise inline the whole fold per
+    # reference (see exprutil.pin)
+    from ilogtail_spark.exprutil import pin
+
+    return df.withColumn(out_col, pin(toks))
 
 
 def train_bpe(

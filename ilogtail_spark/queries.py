@@ -5569,7 +5569,10 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffle (the 100 TB tokenize is a pure map stage)."""
     from ilogtail_spark.functions.bpe import encode_bpe
 
-    d = _docs(spark, sf_dir)
+    from ilogtail_spark.partitioning import spread_for_expansion
+
+    # spread: the merge fold is pure CPU over the single-split scan
+    d = spread_for_expansion(_docs(spark, sf_dir), "doc_id")
     out = encode_bpe(d, "text", _BPE_MERGES)
     words = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
     return out.select(
