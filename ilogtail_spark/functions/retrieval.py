@@ -135,12 +135,22 @@ def bm25_topk(
         # (element, index) pair and silently bind `term` to the index
         return F.size(F.filter(toks, lambda x: x == F.lit(term)))
 
+    from ilogtail_spark.partitioning import spread_for_expansion
+
     toks = tokens(F.col(text_col))
-    base = docs.select(
+    # spread: tokenize + per-term filters are CPU work over what is a
+    # single input split at fixture scale (gated no-op otherwise)
+    base = spread_for_expansion(docs, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.size(toks).alias("dl"),
         *[tf(toks, t).alias(f"tf{i}") for i, t in enumerate(query_terms)],
     )
+    if stats is None:
+        # the narrow (id, dl, tf…) projection feeds BOTH the stats
+        # aggregate and the scoring join — checkpoint it so the
+        # tokenize+filter pass runs once, not once per consumer
+        # (O(docs × ints) blocks, reclaimed with the plan)
+        base = base.localCheckpoint(eager=False)
     if stats is not None:
         scored = base.select(
             "*",
@@ -318,12 +328,17 @@ def bm25_multi_topk(
         # single-arg lambda (two-arg binds (element, index) — see bm25_topk)
         return F.size(F.filter(toks, lambda x: x == F.lit(term)))
 
+    from ilogtail_spark.partitioning import spread_for_expansion
+
     toks = tokens(F.col(text_col))
-    base = docs.select(
+    # spread + (below) checkpoint: same two-consumer shape as bm25_topk
+    base = spread_for_expansion(docs, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.size(toks).alias("dl"),
         *[tf(toks, t).alias(f"tf{i}") for i, t in enumerate(union_terms)],
     )
+    if stats is None:
+        base = base.localCheckpoint(eager=False)
     if stats is not None:
         scored = base.select(
             "*",

@@ -402,6 +402,13 @@ def custom_single_flatten(
     # so map semantics make time win; without this filter the JSON would
     # carry duplicate keys and the flat map would miss the time slot
     flat_ent = F.filter(flat_ent, lambda e: e["key"] != F.lit(tkey))
+    # pin the classified entry array as a named column: `flat` and
+    # `flat_json` both consume it, and unpinned the whole classify +
+    # rename + dedup chain is inlined into each (see exprutil.pin)
+    from ilogtail_spark.exprutil import pin
+
+    df = df.withColumn("__fe__", pin(flat_ent))
+    flat_ent = F.col("__fe__")
     time_frag = F.struct(
         F.lit(tkey).alias("key"),
         F.concat(
@@ -413,7 +420,7 @@ def custom_single_flatten(
     )
     return df.withColumns(
         {"flat": F.map_from_entries(flat_ent), "flat_json": flat_json}
-    )
+    ).drop("__fe__")
 
 
 def custom_single(
