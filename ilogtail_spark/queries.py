@@ -3637,11 +3637,29 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-batch cost O(batch), never O(corpus). Oracle recomputes both
     indexes and the membership flags from the shared banded-MinHash
     machinery."""
-    from ilogtail_spark.functions.dedup import dedup_index, incremental_dedup
+    from ilogtail_spark.functions.dedup import (
+        dedup_index,
+        incremental_dedup,
+        minhash_bands,
+        minhash_signatures,
+    )
 
     d = _docs(spark, sf_dir)
-    ex, bk = dedup_index(d.filter(F.col("doc_id") % 5 != 0))
-    out = incremental_dedup(d.filter(F.col("doc_id") % 5 == 0), ex, bk)
+    # ONE banded-signature pass over all docs, shared by the corpus
+    # index and the batch probe (at ingest a pipeline computes each
+    # doc's signature exactly once and stores it — this is that
+    # relation). Checkpointed: both consumers read the materialized
+    # rows instead of re-running tokenize→shingle→64-min aggregation.
+    banded = minhash_bands(minhash_signatures(d), rows_per_band=4)
+    banded = banded.localCheckpoint(eager=False)
+    ex, bk = dedup_index(
+        d.filter(F.col("doc_id") % 5 != 0),
+        banded=banded.filter(F.col("id") % 5 != 0),
+    )
+    out = incremental_dedup(
+        d.filter(F.col("doc_id") % 5 == 0), ex, bk,
+        banded=banded.filter(F.col("id") % 5 == 0),
+    )
     return out.select("doc_id", "exact_dup", "near_dup")
 
 
@@ -3700,10 +3718,22 @@ def q_incremental_dedup_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_index,
         extend_dedup_index,
         incremental_dedup,
+        minhash_bands,
+        minhash_signatures,
     )
 
     d = _docs(spark, sf_dir)
-    ex0, bk0 = dedup_index(d.filter(F.col("doc_id") % 5 >= 2))
+    # ONE banded-signature pass over all docs serves the gen-0 index,
+    # both probes, and the kept-1 extension delta (stored-at-ingest
+    # signatures — see q_incremental_dedup). Previously each consumer
+    # re-ran tokenize→shingle→64-min over its subset: ~1.2 full passes
+    # plus per-pass scan overhead.
+    banded = minhash_bands(minhash_signatures(d), rows_per_band=4)
+    banded = banded.localCheckpoint(eager=False)
+    ex0, bk0 = dedup_index(
+        d.filter(F.col("doc_id") % 5 >= 2),
+        banded=banded.filter(F.col("id") % 5 >= 2),
+    )
     # materialize each generation ONCE (lazy localCheckpoint, the
     # pair-form convention): ex0/bk0 feed probe 1, the extension union,
     # and probe 2; kept1 feeds both index deltas — without the
@@ -3713,14 +3743,22 @@ def q_incremental_dedup_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex0 = ex0.localCheckpoint(eager=False)
     bk0 = bk0.localCheckpoint(eager=False)
     b1 = d.filter(F.col("doc_id") % 5 == 1)
-    p1 = incremental_dedup(b1, ex0, bk0)
+    p1 = incremental_dedup(
+        b1, ex0, bk0, banded=banded.filter(F.col("id") % 5 == 1)
+    )
     kept1 = (
         p1.filter(~F.col("exact_dup") & ~F.col("near_dup"))
         .drop("exact_dup", "near_dup")
         .localCheckpoint(eager=False)
     )
-    ex1, bk1 = extend_dedup_index(ex0, bk0, kept1)
-    out = incremental_dedup(d.filter(F.col("doc_id") % 5 == 0), ex1, bk1)
+    kept1_banded = banded.join(
+        kept1.select(F.col("doc_id").alias("id")), "id", "semi"
+    )
+    ex1, bk1 = extend_dedup_index(ex0, bk0, kept1, banded=kept1_banded)
+    out = incremental_dedup(
+        d.filter(F.col("doc_id") % 5 == 0), ex1, bk1,
+        banded=banded.filter(F.col("id") % 5 == 0),
+    )
     return out.select("doc_id", "exact_dup", "near_dup")
 
 
