@@ -68,8 +68,9 @@ def exact_dedup(
     )
 
 
-def _shingles(text_col: Column, n: int) -> Column:
-    """Token n-gram shingles as strings, distinct.
+def _kgrams(toks: Column, n: int) -> Column:
+    """Positional token n-grams as space-joined strings: element i (0-based)
+    is tokens[i..i+n-1]; length = L−n+1 (empty when L < n).
 
     Built by n-1 zip_with concat passes over shifted views of the token
     array instead of a transform(sequence) of per-index slice +
@@ -79,7 +80,6 @@ def _shingles(text_col: Column, n: int) -> Column:
     to the slice form on every SF and n ∈ {2,3,5,8} plus edge corpora
     (empty/short/repeated docs). zip_with pads the shorter side with
     NULL; the final slice to L−n+1 entries drops exactly those."""
-    toks = tokens(text_col)
     size = F.size(toks)
     m = F.greatest(size - (n - 1), F.lit(0))
     joined = toks
@@ -89,8 +89,18 @@ def _shingles(text_col: Column, n: int) -> Column:
             F.slice(toks, k + 1, m),
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
+    return F.when(size >= n, F.slice(joined, 1, m)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _shingles(text_col: Column, n: int) -> Column:
+    """Token n-gram shingles as strings, distinct (`_kgrams` without
+    positions; a too-short doc contributes its whole text as the one
+    shingle)."""
+    toks = tokens(text_col)
     return F.array_distinct(
-        F.when(size >= n, F.slice(joined, 1, m)).otherwise(
+        F.when(F.size(toks) >= n, _kgrams(toks, n)).otherwise(
             F.array(F.array_join(toks, " "))
         )
     )
@@ -783,18 +793,18 @@ def duplicate_spans(
 
     df = spread_for_expansion(df, id_col)
     toks = tokens(F.col(text_col))
+    # window strings via the shared zip_with k-gram builder (one concat
+    # per element instead of a slice+array_join allocation — see
+    # _kgrams), hashed in place; position i is the array index, exactly
+    # the old sequence(0, L−k) index. The relation feeds BOTH the
+    # dup-hash aggregate and the join back — checkpointed so the
+    # window-hash projection (the per-row dominant cost) runs once.
     wins = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(
-            F.when(
-                F.size(toks) >= k,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(toks) - k),
-                    lambda i: _hash32(F.array_join(F.slice(toks, i + 1, k), " ")),
-                ),
-            ).otherwise(F.array().cast("array<long>"))
+            F.transform(_kgrams(toks, k), lambda s: _hash32(s))
         ).alias("pos", "h"),
-    )
+    ).localCheckpoint(eager=False)
     if min_docs <= 2:
         dup_h = (
             wins.groupBy("h")

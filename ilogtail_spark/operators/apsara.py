@@ -61,8 +61,25 @@ def apsara_parse(
     keep_source_if_parse_error: bool = True,
 ) -> DataFrame:
     """ProcessorParseApsaraNative — see module docstring."""
+    from ilogtail_spark.exprutil import pin
+
     src = F.col(source_key)
-    time_str = F.regexp_extract(src, r"^\[([^\]]*)\]", 1)
+    # pin the three shared extraction roots as named columns: every
+    # output column's tree references time/head/base (microtime + 4
+    # field scans + the kv tail all derive from them), and unpinned,
+    # CollapseProject re-inlines each regex extract — and whatever
+    # expression synthesized `src` — into every referencing output
+    # (guide §4.4; same fix as parse.py / prom.py)
+    df = df.withColumns(
+        {
+            "__ap_time__": pin(F.regexp_extract(src, r"^\[([^\]]*)\]", 1)),
+            "__ap_head__": pin(F.regexp_extract(src, _HEAD_RE, 1)),
+            "__ap_base__": pin(
+                F.regexp_extract_all(src, F.lit(r"\[([^\]]*)\]"), 1)
+            ),
+        }
+    )
+    time_str = F.col("__ap_time__")
 
     is_epoch = time_str.rlike(r"^1[0-9]*$")
     dt_secs = F.unix_timestamp(F.substring(time_str, 1, 19), "yyyy-MM-dd HH:mm:ss")
@@ -79,8 +96,8 @@ def apsara_parse(
     valid = src.startswith("[") & seconds.isNotNull() & (seconds > 0)
     microtime = (seconds * F.lit(1000000) + micros).cast("long")
 
-    head = F.regexp_extract(src, _HEAD_RE, 1)
-    base = F.regexp_extract_all(src, F.lit(r"\[([^\]]*)\]"), 1)
+    head = F.col("__ap_head__")
+    base = F.col("__ap_base__")
     # regexp_extract_all scans the whole line; restrict to the head run's
     # field count so a bracketed token inside the kv tail can't leak in
     n_base = F.size(F.split(head, "\t"))
@@ -118,7 +135,9 @@ def apsara_parse(
             F.exists(acc, lambda a: a["k"] == e["k"]), acc
         ).otherwise(F.concat(acc, F.array(e))),
     )
-    kv = F.map_from_entries(first_wins)
+    # the kv map is referenced once per requested key — pin it too
+    df = df.withColumn("__ap_kv__", pin(F.map_from_entries(first_wins)))
+    kv = F.col("__ap_kv__")
 
     cols: dict[str, Column] = {
         "microtime": F.when(valid, microtime),
@@ -134,4 +153,5 @@ def apsara_parse(
             # try_element_at: NULL (not ANSI error) when the key is absent
             cols[k] = F.when(valid, F.try_element_at(kv, F.lit(k)))
     df = df.withColumns(cols)
-    return _apply_keep_source(df, source_key, valid, keep_source, keep_source_if_parse_error)
+    df = _apply_keep_source(df, source_key, valid, keep_source, keep_source_if_parse_error)
+    return df.drop("__ap_time__", "__ap_head__", "__ap_base__", "__ap_kv__")
