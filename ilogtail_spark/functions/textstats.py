@@ -247,13 +247,23 @@ def gopher_rules(
     filter costs one pass regardless of how many rules are active.
     Symbol counts use the replace-length-delta (regexp_count measured
     ~50× slower for fixed strings)."""
+    from ilogtail_spark.exprutil import pin
+
     t = F.col(text_col)
-    words = tokens(t)
+    # pin the two expensive splits as named columns: five output
+    # columns reference `words` and two reference `lines`, and the
+    # higher-order lambdas consuming them are CodegenFallback, so
+    # runtime subexpression elimination never dedupes the inlined
+    # regex split of the (page-sized) text per referencing column
+    df = df.withColumns(
+        {"__gw__": pin(tokens(t)), "__gl__": pin(F.split(t, "\n"))}
+    )
+    words = F.col("__gw__")
     n_words = F.size(words)
     sum_word_len = F.aggregate(
         F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
     )
-    lines = F.split(t, "\n")
+    lines = F.col("__gl__")
     n_lines = F.greatest(F.size(lines), F.lit(1))
 
     def _endswith_any(line: Column) -> Column:
@@ -318,7 +328,7 @@ def gopher_rules(
     keep = F.lit(True)
     for r in rules:
         keep = keep & F.col(r)
-    return d.withColumn("keep", keep)
+    return d.withColumn("keep", keep).drop("__gw__", "__gl__")
 
 
 # tiny character-trigram profiles (most frequent trigrams incl. spaces,
@@ -435,7 +445,12 @@ def repetition_stats(
 
     df = spread_for_expansion(df, id_col)
     words = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != "")
-    base = df.select(F.col(id_col), words.alias("__w"))
+    # the tokenized relation feeds BOTH the unigram and the bigram
+    # explode; checkpointed so lower+split+filter runs once per doc
+    # (the bm25/banded convention — blocks are GC'd with the plan)
+    base = df.select(F.col(id_col), words.alias("__w")).localCheckpoint(
+        eager=False
+    )
 
     uni = base.select(id_col, F.explode("__w").alias("g"))
     uni_stats = (
@@ -449,20 +464,26 @@ def repetition_stats(
         )
     )
 
-    bi = base.select(
-        id_col,
-        F.explode(
-            F.when(
-                F.size("__w") >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("__w") - 1),
-                    lambda i: F.concat_ws(
-                        " ", F.element_at("__w", i), F.element_at("__w", i + 1)
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("g"),
-    )
+    # bigrams via one zip_with concat over the shifted view (the
+    # _kgrams trick): one string concat per element instead of two
+    # element_at lookups through a materialized index sequence.
+    # concat (not concat_ws) + explicit slice: the zip_with pads the
+    # shorter side with NULL and concat_ws would silently keep those
+    # rows as unigrams.
+    sz = F.size("__w")
+    bigrams = F.when(
+        sz >= 2,
+        F.slice(
+            F.zip_with(
+                F.col("__w"),
+                F.slice(F.col("__w"), 2, F.greatest(sz - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+            1,
+            F.greatest(sz - 1, F.lit(0)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = base.select(id_col, F.explode(bigrams).alias("g"))
     bi_stats = (
         bi.groupBy(id_col, "g")
         .agg(F.count(F.lit(1)).alias("c"))
