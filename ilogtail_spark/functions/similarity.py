@@ -284,7 +284,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probes: int = 2,
     centroids: list[tuple[int, list[float]]] | None = None,
-    assign: str = "arrow",
+    assign: str = "auto",
 ) -> DataFrame:
     """IVF (inverted-file) ANN: assign every vector to its nearest
     coarse centroid; a query searches only its `n_probes` nearest
@@ -298,13 +298,39 @@ def ivf_topk(
     partitions (never a full count()+scan of the corpus) and the driver
     spreads picks by hashed id — a reproducible stand-in for k-means.
 
-    `assign` picks the centroid-ranking kernel: ``"arrow"`` (default) is
-    the vectorized numpy-matmul pandas_udf (`_ranked_centroids_arrow`) —
+    `assign` picks the centroid-ranking kernel: ``"arrow"`` is the
+    vectorized numpy-matmul pandas_udf (`_ranked_centroids_arrow`) —
     the production path, ~9× faster at 1M vectors; ``"expr"`` is the
     pure-column-expression twin that the DuckDB oracle mirrors
     term-for-term. Both produce identical assignments (shared
-    cos + index·1e-9 tie order), and both are oracle-checked.
+    cos + index·1e-9 tie order), and both are oracle-checked —
+    which is what makes ``"auto"`` (default) free: it reads the
+    corpus scan's optimizer size estimate and picks ``expr`` below
+    `ILOGTAIL_IVF_EXPR_MAX_BYTES` (default 2 MB ≈ a few thousand
+    vectors). Measured profile (32 cores, 3 reps/cell — SCALE.md):
+    the Arrow kernel is flat ~0.65 s at 200, 2k and 20k vectors once
+    Python workers exist, but the FIRST pandas_udf in a session pays a
+    one-time ~4 s worker spin-up — the whole r7 "ann_ivf drift" (its
+    6.9× first-rep spread) was that spin-up, not the kernel. The expr
+    twin runs 0.65 s / 1.1 s / 5.5 s at the same sizes (per-row
+    interpreted-cosine cost grows linearly). So expr wins exactly
+    where no spin-up can be amortized: corpora of a few thousand
+    vectors. The threshold is env-tunable for clusters whose workers
+    are already warm (set 0 to force arrow).
     """
+    if assign == "auto":
+        import os
+
+        max_bytes = int(
+            os.environ.get("ILOGTAIL_IVF_EXPR_MAX_BYTES", str(2 * 1024 * 1024))
+        )
+        try:
+            est = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            est = max_bytes + 1  # unknown size: assume big, keep arrow
+        assign = "expr" if est <= max_bytes else "arrow"
     if centroids is None:
         import hashlib
 
