@@ -94,12 +94,18 @@ def cdc_apply(
 
 
 class CdcStateTable:
-    """Durable materialized state for a CDC stream: each micro-batch
-    folds into the committed state via :func:`cdc_apply` and lands as a
-    FRESH GENERATION (`gen_N` directory) whose commit-marker flip makes
-    it authoritative — the same torn-write-invisible discipline as
-    plans/snapshot.py's compaction: a crash mid-write leaves the
-    previous generation fully loadable, a crash after the flip leaves
+    """Durable materialized state for a CDC stream, BUCKETED: keys hash
+    into `n_buckets` fixed buckets (``pmod(xxhash64(key), N)`` — the
+    plans/snapshot.py discipline), each micro-batch folds into the
+    committed state via :func:`cdc_apply` and rewrites ONLY the buckets
+    containing batch keys. The authoritative state is a bucket→directory
+    MANIFEST in the commit payload: touched buckets point at the new
+    generation's partition dirs, untouched buckets keep pointing at the
+    directories earlier generations wrote — their files are never read,
+    copied or rewritten, so per-trigger write cost is O(touched
+    buckets' state + batch), not O(|state|). The commit-marker flip
+    keeps the torn-write-invisible property: a crash mid-write leaves
+    the previous manifest fully loadable, a crash after the flip leaves
     only orphan files. Batch ordering supplies recency across batches
     (a monotonic binlog: any event outranks the prior state by
     construction), so no order column needs to persist in the state.
@@ -110,7 +116,7 @@ class CdcStateTable:
             state.apply_batch(batch_df, batch_id)
 
     `apply_batch` is idempotent per batch_id — a retried micro-batch
-    re-applies onto the same PRIOR generation (the reference's send
+    re-applies onto the same PRIOR manifest (the reference's send
     dedup analog; cdc application is idempotent anyway: same events,
     same winners).
     """
@@ -125,6 +131,7 @@ class CdcStateTable:
         payload_cols: list[str] | None = None,
         event_col: str = "_event_",
         keep_generations: int = 2,
+        n_buckets: int = 16,
     ) -> None:
         from ilogtail_spark.plans.checkpoint import CheckpointTable
 
@@ -134,28 +141,83 @@ class CdcStateTable:
         self.order_cols = list(order_cols or ["_offset_"])
         self.payload_cols = payload_cols
         self.event_col = event_col
-        # every batch writes a FULL state copy; without retention a
-        # long-running stream accumulates one copy per trigger. Keep
-        # the newest `keep_generations` (≥2: current + its predecessor
-        # for in-flight readers), GC the rest post-commit.
+        # retention in GENERATIONS: bucket dirs under gen_j are
+        # GC-eligible once j ≤ current_gen − keep_generations AND the
+        # dir is referenced by neither the new nor the predecessor
+        # manifest (≥2 keeps the predecessor loadable for in-flight
+        # readers). The sweep lists every gen_* dir, so lowering
+        # retention across restarts reclaims old generations too.
         self.keep_generations = max(2, int(keep_generations))
+        # bucket count is FIXED at table creation (a manifest written
+        # with N buckets is only addressable with the same N); a
+        # reattaching handle adopts the committed value.
+        self.n_buckets = int(n_buckets)
         self.ckpt = CheckpointTable(spark, f"{path}/_commits")
 
     def _meta(self) -> dict | None:
         return self.ckpt.payload("cdc_state", "state")
 
+    def _bucket_of(self) -> Column:
+        return F.pmod(F.xxhash64(*self.key_cols), F.lit(self.n_buckets))
+
+    def _read_paths(self, paths: list[str]) -> "DataFrame | None":
+        if not paths:
+            return None
+        return self.spark.read.parquet(*sorted(paths))
+
     def current(self) -> "DataFrame | None":
         meta = self._meta()
         if meta is None:
             return None
-        return self.spark.read.parquet(meta["location"])
+        self.n_buckets = int(meta.get("n_buckets", self.n_buckets))
+        df = self._read_paths(list(meta["buckets"].values()))
+        if df is None:
+            # every key deleted: empty state with the committed schema
+            import json
+
+            from pyspark.sql.types import StructType
+
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(json.loads(meta["schema"]))
+            )
+        return df
+
+    def _list_bucket_dirs(self, location: str) -> dict[str, str]:
+        """bucket id → partition dir actually written under a
+        generation (a bucket whose keys were all deleted writes no
+        dir)."""
+        jvm = self.spark._jvm
+        hconf = self.spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(location)
+        fs = p.getFileSystem(hconf)
+        out: dict[str, str] = {}
+        if fs.exists(p):
+            for st in fs.listStatus(p):
+                name = st.getPath().getName()
+                if name.startswith("__bucket__="):
+                    out[name.split("=", 1)[1]] = f"{location}/{name}"
+        return out
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        import json
+
         meta = self._meta()
         if meta is not None and int(meta.get("batch_id", -1)) >= int(batch_id):
             return  # replayed micro-batch: already folded in
-        base = self.current()
-        new_state = cdc_apply(
+        prev_map: dict[str, str] = dict(meta["buckets"]) if meta else {}
+        if meta is not None:
+            self.n_buckets = int(meta.get("n_buckets", self.n_buckets))
+        # buckets the batch touches — bounded driver metadata (≤ N rows)
+        touched = {
+            str(r[0])
+            for r in batch_df.select(self._bucket_of().alias("b"))
+            .distinct()
+            .collect()
+        }
+        base = self._read_paths(
+            [p for b, p in prev_map.items() if b in touched]
+        )
+        new_touched = cdc_apply(
             batch_df,
             self.key_cols,
             order_cols=self.order_cols,
@@ -165,19 +227,50 @@ class CdcStateTable:
         )
         gen = int(meta.get("gen", 0)) + 1 if meta else 1
         location = f"{self.path}/gen_{gen}"
-        new_state.write.mode("overwrite").parquet(location)
+        (
+            new_touched.withColumn("__bucket__", self._bucket_of())
+            .write.mode("overwrite")
+            .partitionBy("__bucket__")
+            .parquet(location)
+        )
+        new_map = {b: p for b, p in prev_map.items() if b not in touched}
+        new_map.update(self._list_bucket_dirs(location))
         self.ckpt.commit(
             "cdc_state", "state",
-            {"location": location, "gen": gen, "batch_id": int(batch_id),
-             "superseded": (meta or {}).get("location")},
+            {"buckets": new_map, "gen": gen, "batch_id": int(batch_id),
+             "n_buckets": self.n_buckets,
+             "schema": json.dumps(new_touched.schema.jsonValue())},
         )
-        # post-commit GC — failures here orphan files, never state
-        # (the commit already points at the new generation)
-        old_gen = gen - self.keep_generations
-        if old_gen >= 1:
-            jvm = self.spark._jvm
-            hconf = self.spark._jsc.hadoopConfiguration()
-            op = jvm.org.apache.hadoop.fs.Path(f"{self.path}/gen_{old_gen}")
-            fs = op.getFileSystem(hconf)
-            if fs.exists(op):
-                fs.delete(op, True)
+        # post-commit GC — failures here orphan files, never state (the
+        # commit already points at the new manifest). A full gen_* sweep:
+        # a bucket dir is dead once its generation falls out of the
+        # retention window AND neither the new nor the predecessor
+        # manifest references it; an old gen dir with no live buckets
+        # goes entirely.
+        live = set(new_map.values()) | set(prev_map.values())
+        jvm = self.spark._jvm
+        hconf = self.spark._jsc.hadoopConfiguration()
+        root = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = root.getFileSystem(hconf)
+        cutoff = gen - self.keep_generations
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not name.startswith("gen_"):
+                continue
+            try:
+                j = int(name.split("_", 1)[1])
+            except ValueError:
+                continue
+            if j > cutoff:
+                continue
+            gen_dir = f"{self.path}/{name}"
+            kept_any = False
+            for sub in fs.listStatus(st.getPath()):
+                sub_name = sub.getPath().getName()
+                sub_path = f"{gen_dir}/{sub_name}"
+                if sub_path in live:
+                    kept_any = True
+                elif sub_name.startswith("__bucket__="):
+                    fs.delete(sub.getPath(), True)
+            if not kept_any:
+                fs.delete(st.getPath(), True)

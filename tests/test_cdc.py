@@ -144,3 +144,75 @@ class TestCdcStateTable:
         )
         q.awaitTermination(120)
         assert {r["pk"]: r["val"] for r in st.current().collect()} == {1: "b"}
+
+    def test_bucketed_partial_rewrite(self, spark, tmp_path):
+        """A batch rewrites ONLY the buckets containing its keys: every
+        untouched bucket's manifest entry keeps pointing at the PRIOR
+        generation's directory and those files stay byte-identical —
+        the O(touched + batch) per-trigger property (never O(|state|))."""
+        import hashlib
+        import os
+
+        from ilogtail_spark.operators.cdc import CdcStateTable
+
+        def dir_digest(d):
+            out = {}
+            for root, _, files in os.walk(d):
+                for f in sorted(files):
+                    p = os.path.join(root, f)
+                    with open(p, "rb") as fh:
+                        out[p] = hashlib.md5(fh.read()).hexdigest()
+            return out
+
+        path = str(tmp_path / "state")
+        st = CdcStateTable(spark, path, ["pk"], payload_cols=["val"],
+                           n_buckets=8)
+        b1 = spark.createDataFrame(
+            [(k, 10 + k, "row_insert", f"v{k}") for k in range(1, 21)],
+            SCHEMA,
+        )
+        st.apply_batch(b1, 0)
+        map1 = dict(st._meta()["buckets"])
+        assert len(map1) > 1  # keys spread over several buckets
+        # ONE key updated → exactly the buckets of that key are touched
+        b2 = spark.createDataFrame([(1, 99, "row_update", "v1x")], SCHEMA)
+        touched_bucket = str(
+            spark.createDataFrame([(1,)], "pk long")
+            .select(st._bucket_of().alias("b")).collect()[0]["b"]
+        )
+        before = {
+            b: dir_digest(p) for b, p in map1.items() if b != touched_bucket
+        }
+        st.apply_batch(b2, 1)
+        map2 = dict(st._meta()["buckets"])
+        # untouched buckets: same directory by reference, same bytes
+        for b, p in map1.items():
+            if b == touched_bucket:
+                assert map2[b] != p  # rewritten into the new generation
+            else:
+                assert map2[b] == p
+                assert dir_digest(p) == before[b]
+        # and the state itself equals a full recompute over the log
+        got = {r["pk"]: r["val"] for r in st.current().collect()}
+        want = {k: f"v{k}" for k in range(2, 21)}
+        want[1] = "v1x"
+        assert got == want
+
+    def test_bucketed_delete_empties_bucket(self, spark, tmp_path):
+        """Deleting a bucket's only key removes the bucket from the
+        manifest; deleting EVERY key leaves a loadable empty state."""
+        from ilogtail_spark.operators.cdc import CdcStateTable
+
+        path = str(tmp_path / "state")
+        st = CdcStateTable(spark, path, ["pk"], payload_cols=["val"],
+                           n_buckets=4)
+        st.apply_batch(
+            spark.createDataFrame([(1, 10, "row_insert", "a")], SCHEMA), 0
+        )
+        st.apply_batch(
+            spark.createDataFrame([(1, 20, "row_delete", "a")], SCHEMA), 1
+        )
+        assert st._meta()["buckets"] == {}
+        cur = st.current()
+        assert cur is not None and cur.count() == 0
+        assert set(cur.columns) == {"pk", "val"}
