@@ -874,10 +874,13 @@ def line_dedup(
     # (the default '\n' has no metacharacters, which masked this)
     import re as _re
 
+    # the exploded line relation feeds BOTH the dup-stats aggregate and
+    # the join back; checkpointed so the split+explode+md5 projection
+    # runs once (the dup_spans/banded convention)
     lines = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias("pos", "line"),
-    ).withColumn("k", F.md5(norm))
+    ).withColumn("k", F.md5(norm)).localCheckpoint(eager=False)
     dup_stats = (
         lines.groupBy("k")
         .agg(

@@ -2384,7 +2384,10 @@ def q_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum makes the estimate bit-identical in DuckDB."""
     from ilogtail_spark.functions.textstats import hll_estimate, hll_sketch
 
-    t = _t(spark, sf_dir)
+    # the sketch and the exact counter consume the same (role, text)
+    # rows; checkpoint the narrow projection so the transcripts
+    # window+synthesis runs once, not once per consumer
+    t = _barrier(_t(spark, sf_dir).select("role", "text"))
     sk = hll_sketch(t, "text", p=_HLL_P, group_cols=("role",))
     est = hll_estimate(sk, p=_HLL_P, group_cols=("role",))
     exact = t.groupBy("role").agg(
