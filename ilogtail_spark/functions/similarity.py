@@ -306,23 +306,24 @@ def ivf_topk(
     cos + index·1e-9 tie order), and both are oracle-checked —
     which is what makes ``"auto"`` (default) free: it reads the
     corpus scan's optimizer size estimate and picks ``expr`` below
-    `ILOGTAIL_IVF_EXPR_MAX_BYTES` (default 2 MB ≈ a few thousand
+    `ILOGTAIL_IVF_EXPR_MAX_BYTES` (default 256 KB ≈ a few hundred
     vectors). Measured profile (32 cores, 3 reps/cell — SCALE.md):
     the Arrow kernel is flat ~0.65 s at 200, 2k and 20k vectors once
     Python workers exist, but the FIRST pandas_udf in a session pays a
     one-time ~4 s worker spin-up — the whole r7 "ann_ivf drift" (its
     6.9× first-rep spread) was that spin-up, not the kernel. The expr
     twin runs 0.65 s / 1.1 s / 5.5 s at the same sizes (per-row
-    interpreted-cosine cost grows linearly). So expr wins exactly
-    where no spin-up can be amortized: corpora of a few thousand
-    vectors. The threshold is env-tunable for clusters whose workers
-    are already warm (set 0 to force arrow).
+    interpreted-cosine cost grows linearly) AND pays ~1.5 s of
+    per-invocation query-construction/analysis for its 16×dim literal
+    trees even as one SQL string (see ranked_centroids), so it only
+    nets out ahead on the smallest correctness-tier corpora. The
+    threshold is env-tunable (set 0 to force arrow everywhere).
     """
     if assign == "auto":
         import os
 
         max_bytes = int(
-            os.environ.get("ILOGTAIL_IVF_EXPR_MAX_BYTES", str(2 * 1024 * 1024))
+            os.environ.get("ILOGTAIL_IVF_EXPR_MAX_BYTES", str(256 * 1024))
         )
         try:
             est = int(
@@ -342,20 +343,50 @@ def ivf_topk(
         )[:n_centroids]
         centroids = [(int(r["c_id"]), [float(x) for x in r["c_vec"]]) for r in sample]
 
-    def ranked_centroids(vec: Column) -> Column:
+    def ranked_centroids(vec_name: str) -> Column:
         """Struct array sorted best-first: one score expression per
         centroid, shared by assignment and probing. (A when-cascade
         argmax duplicates each score expr at every level — exponential
         plan blowup; this stays linear.) Epsilon on the index makes tie
-        order identical everywhere."""
-        cells = [
-            F.struct(
-                (cosine(vec, F.array(*[F.lit(v) for v in c_vec])) + F.lit(i * 1e-9)).alias("s"),
-                F.lit(c_id).alias("c"),
+        order identical everywhere.
+
+        Built as ONE SQL string (`F.expr`), not nested Column calls:
+        the Column form issues a py4j round-trip per literal — 16
+        centroids × dim components ≈ several thousand driver→JVM calls,
+        measured 3–6 s of pure client-side query BUILD time per
+        invocation (the whole cost of the expr kernel at small SFs; the
+        executed plan is identical). `repr(float)` is shortest-round-
+        trip, so every parsed literal is bit-identical to F.lit's."""
+        cells = []
+        for i, (c_id, c_vec) in enumerate(centroids):
+            arr = (
+                "array("
+                + ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in c_vec)
+                + ")"
             )
-            for i, (c_id, c_vec) in enumerate(centroids)
-        ]
-        return F.reverse(F.array_sort(F.array(*cells)))
+            dot = (
+                f"aggregate(zip_with(`{vec_name}`, {arr}, (x, y) -> "
+                "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), "
+                "(acc, v) -> acc + v)"
+            )
+            vnorm = (
+                f"sqrt(aggregate(transform(`{vec_name}`, x -> "
+                "CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), "
+                "(acc, v) -> acc + v))"
+            )
+            cnorm = (
+                f"sqrt(aggregate(transform({arr}, x -> "
+                "CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), "
+                "(acc, v) -> acc + v))"
+            )
+            score = (
+                f"(({dot}) / (({vnorm}) * ({cnorm})))"
+                f" + CAST('{(i * 1e-9)!r}' AS DOUBLE)"
+            )
+            cells.append(f"named_struct('s', {score}, 'c', {int(c_id)})")
+        return F.expr(
+            "reverse(array_sort(array(" + ",".join(cells) + ")))"
+        )
 
     from ilogtail_spark.partitioning import spread_for_expansion
 
@@ -366,10 +397,10 @@ def ivf_topk(
         probe_centroids = F.slice(ranked_udf(F.col(vec_col)), 1, n_probes)
     elif assign == "expr":
         corpus_centroid = F.element_at(
-            ranked_centroids(F.col(vec_col)), 1
+            ranked_centroids(vec_col), 1
         ).getField("c")
         probe_centroids = F.slice(
-            ranked_centroids(F.col(vec_col)), 1, n_probes
+            ranked_centroids(vec_col), 1, n_probes
         ).getField("c")
     else:
         raise ValueError(f"assign must be 'arrow' or 'expr', got {assign!r}")
