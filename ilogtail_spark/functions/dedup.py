@@ -183,16 +183,20 @@ def ngram_jaccard_pairs(
     # a bijection on span² < 2⁶³ — and the unpack restores the original
     # ids, so the result is bit-identical. Corpora whose id span
     # exceeds the bijection range keep the two-column path.
-    bounds = df.agg(
-        F.min(F.col(id_col)).alias("mn"), F.max(F.col(id_col)).alias("mx")
-    ).first()
-    span = (
-        int(bounds["mx"]) - int(bounds["mn"]) + 1
-        if bounds["mn"] is not None
-        else None
-    )
+    # dtype gate FIRST (driver-only metadata): the eager min/max job
+    # only runs when packing could actually apply
     id_type = dict(df.dtypes).get(id_col)
-    packable = id_type == "bigint" and span is not None and span * span < 2**63
+    span = None
+    if id_type == "bigint":
+        bounds = df.agg(
+            F.min(F.col(id_col)).alias("mn"), F.max(F.col(id_col)).alias("mx")
+        ).first()
+        span = (
+            int(bounds["mx"]) - int(bounds["mn"]) + 1
+            if bounds["mn"] is not None
+            else None
+        )
+    packable = span is not None and span * span < 2**63
     pre_cols: list[Column]
     if packable:
         mn = int(bounds["mn"])

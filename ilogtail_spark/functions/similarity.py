@@ -322,9 +322,12 @@ def ivf_topk(
     if assign == "auto":
         import os
 
-        max_bytes = int(
-            os.environ.get("ILOGTAIL_IVF_EXPR_MAX_BYTES", str(256 * 1024))
-        )
+        try:
+            max_bytes = int(
+                os.environ.get("ILOGTAIL_IVF_EXPR_MAX_BYTES", str(256 * 1024))
+            )
+        except ValueError:
+            max_bytes = 256 * 1024  # malformed env: keep the default
         try:
             est = int(
                 df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()

@@ -142,10 +142,11 @@ class CdcStateTable:
         self.payload_cols = payload_cols
         self.event_col = event_col
         # retention in GENERATIONS: bucket dirs under gen_j are
-        # GC-eligible once j ≤ current_gen − keep_generations AND the
-        # dir is referenced by neither the new nor the predecessor
-        # manifest (≥2 keeps the predecessor loadable for in-flight
-        # readers). The sweep lists every gen_* dir, so lowering
+        # GC-eligible once j ≤ current_gen − keep_generations AND no
+        # manifest in the retained window (the newest keep_generations
+        # manifests — the committed one plus the `history` list it
+        # carries) references the dir, so every retained manifest stays
+        # fully loadable. The sweep lists every gen_* dir, so lowering
         # retention across restarts reclaims old generations too.
         self.keep_generations = max(2, int(keep_generations))
         # bucket count is FIXED at table creation (a manifest written
@@ -155,31 +156,49 @@ class CdcStateTable:
         self.ckpt = CheckpointTable(spark, f"{path}/_commits")
 
     def _meta(self) -> dict | None:
-        return self.ckpt.payload("cdc_state", "state")
+        meta = self.ckpt.payload("cdc_state", "state")
+        if meta is not None and "buckets" not in meta:
+            raise ValueError(
+                f"CDC state at {self.path!r} was committed by the "
+                "pre-bucketing layout (payload has no 'buckets' manifest); "
+                "rebuild the state table or replay the stream into a "
+                "fresh path"
+            )
+        return meta
 
     def _bucket_of(self) -> Column:
         return F.pmod(F.xxhash64(*self.key_cols), F.lit(self.n_buckets))
 
-    def _read_paths(self, paths: list[str]) -> "DataFrame | None":
+    def _committed_schema(self, meta: dict):
+        import json
+
+        from pyspark.sql.types import StructType
+
+        return StructType.fromJson(json.loads(meta["schema"]))
+
+    def _read_paths(self, paths: list[str], meta: dict | None = None) -> "DataFrame | None":
         if not paths:
             return None
-        return self.spark.read.parquet(*sorted(paths))
+        reader = self.spark.read
+        if meta is not None and meta.get("schema"):
+            # pin the committed schema: bucket dirs written at different
+            # generations may predate a payload-schema change, and an
+            # unpinned read takes whichever footer Spark samples —
+            # nondeterministic column sets. With an explicit schema,
+            # columns missing from older files read as NULL,
+            # deterministically.
+            reader = reader.schema(self._committed_schema(meta))
+        return reader.parquet(*sorted(paths))
 
     def current(self) -> "DataFrame | None":
         meta = self._meta()
         if meta is None:
             return None
         self.n_buckets = int(meta.get("n_buckets", self.n_buckets))
-        df = self._read_paths(list(meta["buckets"].values()))
+        df = self._read_paths(list(meta["buckets"].values()), meta)
         if df is None:
             # every key deleted: empty state with the committed schema
-            import json
-
-            from pyspark.sql.types import StructType
-
-            return self.spark.createDataFrame(
-                [], StructType.fromJson(json.loads(meta["schema"]))
-            )
+            return self.spark.createDataFrame([], self._committed_schema(meta))
         return df
 
     def _list_bucket_dirs(self, location: str) -> dict[str, str]:
@@ -215,7 +234,7 @@ class CdcStateTable:
             .collect()
         }
         base = self._read_paths(
-            [p for b, p in prev_map.items() if b in touched]
+            [p for b, p in prev_map.items() if b in touched], meta
         )
         new_touched = cdc_apply(
             batch_df,
@@ -235,19 +254,33 @@ class CdcStateTable:
         )
         new_map = {b: p for b, p in prev_map.items() if b not in touched}
         new_map.update(self._list_bucket_dirs(location))
+        # manifest HISTORY: the bucket maps of the keep_generations−1
+        # preceding manifests ride in the payload, so GC can honor the
+        # caller's retention — a reader holding any of the last
+        # keep_generations manifests must find every dir it references
+        prev_history = list(meta.get("history", [])) if meta else []
+        history = ([prev_map] + prev_history)[: self.keep_generations - 1]
         self.ckpt.commit(
             "cdc_state", "state",
             {"buckets": new_map, "gen": gen, "batch_id": int(batch_id),
-             "n_buckets": self.n_buckets,
+             "n_buckets": self.n_buckets, "history": history,
              "schema": json.dumps(new_touched.schema.jsonValue())},
         )
         # post-commit GC — failures here orphan files, never state (the
         # commit already points at the new manifest). A full gen_* sweep:
         # a bucket dir is dead once its generation falls out of the
-        # retention window AND neither the new nor the predecessor
-        # manifest references it; an old gen dir with no live buckets
-        # goes entirely.
-        live = set(new_map.values()) | set(prev_map.values())
+        # retention window AND no manifest in the retained window (the
+        # new one + `history`) references it; an old gen dir with no
+        # live buckets goes entirely. Liveness compares the
+        # "gen_N/__bucket__=B" SUFFIX, not the full string — a handle
+        # reattached with a differently-spelled root path (trailing
+        # slash, relative form) must never GC live state.
+        def _suffix(p: str) -> str:
+            return "/".join(p.rstrip("/").split("/")[-2:])
+
+        live = {_suffix(p) for p in new_map.values()}
+        for h in history:
+            live |= {_suffix(p) for p in h.values()}
         jvm = self.spark._jvm
         hconf = self.spark._jsc.hadoopConfiguration()
         root = jvm.org.apache.hadoop.fs.Path(self.path)
@@ -263,12 +296,10 @@ class CdcStateTable:
                 continue
             if j > cutoff:
                 continue
-            gen_dir = f"{self.path}/{name}"
             kept_any = False
             for sub in fs.listStatus(st.getPath()):
                 sub_name = sub.getPath().getName()
-                sub_path = f"{gen_dir}/{sub_name}"
-                if sub_path in live:
+                if f"{name}/{sub_name}" in live:
                     kept_any = True
                 elif sub_name.startswith("__bucket__="):
                     fs.delete(sub.getPath(), True)

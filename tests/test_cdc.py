@@ -216,3 +216,65 @@ class TestCdcStateTable:
         cur = st.current()
         assert cur is not None and cur.count() == 0
         assert set(cur.columns) == {"pk", "val"}
+
+    def test_reattach_with_respelled_path_never_gcs_live_state(
+        self, spark, tmp_path
+    ):
+        """GC liveness compares the gen/bucket SUFFIX, not the full
+        path string: a handle reattached with a trailing-slash spelling
+        of the same root must not delete directories the committed
+        manifest references."""
+        from ilogtail_spark.operators.cdc import CdcStateTable
+
+        path = str(tmp_path / "state")
+        st = CdcStateTable(spark, path, ["pk"], payload_cols=["val"],
+                           n_buckets=4)
+        for i in range(3):
+            st.apply_batch(
+                spark.createDataFrame(
+                    [(1, 10 + i, "row_update", f"v{i}")], SCHEMA
+                ),
+                i,
+            )
+        # reattach with a different spelling of the same root
+        st2 = CdcStateTable(spark, path + "/", ["pk"], payload_cols=["val"],
+                            n_buckets=4)
+        st2.apply_batch(
+            spark.createDataFrame([(1, 99, "row_update", "vX")], SCHEMA), 3
+        )
+        assert {r["val"] for r in st2.current().collect()} == {"vX"}
+        # and the original-spelling handle still loads it too
+        assert {r["val"] for r in st.current().collect()} == {"vX"}
+
+    def test_keep_generations_retains_manifest_history(self, spark, tmp_path):
+        """With keep_generations=3, the dirs referenced by the last 3
+        manifests survive GC even when their generation number falls
+        below the cutoff (a bucket untouched for many batches keeps its
+        old-generation directory alive through the manifest history)."""
+        import os
+
+        from ilogtail_spark.operators.cdc import CdcStateTable
+
+        path = str(tmp_path / "state")
+        st = CdcStateTable(spark, path, ["pk"], payload_cols=["val"],
+                           keep_generations=3, n_buckets=4)
+        # key 2's bucket is written once at gen_1 and never touched again
+        st.apply_batch(
+            spark.createDataFrame(
+                [(1, 10, "row_insert", "a"), (2, 11, "row_insert", "KEEP")],
+                SCHEMA,
+            ),
+            0,
+        )
+        for i in range(1, 6):  # five more batches touching only key 1
+            st.apply_batch(
+                spark.createDataFrame(
+                    [(1, 10 + i, "row_update", f"v{i}")], SCHEMA
+                ),
+                i,
+            )
+        # gen_1 is far below the cutoff but still holds key 2's bucket,
+        # referenced by every retained manifest
+        assert any(d.startswith("gen_1") for d in os.listdir(path))
+        got = {r["pk"]: r["val"] for r in st.current().collect()}
+        assert got == {1: "v5", 2: "KEEP"}

@@ -57,6 +57,24 @@ class TestDedup:
         assert (1, 3) in got and (2, 3) in got  # near dup
         assert not any({a, b} & {4, 5} and {a, b} & {1, 2, 3} for a, b in got)
 
+    def test_jaccard_unpackable_ids_match_packed(self, dup_docs):
+        """The packed-long pair key applies only to bigint ids whose
+        span fits the bijection; int ids (and any future wide-span
+        corpus) take the two-column fallback. Both paths must produce
+        identical pairs."""
+        from pyspark.sql import functions as F
+
+        packed = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(dup_docs, threshold=0.3).collect()
+        }
+        int_docs = dup_docs.withColumn("doc_id", F.col("doc_id").cast("int"))
+        fallback = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(int_docs, threshold=0.3).collect()
+        }
+        assert packed == fallback and packed
+
     def test_minhash_exact_dup_estimates_one(self, dup_docs):
         sigs = {r["doc_id"]: r["minhash"] for r in minhash_signatures(dup_docs).collect()}
         assert sigs[1] == sigs[2]
